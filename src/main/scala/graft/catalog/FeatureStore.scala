@@ -1,0 +1,118 @@
+package graft.catalog
+
+import graft.ir.Query
+import graft.model._
+import graft.planner.QueryPlanner
+import graft.sources.Lake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** In-process feature-store catalog: named, versioned feature groups backed
+  * by parquet paths, lake tables, views, or caller DataFrames. Replaces the
+  * reference's REST-backed metadata service (python/hsfs/feature_store.py)
+  * with a local registry; `warehouseDir` is the root for lake-backed groups.
+  */
+final class FeatureStore(
+    val spark: SparkSession,
+    val name: String = "graft",
+    val warehouseDir: String = "/tmp/graft_warehouse"
+) {
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), FeatureGroup]
+
+  def register(fg: FeatureGroup): FeatureGroup = {
+    registry.put((fg.name, fg.version), fg)
+    fg
+  }
+
+  def getFeatureGroup(name: String, version: Int = 1): FeatureGroup =
+    registry.getOrElse((name, version),
+      throw new NoSuchElementException(s"feature group $name v$version"))
+
+  def featureGroups: Seq[FeatureGroup] = registry.values.toSeq
+
+  /** Create a lake-backed (time-travel, upsertable) feature group from an
+    * initial DataFrame — the analog of fg.insert on a new group
+    * (python/hsfs/engine/spark.py:349-396 offline branch).
+    */
+  def createFeatureGroup(
+      name: String,
+      df: DataFrame,
+      primaryKey: Seq[String],
+      partitionKey: Seq[String] = Nil,
+      eventTime: Option[String] = None,
+      precombineKey: Option[String] = None,
+      version: Int = 1): FeatureGroup = {
+    val root = s"$warehouseDir/${name}_$version"
+    val fg = FeatureGroup(
+      name = name,
+      version = version,
+      features = df.schema.fields.toSeq.map(f =>
+        Feature(f.name, f.dataType, primaryKey.contains(f.name),
+          partitionKey.contains(f.name), f.nullable)),
+      primaryKey = primaryKey,
+      partitionKey = partitionKey,
+      eventTime = eventTime,
+      precombineKey = precombineKey,
+      source = LakeSource(root))
+    Lake.create(spark, root, fg, df)
+    register(fg)
+  }
+
+  def insert(fg: FeatureGroup, df: DataFrame): Lake.CommitMeta = fg.source match {
+    case LakeSource(root) => Lake.upsert(spark, root, fg, df)
+    case other => throw new IllegalArgumentException(
+      s"insert requires a lake-backed group, got $other")
+  }
+
+  def delete(fg: FeatureGroup, keys: DataFrame): Lake.CommitMeta = fg.source match {
+    case LakeSource(root) => Lake.delete(spark, root, fg, keys)
+    case other => throw new IllegalArgumentException(
+      s"delete requires a lake-backed group, got $other")
+  }
+
+  def read(q: Query): DataFrame = QueryPlanner.plan(spark, q)
+}
+
+/** Convenience registration of the driver's TPC-H-ish testdata directory as
+  * feature groups with sensible keys/event-times (see TESTDATA.md).
+  */
+object TestTables {
+
+  def parquet(dir: String, table: String): String = s"$dir/$table.parquet"
+
+  /** Register every testdata table as a temp view named after the table. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val p = new java.io.File(parquet(dir, t))
+      if (p.exists())
+        spark.read.parquet(p.getPath).createOrReplaceTempView(t)
+    }
+  }
+
+  private val keys: Map[String, (Seq[String], Option[String])] = Map(
+    "region" -> (Seq("r_regionkey"), None),
+    "nation" -> (Seq("n_nationkey"), None),
+    "customer" -> (Seq("c_custkey"), None),
+    "supplier" -> (Seq("s_suppkey"), None),
+    "part" -> (Seq("p_partkey"), None),
+    "orders" -> (Seq("o_orderkey"), Some("o_orderdate")),
+    "lineitem" -> (Seq("l_orderkey", "l_linenumber"), Some("l_shipdate")),
+    "events" -> (Seq("event_id"), Some("ts")),
+    "documents" -> (Seq("doc_id"), None),
+    "embeddings" -> (Seq("vec_id"), None)
+  )
+
+  /** Declare one testdata table as a feature group (lazy: reads only this
+    * table's parquet footer).
+    */
+  def fg(spark: SparkSession, dir: String, table: String): FeatureGroup = {
+    val (pk, et) = keys(table)
+    FeatureGroup.fromParquet(spark, table, parquet(dir, table),
+      primaryKey = pk, eventTime = et)
+  }
+
+  def featureGroups(spark: SparkSession, dir: String): Map[String, FeatureGroup] =
+    keys.keys.map(t => t -> fg(spark, dir, t)).toMap
+}
