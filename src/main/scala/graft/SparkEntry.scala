@@ -89,6 +89,83 @@ object SparkEntry {
           leftOn = Seq("o_orderkey"), rightOn = Seq("l_orderkey"),
           joinType = JoinType.LeftSemi))
         .orderBy("o_orderkey")
+    }),
+
+    // §2.4 point-in-time join: for each click, the user's latest view ≤ t.
+    // events.ts arrives as Long nanos (nanosAsLong); emitted as epoch micros.
+    "q07_pit_join" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.PointInTimeJoin
+        .asOf(clicks, "ts", views, "ts", Seq("user_id"), Seq("user_id"),
+          prefix = "view_")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          expr("view_ts div 1000").as("view_ts_us"),
+          col("view_event_id"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // §2.4 right join.
+    "q08_join_right" -> ((s, dir) => {
+      q(s, Query.select(fg(s, dir, "orders"), Seq("o_orderkey", "o_totalprice"))
+        .join(Query.select(fg(s, dir, "customer"), Seq("c_custkey", "c_name")),
+          leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"),
+          joinType = JoinType.Right))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
+    // §2.4 full outer join; left = pre-filtered spine DataFrame (root-query
+    // filters are post-join per reference WHERE semantics, so the left-side
+    // slice comes in as a caller DataFrame).
+    "q09_join_full" -> ((s, dir) => {
+      val rich = s.read.parquet(TestTables.parquet(dir, "customer"))
+        .filter(col("c_acctbal") > 9000.0)
+        .select("c_custkey", "c_acctbal")
+      val spine = FeatureGroup.spine("rich_customers", rich,
+        primaryKey = Seq("c_custkey"))
+      q(s, Query.selectAll(spine)
+        .join(Query.select(fg(s, dir, "orders"), Seq("o_orderkey", "o_custkey"))
+            .where("o_totalprice" > 250000.0),
+          leftOn = Seq("c_custkey"), rightOn = Seq("o_custkey"),
+          joinType = JoinType.Full))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }),
+
+    // §2.4 cross join (COMMA semantics).
+    "q10_join_cross" -> ((s, dir) => {
+      q(s, Query.select(fg(s, dir, "region"), Seq("r_name"))
+        .join(Query.select(fg(s, dir, "nation"), Seq("n_name")),
+          joinType = JoinType.Cross))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // §2.4 nested join: customer ⋈ (nation ⋈ region).
+    "q11_join_nested" -> ((s, dir) => {
+      q(s, Query.select(fg(s, dir, "customer"), Seq("c_custkey", "c_name"))
+        .join(
+          Query.select(fg(s, dir, "nation"), Seq("n_name"))
+            .join(Query.select(fg(s, dir, "region"), Seq("r_name")),
+              leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey"),
+              joinType = JoinType.Inner),
+          leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+          joinType = JoinType.Inner))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.1 spine source + §2.4 join-key inference (maximal PK intersection).
+    "q12_spine_inferred" -> ((s, dir) => {
+      val spineDf = s.read.parquet(TestTables.parquet(dir, "orders"))
+        .select(col("o_orderkey"), (col("o_totalprice") > 100000.0).as("big"))
+      val spineFg = FeatureGroup.spine("order_spine", spineDf,
+        primaryKey = Seq("o_orderkey"))
+      q(s, Query.selectAll(spineFg)
+        .join(Query.select(fg(s, dir, "orders"),
+          Seq("o_orderstatus", "o_totalprice")), joinType = JoinType.Inner))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -131,6 +208,37 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+    "q07_pit_join" ->
+      """SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+                epoch_us(v.ts) AS view_ts_us,
+                v.event_id AS view_event_id, v.value AS view_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') s
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON s.user_id = v.user_id AND v.ts <= s.ts
+         ORDER BY s.event_id""",
+    "q08_join_right" ->
+      """SELECT o_orderkey, o_totalprice, c_custkey, c_name
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+    "q09_join_full" ->
+      """SELECT c_custkey, c_acctbal, o_orderkey, o_custkey
+         FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+         FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+    "q10_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+    "q11_join_nested" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q12_spine_inferred" ->
+      """SELECT o_orderkey, o_totalprice > 100000.0 AS big,
+                o_orderstatus, o_totalprice
+         FROM orders ORDER BY o_orderkey"""
   )
 }

@@ -40,19 +40,18 @@ object TimeFunctions {
   private def parseString(s: String): Long = {
     val t = s.trim
     if (t.forall(_.isDigit)) {
-      patterns.find(_._1 == t.length) match {
-        case Some((n, fmt)) =>
-          val padded = t
+      val byPattern = patterns.find(_._1 == t.length).flatMap { case (n, fmt) =>
+        try {
           val ldt = n match {
-            case 4  => Year.parse(padded, fmt).atDay(1).atStartOfDay()
-            case 6  => YearMonth.parse(padded, fmt).atDay(1).atStartOfDay()
-            case 8  => LocalDate.parse(padded, fmt).atStartOfDay()
-            case _  => LocalDateTime.parse(padded, fmt)
+            case 4 => Year.parse(t, fmt).atDay(1).atStartOfDay()
+            case 6 => YearMonth.parse(t, fmt).atDay(1).atStartOfDay()
+            case 8 => LocalDate.parse(t, fmt).atStartOfDay()
+            case _ => LocalDateTime.parse(t, fmt)
           }
-          ldt.toInstant(ZoneOffset.UTC).toEpochMilli
-        case None => // bare epoch digits
-          toEpochMillis(t.toLong)
+          Some(ldt.toInstant(ZoneOffset.UTC).toEpochMilli)
+        } catch { case _: Exception => None } // e.g. "1704067200" isn't yyyyMMddHH
       }
+      byPattern.getOrElse(toEpochMillis(t.toLong)) // bare epoch digits
     } else {
       val iso = Seq(
         "yyyy-MM-dd HH:mm:ss.SSS", "yyyy-MM-dd'T'HH:mm:ss.SSS",
@@ -79,26 +78,29 @@ object TimeFunctions {
   def eventTimeToMillis(c: Column): Column = {
     val s = c.cast("string")
     val digits = s.rlike("^[0-9]+$")
-    val fromDigits =
-      when(length(s) === 4,  unix_millis(to_timestamp(s, "yyyy")))
-        .when(length(s) === 6,  unix_millis(to_timestamp(s, "yyyyMM")))
-        .when(length(s) === 8,  unix_millis(to_timestamp(s, "yyyyMMdd")))
-        .when(length(s) === 10, unix_millis(to_timestamp(s, "yyyyMMddHH")))
-        .when(length(s) === 12, unix_millis(to_timestamp(s, "yyyyMMddHHmm")))
-        .when(length(s) === 14, unix_millis(to_timestamp(s, "yyyyMMddHHmmss")))
-        .when(length(s) === 17, unix_millis(to_timestamp(s, "yyyyMMddHHmmssSSS")))
-        // bare epoch: seconds if 1e8 < v < 1e11 else millis (reference
-        // heuristic, engine/spark.py:821-833)
-        .otherwise(
-          when(s.cast("long").between(100000000L, 100000000000L),
-            s.cast("long") * 1000L).otherwise(s.cast("long")))
+    val parsed =
+      when(length(s) === 4,  unix_millis(try_to_timestamp(s, lit("yyyy"))))
+        .when(length(s) === 6,  unix_millis(try_to_timestamp(s, lit("yyyyMM"))))
+        .when(length(s) === 8,  unix_millis(try_to_timestamp(s, lit("yyyyMMdd"))))
+        .when(length(s) === 10, unix_millis(try_to_timestamp(s, lit("yyyyMMddHH"))))
+        .when(length(s) === 12, unix_millis(try_to_timestamp(s, lit("yyyyMMddHHmm"))))
+        .when(length(s) === 14, unix_millis(try_to_timestamp(s, lit("yyyyMMddHHmmss"))))
+        .when(length(s) === 17, unix_millis(try_to_timestamp(s, lit("yyyyMMddHHmmssSSS"))))
+    // bare epoch fallback (also for digit strings that fail their pattern,
+    // e.g. 10-digit epoch seconds): seconds if 1e8 < v < 1e11 else millis
+    // (reference heuristic, engine/spark.py:821-833)
+    val epochFallback =
+      when(s.cast("long").between(100000000L, 100000000000L),
+        s.cast("long") * 1000L).otherwise(s.cast("long"))
+    val fromDigits = coalesce(parsed, epochFallback)
     val fromIso = unix_millis(coalesce(
-      to_timestamp(s, "yyyy-MM-dd HH:mm:ss.SSS"),
-      to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
-      to_timestamp(s, "yyyy-MM-dd HH:mm:ss"),
-      to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss"),
-      to_timestamp(s, "yyyy-MM-dd HH:mm"),
-      to_timestamp(s)))
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss.SSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm")),
+      try_to_timestamp(s, lit("yyyy-MM-dd")),
+      try_to_timestamp(s)))
     when(digits, fromDigits).otherwise(fromIso)
   }
 

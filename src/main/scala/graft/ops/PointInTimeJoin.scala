@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Point-in-time-correct (as-of) join: for each left (spine) row with event
+  * time t and join keys k, attach the single right row for k with the
+  * largest right event time ≤ t; exactly one output row per spine row
+  * (left-outer semantics — unmatched spine rows keep null right columns).
+  *
+  * Reference semantics: the server-generated `pit_query`
+  * (python/hsfs/constructor/fs_query.py:32-33,76-82, selection
+  * python/hsfs/constructor/query.py:597-607); DuckDB variant uses ASOF JOIN
+  * (`pit_query_asof`).
+  *
+  * Implementation (scale-first): a **union + running-last window**, not a
+  * range join. The naive plan — equi-join on keys with `r.t <= l.t` then
+  * dedup — materializes every (spine row × earlier right row) pair before
+  * deduplication, which explodes at 100 TB. Here each input row is shuffled
+  * exactly once, partitioned by key and sorted by time; a running
+  * `last(payload, ignoreNulls)` carries the latest right payload forward
+  * onto each spine row. Cost: one shuffle of |spine| + |right| rows, no
+  * intermediate blowup. Right-side columns are packed into a single struct
+  * so per-column nulls in right rows are preserved (a per-column
+  * carry-forward would resurrect stale non-null values).
+  *
+  * Tie rules: a right row at exactly t == spine t is eligible (≤); among
+  * right rows sharing (key, t) the winner is the greatest `tieBreak` value
+  * (precombine analog, python/hsfs/core/hudi_engine.py:141-149). Right rows
+  * with null event time never match; spine rows with null event time get
+  * null right columns.
+  */
+object PointInTimeJoin {
+
+  def asOf(
+      spine: DataFrame,
+      spineEventTime: String,
+      right: DataFrame,
+      rightEventTime: String,
+      spineKeys: Seq[String],
+      rightKeys: Seq[String],
+      prefix: String = "",
+      tieBreak: Option[String] = None): DataFrame = {
+    require(spineKeys.nonEmpty && spineKeys.size == rightKeys.size,
+      "as-of join needs matching non-empty key lists")
+
+    val spineCols = spine.columns.toSeq
+    val rightPayloadCols = right.columns.toSeq.filterNot(rightKeys.contains)
+    val keyNames = spineKeys.indices.map(i => s"_pit_k$i")
+    val etType = spine.schema(spineEventTime).dataType
+    val payloadType = StructType(rightPayloadCols.map(c => right.schema(c)))
+    val spineType = StructType(spine.schema.fields)
+
+    val spineNorm = spine.select(
+      spineKeys.zip(keyNames).map { case (k, kn) => col(k).as(kn) } ++ Seq(
+        col(spineEventTime).as("_pit_t"),
+        lit(1).as("_pit_side"),
+        lit(0.0).as("_pit_ord"),
+        struct(spineCols.map(col): _*).as("_spine"),
+        lit(null).cast(payloadType).as("_payload")): _*)
+
+    val rightNorm = right
+      .filter(col(rightEventTime).isNotNull)
+      .select(
+        rightKeys.zip(keyNames).map { case (k, kn) => col(k).as(kn) } ++ Seq(
+          col(rightEventTime).cast(etType).as("_pit_t"),
+          lit(0).as("_pit_side"),
+          tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0)).as("_pit_ord"),
+          lit(null).cast(spineType).as("_spine"),
+          struct(rightPayloadCols.map(col): _*).as("_payload")): _*)
+
+    // Order within a key: time asc; at equal time right rows (side=0) sort
+    // before the spine row (side=1) so "≤" is inclusive; among right rows
+    // the larger tie-break sorts later and wins the running last().
+    val w = Window
+      .partitionBy(keyNames.map(col): _*)
+      .orderBy(col("_pit_t").asc, col("_pit_side").asc, col("_pit_ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = spineNorm.unionByName(rightNorm)
+      .withColumn("_matched", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_pit_side") === 1)
+
+    val out =
+      spineCols.map(c => col("_spine").getField(c).as(c)) ++
+        rightPayloadCols.map(c =>
+          when(col("_pit_t").isNotNull, col("_matched").getField(c))
+            .as(prefix + c))
+    carried.select(out: _*)
+  }
+
+  /** Convenience overload for symmetric key names, no prefix. */
+  def asOf(spine: DataFrame, right: DataFrame, keys: Seq[String],
+           spineEventTime: String, rightEventTime: String): DataFrame =
+    asOf(spine, spineEventTime, right, rightEventTime, keys, keys)
+}

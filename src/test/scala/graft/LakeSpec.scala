@@ -1,0 +1,81 @@
+package graft
+
+import graft.catalog.FeatureStore
+import graft.sources.Lake
+import java.nio.file.Files
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): FeatureStore =
+    new FeatureStore(spark,
+      warehouseDir = Files.createTempDirectory("graft_lake").toString)
+
+  test("create / upsert / delete with precombine last-writer-wins") {
+    val fs = freshStore()
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "pc")
+    val fg = fs.createFeatureGroup("t1", v1, primaryKey = Seq("id"),
+      precombineKey = Some("pc"))
+
+    // upsert: id=1 updated, id=3 inserted
+    val m2 = fs.insert(fg, Seq((1L, "a2", 20L), (3L, "c", 5L)).toDF("id", "v", "pc"))
+    assert(m2.rowsInserted === 1 && m2.rowsUpdated === 1 && m2.rowsDeleted === 0)
+
+    val snap = fs.read(graft.ir.Query.selectAll(fg))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(snap.toSeq === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+
+    // delete id=2
+    val m3 = fs.delete(fg, Seq(Tuple1(2L)).toDF("id"))
+    assert(m3.rowsDeleted === 1)
+    assert(fs.read(graft.ir.Query.selectAll(fg)).count() === 2)
+  }
+
+  test("precombine resolves same-commit duplicates") {
+    val fs = freshStore()
+    val dup = Seq((1L, "low", 1L), (1L, "high", 9L)).toDF("id", "v", "pc")
+    val fg = fs.createFeatureGroup("t2", dup, primaryKey = Seq("id"),
+      precombineKey = Some("pc"))
+    val rows = fs.read(graft.ir.Query.selectAll(fg)).collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("v") === "high")
+  }
+
+  test("time travel: as_of and incremental read_changes") {
+    val fs = freshStore()
+    val fg = fs.createFeatureGroup("t3",
+      Seq((1L, "v1")).toDF("id", "v"), primaryKey = Seq("id"))
+    val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+    val t1 = Lake.listCommits(spark, root).head
+    fs.insert(fg, Seq((1L, "v2"), (2L, "w1")).toDF("id", "v"))
+    val t2 = Lake.listCommits(spark, root).last
+
+    // as-of first commit sees only v1
+    val asOf1 = Lake.snapshot(spark, root, fg, Some(t1))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(asOf1.toSeq === Seq((1L, "v1")))
+
+    // incremental (t1, t2] sees the changed rows at their new state
+    val inc = Lake.readChanges(spark, root, fg, t1, t2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(inc.toSeq === Seq((1L, "v2"), (2L, "w1")))
+
+    // commit metadata log
+    val cd = Lake.commitDetails(spark, root).orderBy("commitTime").collect()
+    assert(cd.length === 2)
+  }
+
+  test("compaction preserves the snapshot") {
+    val fs = freshStore()
+    val fg = fs.createFeatureGroup("t4",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), primaryKey = Seq("id"))
+    fs.insert(fg, Seq((1L, "a2")).toDF("id", "v"))
+    val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+    val before = fs.read(graft.ir.Query.selectAll(fg))
+      .orderBy("id").collect().toSeq
+    Lake.compact(spark, root, fg)
+    val after = fs.read(graft.ir.Query.selectAll(fg))
+      .orderBy("id").collect().toSeq
+    assert(before === after)
+    assert(Lake.listCommits(spark, root).size === 1)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.PointInTimeJoin
+import org.apache.spark.sql.Row
+
+class PitJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spine = Seq(
+    (1L, 100L, "a"), // key 1 at t=100
+    (1L, 50L, "b"),  // key 1 at t=50
+    (2L, 10L, "c"),  // key 2, before any right row
+    (3L, 99L, "d")   // key absent on the right
+  ).toDF("k", "t", "tag")
+
+  private def right = Seq(
+    (1L, 100L, "r@100", 1.0), // exact tie with spine t=100 → eligible
+    (1L, 100L, "r@100b", 2.0), // duplicate ts — tie broken by precombine
+    (1L, 60L, "r@60", 0.0),
+    (1L, 40L, "r@40", 0.0),
+    (2L, 20L, "r@20", 0.0)
+  ).toDF("k", "t", "v", "pc")
+
+  test("latest right row ≤ t per key, exactly one row per spine row") {
+    val out = PointInTimeJoin
+      .asOf(spine, "t", right, "t", Seq("k"), Seq("k"), prefix = "r_",
+        tieBreak = Some("pc"))
+      .orderBy("tag")
+      .collect()
+    assert(out.length === 4)
+    val byTag = out.map(r => r.getAs[String]("tag") -> r).toMap
+    // t=100: ties at right t=100; precombine 2.0 wins
+    assert(byTag("a").getAs[String]("r_v") === "r@100b")
+    // t=50: latest ≤ 50 is r@40
+    assert(byTag("b").getAs[String]("r_v") === "r@40")
+    // t=10: nothing ≤ 10 → null
+    assert(byTag("c").getAs[String]("r_v") === null)
+    // key 3 absent → null
+    assert(byTag("d").getAs[String]("r_v") === null)
+  }
+
+  test("null right event times never match; null spine times get nulls") {
+    val r2 = Seq((1L, Option.empty[Long], "rnull"), (1L, Some(5L), "r5"))
+      .toDF("k", "t", "v")
+    val s2 = Seq((1L, Some(10L), "x"), (1L, Option.empty[Long], "y"))
+      .toDF("k", "t", "tag")
+    val out = PointInTimeJoin
+      .asOf(s2, "t", r2, "t", Seq("k"), Seq("k"), prefix = "r_")
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("r_v")).toMap
+    assert(out("x") === "r5")
+    assert(out("y") === null)
+  }
+
+  test("right-side per-column nulls are preserved (no stale carry-forward)") {
+    val r3 = Seq((1L, 10L, Some("old")), (1L, 20L, Option.empty[String]))
+      .toDF("k", "t", "v")
+    val s3 = Seq((1L, 30L, "s")).toDF("k", "t", "tag")
+    val out = PointInTimeJoin.asOf(s3, "t", r3, "t", Seq("k"), Seq("k"),
+      prefix = "r_").collect()
+    // newest right row has v=null; a naive per-column last() would give "old"
+    assert(out.head.getAs[String]("r_v") === null)
+    assert(out.head.getAs[Long]("r_t") === 20L)
+  }
+
+  test("matches a window-based reference implementation on real data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("vts"), $"event_id".as("vid"))
+
+    val fast = PointInTimeJoin
+      .asOf(clicks, "ts", views.withColumnRenamed("vts", "ts2"), "ts2",
+        Seq("user_id"), Seq("user_id"), prefix = "v_")
+      .select($"event_id", $"v_vid")
+
+    val naive = clicks.alias("l")
+      .join(views.alias("r"),
+        $"l.user_id" === $"r.user_id" && $"r.vts" <= $"l.ts", "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_id").orderBy($"r.vts".desc_nulls_last)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"vid".as("v_vid"))
+
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
+}
