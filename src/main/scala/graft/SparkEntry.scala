@@ -166,6 +166,100 @@ object SparkEntry {
         .join(Query.select(fg(s, dir, "orders"),
           Seq("o_orderstatus", "o_totalprice")), joinType = JoinType.Inner))
         .orderBy("o_orderkey")
+    }),
+
+    // §2.5 one-pass numeric column profile (Deequ ColumnProfiler analog).
+    "q13_profile" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Statistics
+        .profileDf(li, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("feature")
+    }),
+
+    // §2.5 histogram: top-20 most frequent values, deterministic tie-break.
+    "q14_histogram" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Statistics.histogram(li, "l_quantity", topK = 20)
+    }),
+
+    // §2.5 entropy / distinctness / uniqueness / exact distinct in one pass.
+    "q15_freq_metrics" -> ((s, dir) => {
+      val o = s.read.parquet(TestTables.parquet(dir, "orders"))
+      graft.ops.Statistics.frequencyMetrics(o, "o_orderpriority")
+    }),
+
+    // §2.5 pairwise Pearson correlation.
+    "q16_correlation" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Statistics
+        .correlations(li, Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("feature_a", "feature_b")
+    }),
+
+    // §2.5 get_unique_values.
+    "q17_unique_values" -> ((s, dir) => {
+      val c = s.read.parquet(TestTables.parquet(dir, "customer"))
+      c.select(col("c_mktsegment")).distinct().orderBy("c_mktsegment")
+    }),
+
+    // §2.8 time-series split: [start, end) bounds on the event time.
+    "q18_time_series_split" -> ((s, dir) => {
+      import graft.functions.TimeFunctions.toEpochMillis
+      val o = s.read.parquet(TestTables.parquet(dir, "orders"))
+      val splits = graft.ops.Splits.timeSeries(o, "o_orderdate", Map(
+        "train" -> (toEpochMillis("1995-01-01"), toEpochMillis("1997-01-01")),
+        "test" -> (toEpochMillis("1997-01-01"), toEpochMillis("1999-01-01"))))
+      splits("train")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.8 random split (seeded; no SQL oracle — rows-only check).
+    "q19_random_split" -> ((s, dir) => {
+      val o = s.read.parquet(TestTables.parquet(dir, "orders"))
+      val splits = graft.ops.Splits.random(o,
+        Map("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1), seed = 42L)
+      import s.implicits._
+      splits.toSeq.sortBy(_._1)
+        .map { case (name, df) => (name, df.count()) }
+        .toDF("split", "n_rows")
+    }),
+
+    // §2.11 statistics-parameterized scalers as native column algebra
+    // (two-pass: aggregate stats, bind as literals, one wide select).
+    "q20_scalers" -> ((s, dir) => {
+      import graft.ops.Transformations._
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      val stats = FeatureStatistics.compute(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      def r6(x: Double) = graft.ops.Statistics.roundHalfUp(x, 6)
+      val q6 = stats("l_quantity")
+      val p6 = stats("l_extendedprice")
+        .copy(mean = r6(stats("l_extendedprice").mean),
+          stddev = r6(stats("l_extendedprice").stddev))
+      val d6 = stats("l_discount")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          round(minMaxScaler(col("l_quantity"), q6), 4).as("q_mm"),
+          round(standardScaler(col("l_extendedprice"), p6), 4).as("p_std"),
+          round(robustScaler(col("l_discount"), d6), 4).as("d_rob"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // §2.11 label encoder (sorted unique → index) + one-hot encoder.
+    "q21_encoders" -> ((s, dir) => {
+      import graft.ops.Transformations._
+      val o = s.read.parquet(TestTables.parquet(dir, "orders"))
+      val stats = FeatureStatistics.compute(o, Nil,
+        encoded = Seq("o_orderpriority", "o_orderstatus"))
+      val oneHot = oneHotEncoder(col("o_orderstatus"),
+        stats("o_orderstatus"), "os")
+      o.select(
+          col("o_orderkey") +:
+            labelEncoder(col("o_orderpriority"), stats("o_orderpriority"))
+              .cast("long").as("prio_idx") +:
+            oneHot: _*)
+        .orderBy("o_orderkey")
     })
   )
 
@@ -239,6 +333,69 @@ object SparkEntry {
     "q12_spine_inferred" ->
       """SELECT o_orderkey, o_totalprice > 100000.0 AS big,
                 o_orderstatus, o_totalprice
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+    "q13_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS feature, count($c) AS cnt,
+            count(*) - count($c) AS nulls,
+            CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+            round(avg($c), 4) AS mean_v, round(stddev($c), 4) AS stddev_v
+            FROM lineitem""")
+      .mkString("", " UNION ALL ", " ORDER BY feature"),
+    "q14_histogram" ->
+      """SELECT CAST(l_quantity AS VARCHAR) AS value, count(*) AS cnt
+         FROM lineitem GROUP BY 1
+         ORDER BY cnt DESC, value ASC LIMIT 20""",
+    "q15_freq_metrics" ->
+      """WITH c AS (SELECT o_orderpriority v, count(*) AS cnt FROM orders
+                    WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+         SELECT round(-sum(cnt * ln(cnt)) / sum(cnt) + ln(sum(cnt)), 6) AS entropy,
+                round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS distinctness,
+                round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                      / CAST(sum(cnt) AS DOUBLE), 6) AS uniqueness,
+                count(*) AS exact_distinct
+         FROM c""",
+    "q16_correlation" ->
+      """SELECT * FROM (
+           SELECT 'l_quantity' AS feature_a, 'l_extendedprice' AS feature_b,
+                  round(corr(l_quantity, l_extendedprice), 6) AS corr_v FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', 'l_discount',
+                  round(corr(l_quantity, l_discount), 6) FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', 'l_discount',
+                  round(corr(l_extendedprice, l_discount), 6) FROM lineitem)
+         ORDER BY feature_a, feature_b""",
+    "q17_unique_values" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "q18_time_series_split" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         ORDER BY o_orderkey""",
+    "q20_scalers" ->
+      """WITH s AS (SELECT min(l_quantity) AS qmin, max(l_quantity) AS qmax,
+                round(avg(l_extendedprice), 6) AS pmean,
+                round(stddev(l_extendedprice), 6) AS pstd,
+                quantile_cont(l_discount, 0.25) AS d25,
+                quantile_cont(l_discount, 0.5) AS d50,
+                quantile_cont(l_discount, 0.75) AS d75
+                FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+                round((l_quantity - qmin) / (qmax - qmin), 4) AS q_mm,
+                round((l_extendedprice - pmean) / pstd, 4) AS p_std,
+                round((l_discount - d50) / (d75 - d25), 4) AS d_rob
+         FROM lineitem, s
+         ORDER BY l_orderkey, l_linenumber""",
+    "q21_encoders" ->
+      """SELECT o_orderkey,
+                (SELECT count(*) FROM (SELECT DISTINCT o_orderpriority AS d
+                                       FROM orders) t
+                 WHERE d < o.o_orderpriority) AS prio_idx,
+                o_orderstatus = 'F' AS os_F,
+                o_orderstatus = 'O' AS os_O,
+                o_orderstatus = 'P' AS os_P
+         FROM orders o ORDER BY o_orderkey"""
   )
 }

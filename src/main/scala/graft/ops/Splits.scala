@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.functions.TimeFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-dataset splits (reference §2.8):
+  * random weighted splits (engine/spark.py:752-756) and time-series splits
+  * with `[start, end)` event-time bounds (engine/spark.py:723-863).
+  */
+object Splits {
+
+  /** Random split by weights + seed (train/test[/validation]).
+    * Weights are normalized; Spark's randomSplit keeps the operation fully
+    * distributed (per-row Bernoulli against running weight boundaries).
+    */
+  def random(df: DataFrame, weights: Map[String, Double],
+             seed: Long = 42L): Map[String, DataFrame] = {
+    require(weights.nonEmpty, "at least one split weight")
+    val names = weights.keys.toSeq.sorted
+    val ws = names.map(weights)
+    names.zip(df.randomSplit(ws.toArray, seed)).toMap
+  }
+
+  /** Time-series split: per-split `[start, end)` filter on the event-time
+    * column, any accepted event-time representation (normalized to epoch
+    * millis with native expressions — the reference inlines a python UDF,
+    * engine/spark.py:762-852; we stay in codegen).
+    * Bounds are epoch millis.
+    */
+  def timeSeries(df: DataFrame, eventTimeCol: String,
+                 bounds: Map[String, (Long, Long)]): Map[String, DataFrame] = {
+    val et = eventTimeMillisCol(df, eventTimeCol)
+    bounds.map { case (name, (start, end)) =>
+      name -> df.filter(et >= lit(start) && et < lit(end))
+    }
+  }
+
+  /** Event-time column of any accepted type, as epoch millis. */
+  def eventTimeMillisCol(df: DataFrame, eventTimeCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(eventTimeCol).dataType match {
+      case TimestampType => unix_millis(col(eventTimeCol))
+      // session tz is UTC, so NTZ → TZ cast preserves the wall-clock instant
+      case TimestampNTZType | DateType =>
+        unix_millis(col(eventTimeCol).cast(TimestampType))
+      case LongType | IntegerType | ShortType | ByteType =>
+        // epoch seconds vs millis heuristic matches TimeFunctions
+        when(col(eventTimeCol).between(100000000L, 100000000000L),
+          col(eventTimeCol) * 1000L).otherwise(col(eventTimeCol))
+      case StringType => TimeFunctions.eventTimeToMillis(col(eventTimeCol))
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type $other for $eventTimeCol")
+    }
+  }
+
+  /** Split a materialized dataset into (features X, labels y)
+    * (engine/spark.py:615-628 split_labels).
+    */
+  def splitLabels(df: DataFrame, labels: Seq[String]): (DataFrame, DataFrame) =
+    (df.drop(labels: _*), df.select(labels.map(col): _*))
+
+  /** Row-fraction sample (monitoring row_percentage,
+    * core/monitoring_window_config_engine.py:319-373).
+    */
+  def sampleFraction(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    if (fraction >= 1.0) df else df.sample(withReplacement = false, fraction, seed)
+}

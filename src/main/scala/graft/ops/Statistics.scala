@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Descriptive statistics / profiling — the engine's Deequ-equivalent
+  * (reference: java SparkEngine.java:686-723 ColumnProfilerRunner config,
+  * parsed into python/hsfs/core/feature_descriptive_statistics.py:108-177;
+  * python engine twin engine/python.py:524-634).
+  *
+  * Scale design: the numeric profile is ONE aggregation pass over the data
+  * (map-side partial aggregation, no shuffle of raw rows — only of partial
+  * buffers); the frequency-based metrics (histogram, entropy, distinctness,
+  * exact uniqueness) are ONE groupBy per column, shuffling only (value,
+  * count) pairs. Approximate forms (HLL distinct, approx percentiles) keep
+  * the single-pass property at 100 TB; exact forms are opt-in, as in the
+  * reference (`withExactUniqueness`).
+  */
+object Statistics {
+
+  /** Round half away from zero (SQL ROUND semantics — matches DuckDB/Spark
+    * SQL `round`, unlike `math.rint`'s half-to-even).
+    */
+  def roundHalfUp(x: Double, scale: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  final case class ColumnProfile(
+      feature: String,
+      count: Long,
+      nullCount: Long,
+      completeness: Double,
+      approxDistinct: Long,
+      min: Option[Double],
+      max: Option[Double],
+      sum: Option[Double],
+      mean: Option[Double],
+      stddev: Option[Double],
+      percentiles: Seq[Double])
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** One-pass per-column profile. Numeric columns get min/max/sum/mean/
+    * stddev/percentiles; every column gets count/completeness/approx
+    * distinct. Returns one [[ColumnProfile]] per requested column.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              exactPercentiles: Boolean = false): Seq[ColumnProfile] = {
+    val cols =
+      if (columns.nonEmpty) columns
+      else df.schema.fields.map(_.name).toSeq
+    val schema = df.schema
+
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val numeric = isNumeric(schema(c).dataType)
+      val base = Seq(
+        count(col(c)).as(s"${c}__count"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__approx_distinct"))
+      val num = if (numeric) Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(col(c)).cast("double").as(s"${c}__sum"),
+        avg(col(c)).cast("double").as(s"${c}__mean"),
+        stddev_samp(col(c)).cast("double").as(s"${c}__stddev"),
+        (if (exactPercentiles)
+          expr(s"percentile($c, array(0.25, 0.5, 0.75))")
+        else
+          percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).cast("array<double>")).as(s"${c}__pcts"))
+      else Seq.empty
+      base ++ num
+    }
+
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    cols.map { c =>
+      val numeric = isNumeric(schema(c).dataType)
+      def d(s: String): Option[Double] =
+        if (!numeric || row.isNullAt(row.fieldIndex(s))) None
+        else Some(row.getDouble(row.fieldIndex(s)))
+      val n = row.getLong(row.fieldIndex(s"${c}__count"))
+      val nulls = row.getLong(row.fieldIndex(s"${c}__nulls"))
+      val total = n + nulls
+      ColumnProfile(
+        feature = c,
+        count = n,
+        nullCount = nulls,
+        completeness = if (total == 0) 0.0 else n.toDouble / total,
+        approxDistinct = row.getLong(row.fieldIndex(s"${c}__approx_distinct")),
+        min = d(s"${c}__min"), max = d(s"${c}__max"), sum = d(s"${c}__sum"),
+        mean = d(s"${c}__mean"), stddev = d(s"${c}__stddev"),
+        percentiles =
+          if (!numeric) Nil
+          else Option(row.getAs[scala.collection.Seq[Double]](s"${c}__pcts"))
+            .map(_.toSeq).getOrElse(Nil))
+    }
+  }
+
+  /** Profile as a DataFrame (long format), convenient for oracle checks and
+    * for persisting statistics alongside a feature group.
+    */
+  def profileDf(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    profile(df, columns, exactPercentiles = true)
+      .map(p => (p.feature, p.count, p.nullCount,
+        p.min.getOrElse(Double.NaN), p.max.getOrElse(Double.NaN),
+        roundHalfUp(p.mean.getOrElse(Double.NaN), 4),
+        roundHalfUp(p.stddev.getOrElse(Double.NaN), 4)))
+      .toDF("feature", "cnt", "nulls", "min_v", "max_v", "mean_v", "stddev_v")
+  }
+
+  /** Histogram: top-k most frequent values with deterministic tie-break
+    * (Deequ histogram top-20, SparkEngine.java:698-703).
+    */
+  def histogram(df: DataFrame, column: String, topK: Int = 20): DataFrame =
+    df.groupBy(col(column).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc)
+      .limit(topK)
+
+  /** Frequency-derived metrics in one groupBy pass: Shannon entropy (nats,
+    * Deequ convention), distinctness (#distinct / #rows), uniqueness
+    * (#values-appearing-once / #rows), exact distinct count.
+    */
+  def frequencyMetrics(df: DataFrame, column: String): DataFrame = {
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(col(column)).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      round((-sum(col("cnt") * log(col("cnt"))) / sum(col("cnt"))
+        + log(sum(col("cnt")))), 6).as("entropy"),
+      round(count(lit(1)) / sum(col("cnt")), 6).as("distinctness"),
+      round(sum(when(col("cnt") === 1, 1L).otherwise(0L)) / sum(col("cnt")), 6)
+        .as("uniqueness"),
+      count(lit(1)).as("exact_distinct"))
+  }
+
+  /** Exact distinct values of one column
+    * (engine/spark.py:1393-1396 get_unique_values), sorted for determinism
+    * (the label-encoder contract sorts, builtin_transformations.py:47-49).
+    */
+  def uniqueValues(df: DataFrame, column: String): Seq[Any] =
+    df.select(col(column)).distinct().orderBy(col(column))
+      .collect().map(_.get(0)).toSeq
+
+  /** Pairwise Pearson correlation over the given numeric columns (Deequ
+    * withCorrelation ≤100 cols). One pass per pair via df.stat; for wide
+    * matrices prefer a single VectorAssembler + Correlation.corr pass.
+    */
+  def correlations(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = for {
+      (a, i) <- columns.zipWithIndex
+      b <- columns.drop(i + 1)
+    } yield (a, b, roundHalfUp(df.stat.corr(a, b), 6))
+    pairs.toDF("feature_a", "feature_b", "corr_v")
+  }
+
+  /** Monitoring-window statistics comparison: absolute or relative
+    * difference of a scalar metric between detection and reference windows
+    * against a threshold → shift flag
+    * (core/feature_monitoring_result_engine.py:342-440).
+    */
+  def differenceAndShift(
+      detection: Double, reference: Double,
+      threshold: Double, relative: Boolean,
+      strict: Boolean = false): (Double, Boolean) = {
+    val diff =
+      if (relative) {
+        if (reference == 0.0) Double.PositiveInfinity
+        else (detection - reference) / reference
+      } else detection - reference
+    val shifted =
+      if (strict) math.abs(diff) > threshold else math.abs(diff) >= threshold
+    (diff, shifted)
+  }
+}

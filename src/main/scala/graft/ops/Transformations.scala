@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Transformation functions: statistics-parameterized feature transforms
+  * (reference §2.11, python/hsfs/hopsworks_udf.py + engine/spark.py:1267-1328
+  * + builtin_transformations.py:26-66).
+  *
+  * The reference runs each transformation as a pandas UDF parameterized by
+  * training-split statistics fetched in a prior pass. Here each built-in is
+  * **native Column algebra** (whole-stage codegen, no serialization
+  * boundary); the two-pass shape is kept: `TransformationStatistics.compute`
+  * aggregates the needed stats once, then `apply` binds them as literals in
+  * a single wide `select` — exactly the reference's "one wide select"
+  * application (engine/spark.py:1318-1326).
+  */
+object Transformations {
+
+  /** Statistics a transformation may require (reference
+    * transformation_statistics.py; computed core/statistics_engine.py:221-250).
+    */
+  final case class FeatureStatistics(
+      min: Double, max: Double, mean: Double, stddev: Double,
+      p25: Double, median: Double, p75: Double,
+      uniqueValues: Seq[Any])
+
+  object FeatureStatistics {
+    /** One aggregation pass for all requested features + one distinct pass
+      * per encoder feature (unique values must be exact and sorted,
+      * builtin_transformations.py:47-49).
+      */
+    def compute(df: DataFrame, scaled: Seq[String],
+                encoded: Seq[String] = Nil): Map[String, FeatureStatistics] = {
+      val aggs = scaled.flatMap { c => Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        avg(col(c)).cast("double").as(s"${c}__mean"),
+        stddev_samp(col(c)).cast("double").as(s"${c}__std"),
+        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pcts"))
+      }
+      val scaledStats: Map[String, FeatureStatistics] =
+        if (scaled.isEmpty) Map.empty
+        else {
+          val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+          scaled.map { c =>
+            val pcts = row.getAs[scala.collection.Seq[Double]](s"${c}__pcts")
+            c -> FeatureStatistics(
+              min = row.getAs[Double](s"${c}__min"),
+              max = row.getAs[Double](s"${c}__max"),
+              mean = row.getAs[Double](s"${c}__mean"),
+              stddev = row.getAs[Double](s"${c}__std"),
+              p25 = pcts(0), median = pcts(1), p75 = pcts(2),
+              uniqueValues = Nil)
+          }.toMap
+        }
+      val encodedStats = encoded.map { c =>
+        c -> FeatureStatistics(0, 0, 0, 0, 0, 0, 0,
+          Statistics.uniqueValues(df, c))
+      }.toMap
+      scaledStats ++ encodedStats
+    }
+  }
+
+  /** (x - min) / (max - min); builtin_transformations.py:26-32. */
+  def minMaxScaler(c: Column, s: FeatureStatistics): Column =
+    if (s.max == s.min) lit(0.0) else (c - lit(s.min)) / lit(s.max - s.min)
+
+  /** (x - mean) / stddev; builtin_transformations.py:35-40. */
+  def standardScaler(c: Column, s: FeatureStatistics): Column =
+    if (s.stddev == 0.0) lit(0.0) else (c - lit(s.mean)) / lit(s.stddev)
+
+  /** (x - median) / IQR with median/IQR from the 25/50/75 percentiles
+    * (builtin_transformations.py:43-49: percentiles[49], [24], [74]).
+    */
+  def robustScaler(c: Column, s: FeatureStatistics): Column = {
+    val iqr = s.p75 - s.p25
+    if (iqr == 0.0) c - lit(s.median) else (c - lit(s.median)) / lit(iqr)
+  }
+
+  /** Sorted-unique → 0-based index (label_encoder,
+    * builtin_transformations.py:52-57). Binds the sorted vocabulary as an
+    * array literal — O(log n) per row via array_position on a broadcast
+    * literal, no join.
+    */
+  def labelEncoder(c: Column, s: FeatureStatistics): Column = {
+    val sortedVals = s.uniqueValues.map(v => lit(v))
+    array_position(array(sortedVals: _*), c).cast("int") - 1
+  }
+
+  /** One boolean column per sorted unique value (one_hot_encoder,
+    * builtin_transformations.py:60-66); multi-output → struct, exploded by
+    * the caller with `select("out.*")` (engine/spark.py:1308-1311).
+    */
+  def oneHotEncoder(c: Column, s: FeatureStatistics, outPrefix: String): Seq[Column] =
+    s.uniqueValues.map(v => (c === lit(v)).as(s"${outPrefix}_${v}"))
+
+  // -------------------------------------------------------------------
+  // Registry (model-dependent vs on-demand kinds, hopsworks_udf.py:35-41)
+  // -------------------------------------------------------------------
+
+  sealed trait Kind
+  case object ModelDependent extends Kind // statistics-parameterized
+  case object OnDemand extends Kind       // computed from raw inputs only
+
+  /** A registered transformation: given input columns and (optional) bound
+    * statistics, produce one or more output columns. `drop` lists input
+    * features removed after application (hopsworks_udf.py:224-262).
+    */
+  final case class Transformation(
+      name: String,
+      kind: Kind,
+      inputs: Seq[String],
+      drop: Seq[String] = Nil,
+      fn: (Seq[Column], Map[String, FeatureStatistics]) => Seq[Column])
+
+  /** Apply transformations as ONE wide select (engine/spark.py:1318-1326):
+    * untransformed passthrough columns + every transformation output, then
+    * drop the consumed inputs marked for dropping.
+    */
+  def applyAll(df: DataFrame, transforms: Seq[Transformation],
+               stats: Map[String, FeatureStatistics]): DataFrame = {
+    val dropSet = transforms.flatMap(_.drop).toSet
+    val passthrough = df.columns.filterNot(dropSet).map(col(_): Column).toSeq
+    val outputs = transforms.flatMap(t => t.fn(t.inputs.map(col), stats))
+    df.select(passthrough ++ outputs: _*)
+  }
+
+  /** Two-pass convenience: compute stats on `statsDf` (normally the train
+    * split only — engine/spark.py:704-712), apply to `df`.
+    */
+  def fitApply(statsDf: DataFrame, df: DataFrame,
+               transforms: Seq[Transformation]): DataFrame = {
+    val scaled = transforms.filter(_.kind == ModelDependent).flatMap(_.inputs)
+      .filter(c => df.schema(c).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType]).distinct
+    val encoded = transforms.filter(_.kind == ModelDependent).flatMap(_.inputs)
+      .filterNot(scaled.contains).distinct
+    val stats = FeatureStatistics.compute(statsDf, scaled, encoded)
+    applyAll(df, transforms, stats)
+  }
+}

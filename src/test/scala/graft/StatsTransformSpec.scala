@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{Splits, Statistics, Transformations}
+import org.apache.spark.sql.functions._
+
+class StatsTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  test("profile: one pass, sane numeric stats, null accounting") {
+    val df = Seq((Some(1.0), "a"), (Some(3.0), "b"), (None, "c"))
+      .toDF("x", "s")
+    val p = Statistics.profile(df).map(c => c.feature -> c).toMap
+    assert(p("x").count === 2 && p("x").nullCount === 1)
+    assert(p("x").mean.get === 2.0 && p("x").min.get === 1.0)
+    assert(p("x").completeness === 2.0 / 3.0)
+    assert(p("s").min.isEmpty) // non-numeric: no numeric stats
+  }
+
+  test("frequency metrics: entropy of a uniform distribution is ln(k)") {
+    val df = (1 to 100).map(i => ("v" + (i % 4)).toString).toDF("c")
+    val row = Statistics.frequencyMetrics(df, "c").collect().head
+    assert(math.abs(row.getAs[Double]("entropy") - math.log(4)) < 1e-5)
+    assert(row.getAs[Long]("exact_distinct") === 4L)
+    assert(row.getAs[Double]("uniqueness") === 0.0)
+  }
+
+  test("random split: disjoint cover with requested proportions") {
+    val splits = Splits.random(li, Map("train" -> 0.8, "test" -> 0.2), seed = 1L)
+    val total = li.count()
+    val n = splits.values.map(_.count()).sum
+    assert(n === total)
+    assert(splits("train").count() > splits("test").count())
+  }
+
+  test("time-series split bounds are [start, end)") {
+    val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-06-01 00:00:00"),
+      (3L, "2024-12-31 23:59:59")).toDF("id", "et")
+    import graft.functions.TimeFunctions.toEpochMillis
+    val s = Splits.timeSeries(df, "et", Map(
+      "a" -> (toEpochMillis("2024-01-01"), toEpochMillis("2024-06-01")),
+      "b" -> (toEpochMillis("2024-06-01"), toEpochMillis("2025-01-01"))))
+    assert(s("a").select("id").as[Long].collect().toSet === Set(1L))
+    assert(s("b").select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("scalers: min-max lands in [0,1], standard has ~zero mean") {
+    import Transformations._
+    val stats = FeatureStatistics.compute(li, Seq("l_quantity"))
+    val t = li.select(
+      minMaxScaler(col("l_quantity"), stats("l_quantity")).as("mm"),
+      standardScaler(col("l_quantity"), stats("l_quantity")).as("st"))
+    val row = t.agg(min("mm"), max("mm"), avg("st")).collect().head
+    assert(row.getDouble(0) === 0.0 && row.getDouble(1) === 1.0)
+    assert(math.abs(row.getDouble(2)) < 1e-9)
+  }
+
+  test("label encoder maps sorted uniques to 0-based indices") {
+    import Transformations._
+    val df = Seq("b", "a", "c", "a").toDF("v")
+    val stats = FeatureStatistics.compute(df, Nil, encoded = Seq("v"))
+    val got = df.select(col("v"), labelEncoder(col("v"), stats("v")).as("i"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("one wide select applies transforms and drops consumed inputs") {
+    import Transformations._
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    val t = Transformation("mm", ModelDependent, Seq("a"), drop = Seq("a"),
+      fn = (cols, st) => Seq(minMaxScaler(cols.head, st("a")).as("a_mm")))
+    val out = fitApply(df, df, Seq(t))
+    assert(out.columns.toSeq === Seq("b", "a_mm"))
+  }
+
+  test("monitoring difference and shift detection") {
+    assert(Statistics.differenceAndShift(12.0, 10.0, 0.1, relative = true)
+      === ((0.2, true)))
+    assert(Statistics.differenceAndShift(10.5, 10.0, 1.0, relative = false)
+      === ((0.5, false)))
+    val (d, s) = Statistics.differenceAndShift(5.0, 0.0, 1.0, relative = true)
+    assert(d.isPosInfinity && s)
+  }
+}
