@@ -260,6 +260,100 @@ object SparkEntry {
               .cast("long").as("prio_idx") +:
             oneHot: _*)
         .orderBy("o_orderkey")
+    }),
+
+    // Dedup: exact content dedup, deterministic survivor (min doc_id).
+    "q22_dedup_exact" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.Dedup.exact(docs, "doc_id", Seq("text"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Dedup: exact token-set Jaccard similarity join (bounded subset).
+    "q23_token_jaccard" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .filter(col("doc_id") < 150)
+      graft.ops.Dedup.tokenJaccard(docs, "doc_id", "text", threshold = 0.6)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+
+    // Dedup: MinHash-LSH banded candidates + exact-Jaccard verification
+    // (approximate recall — no SQL oracle; rows-only check).
+    "q24_minhash_lsh" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.3)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+
+    // Dedup: 64-bit SimHash fingerprints (rows-only check).
+    "q25_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // Similarity search: exact brute-force cosine top-5 per query vector
+    // (two-stage top-k, broadcast queries, codegen'd distance expression).
+    "q26_knn_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.ops.Similarity.bruteForceKnn(
+          emb, "vec_id", "embedding", queries, "qid", "qe", k = 5)
+        .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Text analysis: char/token counting.
+    "q27_text_tokens" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      docs.select(col("doc_id"), length(col("text")).as("n_chars_c"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: quality signals (ratios as native expressions).
+    "q28_text_quality" -> ((s, dir) => {
+      import graft.ops.TextAnalysis._
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      docs.select(col("doc_id"),
+          round(punctRatio(col("text")), 4).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          round(meanWordLength(col("text")), 4).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: heuristic language ID (rows-only; accuracy asserted
+    // against the lang column in the spec suite).
+    "q29_langid" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: rolling token-stream fingerprint (rows-only).
+    "q30_fingerprint" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: binary media column + metadata + batched feature
+    // extraction plumbing (decode kernel stubbed; rows-only).
+    "q31_multimodal" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .withColumn("media", col("text").cast("binary"))
+      val withMeta = graft.ops.Multimodal.withMediaMeta(docs, "media", "image/fake")
+      graft.ops.Multimodal.extractFeatures(withMeta, "media", dim = 8)
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.checksum").as("checksum"),
+          col("media_features").getItem(0).as("f0"))
+        .orderBy("doc_id")
     })
   )
 
@@ -396,6 +490,63 @@ object SparkEntry {
                 o_orderstatus = 'F' AS os_F,
                 o_orderstatus = 'O' AS os_O,
                 o_orderstatus = 'P' AS os_P
-         FROM orders o ORDER BY o_orderkey"""
+         FROM orders o ORDER BY o_orderkey""",
+    "q22_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+         ORDER BY doc_id""",
+    "q23_token_jaccard" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents WHERE doc_id < 150)
+           WHERE len(tok) > 0),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+                   FROM toks a JOIN toks b
+                     ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT idA, idB,
+                round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = idA
+         JOIN sizes sb ON sb.doc_id = idB
+         WHERE i / (sa.sz + sb.sz - i) >= 0.6
+         ORDER BY idA, idB""",
+    "q26_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 5),
+         pairs AS (SELECT qid, vec_id,
+                          list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe) AS sim
+                   FROM embeddings, q WHERE vec_id <> qid),
+         ranked AS (SELECT qid, vec_id, sim,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY sim DESC, vec_id ASC) AS rnk
+                    FROM pairs)
+         SELECT qid, vec_id, round(sim, 4) AS score, rnk AS "rank"
+         FROM ranked WHERE rnk <= 5 ORDER BY qid, "rank"""",
+    "q27_text_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars_c,
+                len(list_filter(string_split_regex(text, '\s+'),
+                                x -> len(x) > 0)) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q28_text_quality" ->
+      """SELECT doc_id,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+                round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it',
+                     'that','for','on','with','as','at','this','by'], x)))
+                       / CAST(len(toks) AS DOUBLE) END, 4) AS stopword_ratio,
+                round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                       / CAST(len(toks) AS DOUBLE) END, 4) AS mean_word_len
+         FROM (SELECT doc_id, text,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> len(x) > 0) AS toks
+               FROM documents)
+         ORDER BY doc_id"""
   )
 }

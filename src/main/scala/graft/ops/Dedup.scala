@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (BASELINE.json north star; not present in the reference client, which
+  * dedups only on upsert keys — core/hudi_engine.py:141-149).
+  *
+  * All operators are pure DataFrame algebra (codegen-friendly, no UDFs):
+  *
+  *  - [[exact]] — hash-groupBy on content columns; one shuffle of
+  *    (hash, id) pairs, deterministic survivor (min id).
+  *  - [[minHashLsh]] — shingle → k min-hashes → band buckets → bucket
+  *    self-join. The candidate join shuffles only (band, signature)
+  *    buckets, never the full cross product; pairs are verified with the
+  *    exact shingle-set Jaccard before reporting.
+  *  - [[simHash]] — 64-bit weighted-token fingerprint; near-dups share a
+  *    16-bit chunk (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole).
+  *  - [[tokenJaccard]] — exact token-set Jaccard similarity join
+  *    (explode + count intersection); quadratic only within shared-token
+  *    groups.
+  *  - [[embeddingNearDup]] — cosine-threshold pairs via the LSH bucketing
+  *    of [[Similarity]].
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row (smallest `idCol`) per distinct
+    * combination of `on` columns. xxhash64 pre-hashing keeps the shuffle
+    * key narrow for long text columns.
+    */
+  def exact(df: DataFrame, idCol: String, on: Seq[String]): DataFrame = {
+    val h = xxhash64(on.map(col): _*)
+    val w = Window.partitionBy(h).orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Word shingles (n-grams of the whitespace-tokenized text), distinct per
+    * document, as (id, shingle-hash) pairs. `transform` over a slide of the
+    * token array keeps this in native expressions.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    df.select(col(idCol),
+        explode(transform(idx, i =>
+          xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * k seeded hashes; signature = per-doc min of each. One groupBy over the
+    * exploded shingles.
+    */
+  def minHashSignatures(shingled: DataFrame, idCol: String,
+                        numHashes: Int = 64): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(hash(col("shingle"), lit(i))).as(s"h$i"))
+    shingled.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-dup pairs by banded LSH + exact Jaccard verification.
+    *
+    * @return (idA, idB, jaccard) with idA < idB and jaccard ≥ threshold
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, numHashes: Int = 64,
+                 bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingles(df, idCol, textCol, shingleSize).cache()
+    val sigs = minHashSignatures(sh, idCol, numHashes)
+
+    val banded = sigs.select(col(idCol), posexplode(
+      array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
+
+    val left = banded.select(col(idCol).as("idA"), col("band"), col("bh"))
+    val rightB = banded.select(col(idCol).as("idB"), col("band"), col("bh"))
+    val candidates = left.join(rightB, Seq("band", "bh"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+
+    val verified = verifyJaccard(candidates, sh, idCol)
+    sh.unpersist()
+    verified.filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact shingle/token-set Jaccard for given candidate (idA, idB) pairs. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("idA"), col("shingle"))
+    val b = sh.select(col(idCol).as("idB"), col("shingle"))
+    val inter = candidates
+      .join(a, "idA").join(b, Seq("idB", "shingle"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sz", "szA")
+        .withColumnRenamed(idCol, "idA"), "idA")
+      .join(sizes.withColumnRenamed("sz", "szB")
+        .withColumnRenamed(idCol, "idB"), "idB")
+      .select(col("idA"), col("idB"),
+        (col("inter") / (col("szA") + col("szB") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** 64-bit SimHash: weighted sum of token-hash bits, one groupBy pass.
+    * Documents with Hamming-close fingerprints are near-duplicates.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+        when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: candidates share one of four 16-bit chunks
+    * (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk identical), verified by
+    * exact Hamming distance ≤ maxHamming.
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(df, idCol, textCol)
+    val chunked = sigs.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+      .as(Seq("chunk", "cv")))
+    val l = chunked.select(col(idCol).as("idA"), col("simhash").as("sigA"),
+      col("chunk"), col("cv"))
+    val r = chunked.select(col(idCol).as("idB"), col("simhash").as("sigB"),
+      col("chunk"), col("cv"))
+    l.join(r, Seq("chunk", "cv"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("sigA").bitwiseXOR(col("sigB"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact token-set Jaccard similarity join over all pairs sharing at
+    * least one token (n=1 shingles). For bounded corpora / oracle checks;
+    * use [[minHashLsh]] at scale.
+    */
+  def tokenJaccard(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = toks.select(col(idCol).as("idA"), col("tok"))
+    val b = toks.select(col(idCol).as("idB"), col("tok"))
+    val inter = a.join(b, "tok").filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("idA"), col("sz").as("szA")), "idA")
+      .join(sizes.select(col(idCol).as("idB"), col("sz").as("szB")), "idB")
+      .select(col("idA"), col("idB"),
+        (col("inter") / (col("szA") + col("szB") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via hyperplane-LSH
+    * bucketing (both sides bucketed, bucket-local pairs only).
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, threshold: Double,
+                       nBits: Int = 10, seed: Int = 42): DataFrame = {
+    val cos = VectorFunctions.vecCosine(col(s"${vecCol}A"), col(s"${vecCol}B"))
+    val sig = Similarity.signatureFor(col(vecCol), dim, nBits, seed)
+    val bucketed = df.select(col(idCol), col(vecCol), sig.as("_bucket"))
+    val l = bucketed.select(col(idCol).as("idA"),
+      col(vecCol).as(s"${vecCol}A"), col("_bucket"))
+    val r = bucketed.select(col(idCol).as("idB"),
+      col(vecCol).as(s"${vecCol}B"), col("_bucket"))
+    l.join(r, "_bucket")
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), cos.as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.{Cosine, Metric}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Reference surface: `find_neighbors(embedding, k, filter)` backed by an
+  * OpenSearch k-NN index (python/hsfs/core/vector_db_client.py:107-200,
+  * similarity functions python/hsfs/embedding.py:31-47). Here the same
+  * semantics are a Spark plan:
+  *
+  *  - [[bruteForceKnn]] — exact top-k: broadcast the (small) query set,
+  *    one scan of the corpus, **two-stage top-k** (per-partition window
+  *    prune to k, then global) so the shuffle carries at most
+  *    k × partitions × queries rows instead of |corpus| × |queries|.
+  *  - [[lshKnn]] — approximate at scale: deterministic random-hyperplane
+  *    signatures bucket both sides; candidates are generated per bucket
+  *    (multi-probe via `nProbes` sign-flips), then exact-scored and
+  *    top-k'd. Corpus signatures are computable incrementally and the
+  *    bucket join shuffles only matching buckets.
+  *
+  * Distances use the codegen'd native expressions in
+  * [[graft.functions.VectorFunctions]]; higher similarity = better for
+  * Cosine/Dot, lower = better for L2.
+  */
+object Similarity {
+
+  private def score(metric: Metric, a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column) =
+    VectorFunctions.distance(metric)(a, b)
+
+  private def ordering(metric: Metric, c: org.apache.spark.sql.Column) =
+    metric match {
+      case VectorFunctions.L2 => c.asc
+      case _                  => c.desc
+    }
+
+  /** Exact k-NN of each query vector against the corpus.
+    *
+    * @param corpus  (idCol, vecCol) — the big side, scanned once
+    * @param queries (queryIdCol, vecCol) — the small side, broadcast
+    */
+  def bruteForceKnn(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, metric: Metric = Cosine,
+      excludeSelf: Boolean = true): DataFrame = {
+    val pairs = corpus
+      .withColumn("_part", spark_partition_id())
+      .join(broadcast(queries))
+      .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+      .withColumn("_score", score(metric, col(vecCol), col(queryVecCol)))
+      .select(col(queryIdCol), col(idCol), col("_score"), col("_part"))
+
+    // stage 1: top-k inside each input partition (no shuffle — window over
+    // (_part, query) where _part is already partition-local)
+    val local = Window.partitionBy(col("_part"), col(queryIdCol))
+      .orderBy(ordering(metric, col("_score")), col(idCol).asc)
+    // stage 2: global top-k over the k-per-partition survivors
+    val global = Window.partitionBy(col(queryIdCol))
+      .orderBy(ordering(metric, col("_score")), col(idCol).asc)
+
+    pairs
+      .withColumn("_rn", row_number().over(local))
+      .filter(col("_rn") <= k)
+      .withColumn("_rank", row_number().over(global))
+      .filter(col("_rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("_score").as("score"),
+        col("_rank").as("rank"))
+  }
+
+  /** Deterministic random-hyperplane signature: `nBits` sign bits of dot
+    * products against pseudo-random hyperplanes derived from (seed, bit,
+    * dim) via a hash — no fit step, reproducible across runs/engines.
+    */
+  def signatureFor(vec: org.apache.spark.sql.Column,
+                   dim: Int, nBits: Int, seed: Int): org.apache.spark.sql.Column =
+    hyperplaneSignature(vec, dim, nBits, seed)
+
+  private def hyperplaneSignature(vec: org.apache.spark.sql.Column,
+                                  dim: Int, nBits: Int, seed: Int) = {
+    // hyperplane component h[b][d] in (-1, 1) derived from xxhash64 — the
+    // signature is a compact higher-order expression (a per-dimension
+    // unrolled form explodes codegen at dim×bits×tables terms)
+    val bits = (0 until nBits).map { b =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          x * ((xxhash64(lit(seed), lit(b), i) % 1000003L).cast("double")
+            / 1000003.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Approximate k-NN via multi-table LSH bucketing: `nTables` independent
+    * signatures bucket corpus and queries; candidates are the union of
+    * bucket matches across tables (standard L-table LSH — each extra table
+    * multiplies recall at linear candidate cost), exact-scored and top-k'd.
+    * `nProbes` > 1 additionally probes buckets at Hamming distance 1
+    * (query-side sign flips) to recover near-boundary neighbors.
+    */
+  def lshKnn(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, dim: Int, nBits: Int = 8, nTables: Int = 4, nProbes: Int = 3,
+      metric: Metric = Cosine, seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    def tableSigs(vec: org.apache.spark.sql.Column) =
+      (0 until nTables).map(t =>
+        hyperplaneSignature(vec, dim, nBits, seed + t * 7919))
+
+    val sigCorpus = corpus.select(col(idCol), col(vecCol),
+      posexplode(array(tableSigs(col(vecCol)): _*)).as(Seq("_table", "_bucket")))
+
+    val probesPerTable = tableSigs(col(queryVecCol)).zipWithIndex.flatMap {
+      case (sig, t) =>
+        (0 until math.max(1, math.min(nProbes, nBits + 1))).map {
+          case 0 => struct(lit(t).as("_table"), sig.as("_bucket"))
+          case i => struct(lit(t).as("_table"),
+            sig.bitwiseXOR(lit(1L << (i - 1))).as("_bucket"))
+        }
+    }
+    val sigQueries = queries
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(array(probesPerTable: _*)).as("_p"))
+      .select(col(queryIdCol), col(queryVecCol),
+        col("_p._table").as("_table"), col("_p._bucket").as("_bucket"))
+      .dropDuplicates(queryIdCol, "_table", "_bucket")
+
+    val candidates = sigCorpus
+      .join(broadcast(sigQueries), Seq("_table", "_bucket"))
+      .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+      .dropDuplicates(queryIdCol, idCol)
+      .withColumn("_score", score(metric, col(vecCol), col(queryVecCol)))
+
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(ordering(metric, col("_score")), col(idCol).asc)
+    candidates
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("_score").as("score"),
+        col("_rank").as("rank"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json north
+  * star): language ID, quality scoring, token counting, fingerprinting.
+  * All native column expressions — no UDFs, fully codegen/pushdown
+  * friendly, so a 100 TB documents scan stays one pass.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: GPT-2-style pre-tokenizer regex — runs of
+    * letters, runs of digits, single punctuation, each with optional
+    * leading space — approximates byte-pair-encoding token counts without a
+    * vocabulary.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=( ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+))"),
+      t => length(t) > 0))
+
+  /** Character-class ratios used by the quality score. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+        / length(text))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") / length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
+
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "at", "this", "by")
+
+  /** Fraction of tokens that are (English) stopwords — a fluency signal. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t =>
+        t.isin(stopwords.map(lit(_)): _*))).cast("double") / size(toks))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band, punctuation sanity,
+    * mean word length band, non-degenerate token count. Heuristic in the
+    * Gopher/C4-rule style; each clause is an independent [0,1] signal.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(length(text).between(50, 20000), 1.0)
+      .when(length(text) < 50, length(text) / 50.0)
+      .otherwise(0.5)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - (punctRatio(text) - 0.2) * 4))
+    val mwl = meanWordLength(text)
+    val wordOk = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val tokOk = when(nTok >= 10, 1.0).otherwise(nTok / 10.0)
+    // fraction of tokens containing at least one letter — catches
+    // symbol/number soup that passes the length and word-length bands
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val alphaOk = when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / size(toks))
+    round((lenOk + punctOk + wordOk + tokOk + alphaOk) / 5.0, 4)
+  }
+
+  /** Language-ID heuristic: CJK/Cyrillic/Arabic by script ratio, latin
+    * languages by stopword votes. Deterministic, vocabulary-driven;
+    * returns a 2-letter code or "und".
+    */
+  def languageId(text: Column): Column = {
+    def ratio(clazz: String): Column =
+      when(length(text) === 0, 0.0).otherwise(
+        length(regexp_replace(text, s"[^$clazz]", "")).cast("double")
+          / length(text))
+    val zh = ratio("\\u4e00-\\u9fff")
+    val ja = ratio("\\u3040-\\u30ff")
+    val ko = ratio("\\uac00-\\ud7af")
+    val ru = ratio("\\u0400-\\u04ff")
+    val ar = ratio("\\u0600-\\u06ff")
+
+    val toks = filter(split(lower(text), "[\\s\\p{Punct}]+"), t => length(t) > 0)
+    def votes(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    val en = votes(Seq("the", "and", "of", "to", "in", "is", "that", "for",
+      "it", "with", "a"))
+    val es = votes(Seq("el", "la", "de", "que", "y", "en", "los", "del",
+      "las", "por", "un", "una", "es"))
+    val fr = votes(Seq("le", "la", "les", "des", "est", "dans", "que", "et",
+      "du", "une", "pour", "sur"))
+    val de = votes(Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+      "eine", "mit", "von", "den", "zu"))
+
+    when(zh > 0.2, "zh").when(ja > 0.2, "ja").when(ko > 0.2, "ko")
+      .when(ru > 0.2, "ru").when(ar > 0.2, "ar")
+      .otherwise(
+        when(greatest(en, es, fr, de) === 0, "und")
+          .when(en >= greatest(es, fr, de), "en")
+          .when(es >= greatest(fr, de), "es")
+          .when(fr >= de, "fr")
+          .otherwise("de"))
+  }
+
+  /** Rolling polynomial fingerprint of the normalized token stream
+    * (order-sensitive, whitespace-insensitive): fp = Σ h(tok_i)·P^i mod 2^64
+    * via `aggregate` — a content fingerprint for exact-ish dedup across
+    * whitespace variants.
+    */
+  def fingerprint(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    // masked modular arithmetic: h in 2^28, pow in 2^20, acc in 2^52 — the
+    // recurrence never exceeds 2^53, so it is ANSI-overflow-safe while
+    // behaving as a polynomial hash mod 2^52
+    val packed = aggregate(toks,
+      struct(lit(0L).as("acc"), lit(1L).as("pow")),
+      (st, t) => struct(
+        (st.getField("acc") +
+          xxhash64(t).bitwiseAND(lit(0xFFFFFFFL)) * st.getField("pow"))
+          .bitwiseAND(lit((1L << 52) - 1)).as("acc"),
+        (st.getField("pow") * lit(1000003L))
+          .bitwiseAND(lit(0xFFFFFL)).as("pow")))
+    packed.getField("acc")
+  }
+
+  /** One-pass document profile over a documents table. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish_tokens"),
+      round(punctRatio(t), 4).as("punct_ratio"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      round(meanWordLength(t), 4).as("mean_word_len"),
+      qualityScore(t).as("quality"),
+      languageId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

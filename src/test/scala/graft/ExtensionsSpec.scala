@@ -1,0 +1,146 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector expressions: dot/cosine/l2 match hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val row = df.select(
+      VectorFunctions.vecDot($"a", $"b").as("dot"),
+      VectorFunctions.vecCosine($"a", $"b").as("cos"),
+      VectorFunctions.vecL2($"a", $"b").as("l2")).collect().head
+    assert(row.getAs[Double]("dot") === 32.0)
+    assert(math.abs(row.getAs[Double]("cos") - 32.0 /
+      (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    assert(math.abs(row.getAs[Double]("l2") - math.sqrt(27.0)) < 1e-12)
+  }
+
+  test("vector expressions survive whole-stage codegen on real data") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val self = emb.select(
+      VectorFunctions.vecCosine($"embedding", $"embedding").as("c"))
+    val mn = self.agg(min("c"), max("c")).collect().head
+    assert(math.abs(mn.getDouble(0) - 1.0) < 1e-9 &&
+      math.abs(mn.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("brute-force knn: self is nearest when not excluded; ranks are 1..k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val res = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      q, "qid", "qe", k = 4, excludeSelf = false)
+    val top = res.filter($"rank" === 1).collect()
+    assert(top.forall(r => r.getAs[Long]("qid") === r.getAs[Long]("vec_id")))
+    val ranks = res.groupBy("qid").agg(collect_list("rank").as("rs"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("rs").sorted)
+    assert(ranks.forall(_ == Seq(1, 2, 3, 4)))
+  }
+
+  test("lsh knn recalls most exact neighbors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+        q, "qid", "qe", k = 3)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(emb, "vec_id", "embedding",
+        q, "qid", "qe", k = 3, dim = 64, nBits = 4, nTables = 8, nProbes = 4)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+    emb.unpersist()
+  }
+
+  test("exact dedup keeps one row per content, smallest id") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "t")
+    val out = Dedup.exact(df, "id", Seq("t")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("minhash lsh finds a planted near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val nearDup = base + "extra token"
+    val other = "completely different content about spark catalyst planning " * 5
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(df, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs get identical hashes, near-dups are close") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words about something else entirely"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("language id picks up distinct scripts and stopword profiles") {
+    val df = Seq(
+      ("en", "the cat is on the table and it is happy with the sun"),
+      ("es", "el gato es un animal que vive en la casa de los abuelos"),
+      ("de", "der hund ist ein tier und die katze ist nicht klein"),
+      ("fr", "le chien est dans la maison et les enfants sont sur une chaise"),
+      ("zh", "猫是一种可爱的动物它喜欢晒太阳"),
+      ("ru", "кошка это животное которое живет дома"))
+      .toDF("truth", "text")
+    val got = df.select($"truth",
+        TextAnalysis.languageId($"text").as("pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (truth, pred) => assert(truth === pred) }
+  }
+
+  test("quality score separates clean prose from degenerate text") {
+    val df = Seq(
+      ("clean", "This is a reasonably long and well formed paragraph of " +
+        "text with normal punctuation, sensible words and good structure " +
+        "that any quality filter should accept as valid training data."),
+      ("junk", "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))
+      .toDF("tag", "text")
+    val s = df.select($"tag", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("clean") > 0.9 && s("junk") < 0.6)
+  }
+
+  test("fingerprint is whitespace-insensitive but order-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha  beta\tgamma"),
+      (3L, "gamma beta alpha")).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("multimodal: metadata + deterministic stub features, frame sampling") {
+    val df = Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
+      .toDF("id", "s").withColumn("media", $"s".cast("binary"))
+    val feat = Multimodal.extractFeatures(
+      Multimodal.withMediaMeta(df, "media", "image/fake"), "media", dim = 4)
+    val rows = feat.collect()
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("media_features").size == 4))
+    val again = Multimodal.extractFeatures(
+      Multimodal.withMediaMeta(df, "media", "image/fake"), "media", dim = 4)
+      .collect()
+    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("media_features")).toSeq ===
+      again.map(_.getAs[scala.collection.Seq[Float]]("media_features")).toSeq)
+
+    val frames = Multimodal.sampleFrames(df, "media", n = 3)
+    assert(frames.count() === 6)
+    assert(frames.columns.contains("frame_idx") &&
+      frames.columns.contains("frame_bytes"))
+  }
+}
