@@ -354,6 +354,93 @@ object SparkEntry {
           col("media_meta.checksum").as("checksum"),
           col("media_features").getItem(0).as("f0"))
         .orderBy("doc_id")
+    }),
+
+    // §3.2 feature view batch query: event-time bounds + label/helper drop.
+    "q32_batch_query" -> ((s, dir) => {
+      import graft.functions.TimeFunctions.toEpochMillis
+      val view = graft.view.FeatureView("ord_view", 1,
+        Query.select(fg(s, dir, "orders"),
+            Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"))
+          .join(Query.select(fg(s, dir, "customer"), Seq("c_name", "c_acctbal")),
+            leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"),
+            joinType = JoinType.Inner),
+        labels = Seq("o_totalprice"),
+        trainingHelperColumns = Seq("c_acctbal"))
+      val df = view.batchQuery(s,
+        startTime = Some(toEpochMillis("1996-01-01")),
+        endTime = Some(toEpochMillis("1997-01-01")))
+      view.dropHelperColumns(df, forInference = false)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          col("o_totalprice"), col("c_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.13 validation suite: one-pass row rules + uniqueness.
+    "q33_validation" -> ((s, dir) => {
+      import graft.ops.Validation._
+      val o = s.read.parquet(TestTables.parquet(dir, "orders"))
+      validateDf(o, Seq(
+        notNull("o_custkey"),
+        between("o_totalprice", 0.0, 200000.0),
+        inSet("o_orderstatus", Seq("F", "O")),
+        matchesRegex("o_orderpriority", "^[0-9]-"),
+        unique("o_orderkey")))
+        .orderBy("expectation")
+    }),
+
+    // §2.12 structured streaming: file source → watermark → tumbling
+    // window agg → memory sink, driven to completion in-batch.
+    "q34_stream_agg" -> ((s, dir) => {
+      val batch = s.read.parquet(TestTables.parquet(dir, "events"))
+      // glob path: the file streaming source needs a directory or glob
+      val stream = graft.streaming.Streaming.readStream(
+          s, "parquet", Some(s"$dir/events.*"),
+          schema = Some(batch.schema))
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.Streaming.windowedAgg(
+        stream, "ts2", "1 day", "1 hour", "event_type", "value")
+      val name = "q34_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          col("event_type"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy("w_start_us", "event_type")
+    }),
+
+    // §3.3 serving analog: broadcast-hash feature-vector assembly.
+    "q35_serving_vectors" -> ((s, dir) => {
+      val view = graft.view.FeatureView("cust_view", 1,
+        Query.select(fg(s, dir, "customer"),
+            Seq("c_custkey", "c_name", "c_mktsegment"))
+          .join(Query.select(fg(s, dir, "nation"), Seq("n_name")),
+            leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+            prefix = Some("nat_")))
+      val server = new graft.serving.FeatureVectorServer(s, view)
+      val keys = s.read.parquet(TestTables.parquet(dir, "customer"))
+        .filter(col("c_custkey") < 10).select("c_custkey")
+      server.getFeatureVectors(keys)
+        .select("c_custkey", "c_name", "c_mktsegment", "nat_n_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.1/2.2 lake lifecycle: create → upsert → delete → snapshot +
+    // incremental read (runtime-created table; rows-only check).
+    "q36_lake_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q36").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = tmp)
+      val init = s.read.parquet(TestTables.parquet(dir, "nation"))
+        .select(col("n_nationkey").cast("long").as("id"), col("n_name").as("v"))
+      val fgrp = fs.createFeatureGroup("nations_lake", init, Seq("id"))
+      fs.insert(fgrp, Seq((0L, "UPDATED_0"), (99L, "NEW_99")).toDF("id", "v"))
+      fs.delete(fgrp, Seq(Tuple1(1L)).toDF("id"))
+      fs.read(Query.selectAll(fgrp)).orderBy("id")
     })
   )
 
@@ -547,6 +634,68 @@ object SparkEntry {
                       list_filter(string_split_regex(lower(text), '\s+'),
                                   x -> len(x) > 0) AS toks
                FROM documents)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q32_batch_query" ->
+      """SELECT o_orderkey, o_custkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS od, o_totalprice, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         ORDER BY o_orderkey""",
+    "q33_validation" ->
+      """WITH t AS (SELECT count(*) AS total FROM orders)
+         SELECT * FROM (
+           SELECT 'between(o_totalprice,0.0,200000.0)' AS expectation,
+                  (SELECT count(*) FROM orders
+                   WHERE o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0.0 OR o_totalprice > 200000.0)) = 0
+                    AS success,
+                  (SELECT count(*) FROM orders
+                   WHERE o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0.0 OR o_totalprice > 200000.0))
+                    AS unexpected_count,
+                  total AS observed_rows FROM t
+           UNION ALL
+           SELECT 'in_set(o_orderstatus)',
+                  (SELECT count(*) FROM orders
+                   WHERE o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F','O')) = 0,
+                  (SELECT count(*) FROM orders
+                   WHERE o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F','O')),
+                  total FROM t
+           UNION ALL
+           SELECT 'not_null(o_custkey)',
+                  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0,
+                  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                  total FROM t
+           UNION ALL
+           SELECT 'regex(o_orderpriority)',
+                  (SELECT count(*) FROM orders
+                   WHERE o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[0-9]-')) = 0,
+                  (SELECT count(*) FROM orders
+                   WHERE o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[0-9]-')),
+                  total FROM t
+           UNION ALL
+           SELECT 'unique(o_orderkey)',
+                  coalesce((SELECT sum(c) FROM (
+                    SELECT count(*) c FROM orders GROUP BY o_orderkey
+                    HAVING count(*) > 1)), 0) = 0,
+                  coalesce((SELECT sum(c) FROM (
+                    SELECT count(*) c FROM orders GROUP BY o_orderkey
+                    HAVING count(*) > 1)), 0),
+                  total FROM t)
+         ORDER BY expectation""",
+    "q34_stream_agg" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)))
+                  AS w_start_us,
+                event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""",
+    "q35_serving_vectors" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_name AS nat_n_name
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_custkey < 10 ORDER BY c_custkey"""
   )
 }

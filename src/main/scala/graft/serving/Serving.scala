@@ -1,0 +1,128 @@
+package graft.serving
+
+import graft.model.FeatureGroup
+import graft.ops.Transformations
+import graft.planner.QueryPlanner
+import graft.view.FeatureView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch serving analog of the reference's online feature-vector path
+  * (python/hsfs/core/vector_server.py:486-554 assembly,
+  * core/online_store_sql_engine.py per-FG prepared statements).
+  *
+  * Instead of per-key MySQL prepared statements, lookups are broadcast-hash
+  * joins of the (small) key set against each feature group's latest
+  * snapshot — one join per feature group, results merged on the serving
+  * keys, missing features null (vector_server missing-feature policy
+  * :509-534). On-demand transformations compute from request-time columns;
+  * model-dependent ones bind precomputed statistics (vector_server
+  * :924-978).
+  */
+final class FeatureVectorServer(
+    spark: SparkSession,
+    view: FeatureView,
+    stats: Map[String, Transformations.FeatureStatistics] = Map()) {
+
+  private val lf = view.query.leftFeatureGroup
+
+  private def lookupOne(keys: DataFrame, fg: FeatureGroup,
+                        wanted: Seq[String], joinKeys: Seq[String],
+                        prefix: String): DataFrame = {
+    val snap = QueryPlanner.materialize(spark, fg, None)
+    val projected = snap.select((joinKeys ++ wanted).distinct.map(col): _*)
+    val renamed = wanted.filterNot(joinKeys.contains).foldLeft(projected) {
+      (d, c) => d.withColumnRenamed(c, prefix + c)
+    }
+    broadcast(keys).join(renamed, joinKeys, "left")
+  }
+
+  /** Assemble feature vectors for a DataFrame of serving keys. */
+  def getFeatureVectors(keys: DataFrame): DataFrame = {
+    val selected =
+      if (view.query.features.isEmpty) lf.featureNames
+      else view.query.features.map(_.name)
+    // join keys of downstream lookups must ride along even if unselected
+    val joinKeyExtras = view.query.joins.flatMap { j =>
+      if (j.on.nonEmpty) j.on
+      else if (j.leftOn.nonEmpty) j.leftOn
+      else lf.primaryKey.filter(j.right.leftFeatureGroup.primaryKey.contains)
+    }.distinct.filterNot(selected.contains)
+    val leftWanted = selected ++ joinKeyExtras
+    var out = lookupOne(keys, lf,
+      leftWanted.filterNot(keys.columns.contains), lf.primaryKey, "")
+
+    view.query.joins.foreach { j =>
+      val rfg = j.right.leftFeatureGroup
+      val joinKeys =
+        if (j.on.nonEmpty) j.on
+        else if (j.leftOn.nonEmpty) j.leftOn
+        else lf.primaryKey.filter(rfg.primaryKey.contains)
+      val rightKeys = if (j.rightOn.nonEmpty) j.rightOn else joinKeys
+      val wanted =
+        if (j.right.features.isEmpty) rfg.featureNames else j.right.features.map(_.name)
+      val snap = QueryPlanner.plan(spark, j.right.copy(features = Nil))
+      val projected = snap.select(
+        (rightKeys ++ wanted.filterNot(rightKeys.contains)).distinct.map(col): _*)
+      val prefix = j.prefix.getOrElse("")
+      val renamed = wanted.filterNot(rightKeys.contains).foldLeft(projected) {
+        (d, c) => d.withColumnRenamed(c, prefix + c)
+      }
+      val cond = joinKeys.zip(rightKeys)
+        .map { case (lk, rk) => out(lk) === renamed(rk) }.reduce(_ && _)
+      out = out.join(renamed, cond, "left")
+      rightKeys.filterNot(k => joinKeys.contains(k) && wanted.contains(k))
+        .foreach(k => out = out.drop(renamed(k)))
+    }
+
+    // model-dependent transformations applied on the assembled vector
+    if (view.transformations.nonEmpty)
+      Transformations.applyAll(out, view.transformations, stats)
+    else out
+  }
+
+  /** Single-vector convenience (collect-free plan, 1-row broadcast). */
+  def getFeatureVector(key: Map[String, Any]): DataFrame = {
+    val row = org.apache.spark.sql.Row.fromSeq(key.values.toSeq)
+    val schema = org.apache.spark.sql.types.StructType(key.map { case (k, v) =>
+      val dt = v match {
+        case _: Int | _: Long => org.apache.spark.sql.types.LongType
+        case _: Double        => org.apache.spark.sql.types.DoubleType
+        case _                => org.apache.spark.sql.types.StringType
+      }
+      org.apache.spark.sql.types.StructField(k, dt)
+    }.toSeq)
+    val norm = org.apache.spark.sql.Row.fromSeq(key.values.map {
+      case i: Int => i.toLong
+      case other  => other
+    }.toSeq)
+    getFeatureVectors(spark.createDataFrame(
+      java.util.List.of(norm), schema))
+  }
+}
+
+/** Feature logging: append served vectors (± predictions) to a lake-backed
+  * log table; read back with time filters
+  * (reference core/feature_view_engine.py:971-1107, core/feature_logging.py).
+  */
+object FeatureLogging {
+  import graft.sources.Lake
+
+  def log(spark: SparkSession, root: String, fg: FeatureGroup,
+          vectors: DataFrame): Lake.CommitMeta = {
+    val stamped = vectors.withColumn("_log_time",
+      lit(System.currentTimeMillis()))
+    if (Lake.listCommits(spark, root).isEmpty)
+      Lake.create(spark, root, fg, stamped)
+    else Lake.upsert(spark, root, fg, stamped)
+  }
+
+  def read(spark: SparkSession, root: String, fg: FeatureGroup,
+           startMillis: Option[Long] = None,
+           endMillis: Option[Long] = None): DataFrame = {
+    val df = Lake.snapshot(spark, root, fg, None)
+    val lower = startMillis.map(col("_log_time") >= _).getOrElse(lit(true))
+    val upper = endMillis.map(col("_log_time") < _).getOrElse(lit(true))
+    df.filter(lower && upper)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.model.FeatureGroup
+import graft.sources.Lake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming ingestion — the engine's analog of the reference's
+  * stream feature groups (insert_stream → Kafka sink,
+  * python/hsfs/engine/spark.py:398-469; Kafka→lakehouse materialization via
+  * Hudi DeltaStreamer, java hudi/DeltaStreamerKafkaSource.java:49-115).
+  *
+  * Design: sources and sinks are format-parameterized (`kafka` works
+  * unchanged on a cluster with the kafka datasource; tests drive the same
+  * code with file sources). Materialization is `foreachBatch` → Lake
+  * upsert — Structured Streaming checkpoints the source offsets, the lake
+  * dedups on (pk, event_time, precombine), so the pipeline is end-to-end
+  * exactly-once to the snapshot read, replacing DeltaStreamer's manual
+  * offset bookkeeping.
+  */
+object Streaming {
+
+  /** Streaming read with payload decode. For JSON payloads in a `value`
+    * column (the Kafka wire shape — engine/spark.py:994-1003), pass
+    * `jsonValueSchema` to get `from_json` + `select("value.*")`; file
+    * sources with native schemas skip the decode.
+    */
+  def readStream(spark: SparkSession, format: String,
+                 path: Option[String] = None,
+                 schema: Option[StructType] = None,
+                 options: Map[String, String] = Map(),
+                 jsonValueSchema: Option[StructType] = None): DataFrame = {
+    var r = spark.readStream.format(format).options(options)
+    schema.foreach(s => r = r.schema(s))
+    val df = path.map(r.load).getOrElse(r.load())
+    jsonValueSchema match {
+      case Some(vs) =>
+        df.select(from_json(col("value").cast("string"), vs).as("value"))
+          .select("value.*")
+      case None => df
+    }
+  }
+
+  /** In-stream late-data handling: watermark + dropDuplicates on the
+    * record key (reference relies on upsert precombine instead —
+    * core/hudi_engine.py:127-149; we do both, SURVEY §2.12).
+    */
+  def withDedup(df: DataFrame, eventTimeCol: String, watermark: String,
+                keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keys :+ eventTimeCol)
+
+  /** Materialize a stream into a lake-backed feature group:
+    * `foreachBatch { batch => Lake.upsert(batch) }` with checkpointing —
+    * the DeltaStreamer analog (SURVEY §2.12).
+    */
+  def materialize(df: DataFrame, fg: FeatureGroup, checkpoint: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val root = fg.source match {
+      case graft.model.LakeSource(r) => r
+      case other => throw new IllegalArgumentException(
+        s"materialize needs a lake-backed group, got $other")
+    }
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Lake.upsert(batch.sparkSession, root, fg, batch)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Generic streaming sink (kafka / file formats / memory), with the
+    * reference's knobs: output mode, checkpoint dir, query name, optional
+    * await timeout (engine/spark.py:398-469).
+    */
+  def insertStream(df: DataFrame, format: String, checkpoint: String,
+                   outputMode: String = "append",
+                   queryName: Option[String] = None,
+                   path: Option[String] = None,
+                   options: Map[String, String] = Map(),
+                   awaitTerminationMs: Option[Long] = None): StreamingQuery = {
+    var w = df.writeStream.format(format).outputMode(outputMode)
+      .option("checkpointLocation", checkpoint).options(options)
+    queryName.foreach(n => w = w.queryName(n))
+    path.foreach(p => w = w.option("path", p))
+    val q = w.start()
+    awaitTerminationMs.foreach(q.awaitTermination)
+    q
+  }
+
+  /** Tumbling-window streaming aggregation (extension surface — the
+    * reference has no stream windows, SURVEY §2.12): count/sum per
+    * (window, key) with watermarking.
+    */
+  def windowedAgg(df: DataFrame, eventTimeCol: String, windowLen: String,
+                  watermark: String, keyCol: String,
+                  valueCol: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("w_start"), col(keyCol),
+        col("n"), col("total"))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.catalog.TestTables
+import graft.ir._
+import graft.ops.{Transformations, Validation}
+import graft.view.{FeatureView, TrainingDataset}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ViewServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fg(t: String) = TestTables.fg(spark, sfDir, t)
+
+  test("training dataset: split → fit on train only → apply everywhere") {
+    val view = FeatureView("v", 1,
+      Query.select(fg("lineitem"), Seq("l_orderkey", "l_quantity")),
+      transformations = Seq(Transformations.Transformation(
+        "mm", Transformations.ModelDependent, Seq("l_quantity"),
+        drop = Seq("l_quantity"),
+        fn = (cols, st) => Seq(Transformations
+          .minMaxScaler(cols.head, st("l_quantity")).as("q_mm")))))
+    val frame = view.batchQuery(spark)
+    val res = TrainingDataset.build(spark, view, frame,
+      randomWeights = Map("train" -> 0.8, "test" -> 0.2))
+    assert(res.splits.keySet === Set("train", "test"))
+    // train split scaled to exactly [0,1]; test may exceed (stats from train)
+    val r = res.splits("train").agg(min("q_mm"), max("q_mm")).collect().head
+    assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 1.0)
+    assert(!res.splits("train").columns.contains("l_quantity"))
+  }
+
+  test("training dataset file writers round-trip: parquet, csv, tsv, orc, json") {
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    val res = TrainingDataset.Result(Map("train" -> df), Map())
+    Seq("parquet", "csv", "tsv", "orc", "json").foreach { f =>
+      val dir = Files.createTempDirectory(s"graft_td_$f").toString + "/out"
+      TrainingDataset.write(res, dir, format = f, coalesce = true)
+      val back = TrainingDataset.read(spark, dir, format = f)
+      assert(back.count() === df.count(), s"format $f")
+      assert(back.columns.sorted.toSeq === df.columns.sorted.toSeq, s"format $f")
+    }
+  }
+
+  test("pit training frame enriches spine with latest right rows") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val eventsFg = fg("events")
+    val viewsQ = Query.selectAll(eventsFg)
+      .where(graft.ir.FilterLeaf(FeatureRef("event_type"),
+        FilterCondition.Eq, "view"))
+    val view = FeatureView("pit", 1,
+      Query(eventsFg.copy(primaryKey = Seq("user_id")),
+        joins = Seq(JoinSpec(viewsQ, leftOn = Seq("user_id"),
+          rightOn = Seq("user_id"), prefix = Some("v_")))))
+    val out = view.pitTrainingFrame(spark, clicks)
+    assert(out.count() === clicks.count()) // exactly one row per spine row
+    assert(out.columns.contains("v_value"))
+    // every matched view time ≤ click time
+    val bad = out.filter($"v_ts".isNotNull && $"v_ts" > $"ts").count()
+    assert(bad === 0)
+  }
+
+  test("validation: one-pass suite with failing and passing rules") {
+    val df = Seq((1L, 10.0, "A"), (2L, -5.0, "B"), (2L, 3.0, "C"))
+      .toDF("id", "x", "s")
+    val report = Validation.validate(df, Seq(
+      Validation.notNull("id"),
+      Validation.between("x", 0.0, 100.0),
+      Validation.unique("id"),
+      Validation.inSet("s", Seq("A", "B", "C"))))
+    val byName = report.results.map(r => r.name -> r).toMap
+    assert(!report.success)
+    assert(byName("not_null(id)").success)
+    assert(byName("between(x,0.0,100.0)").unexpectedCount === 1)
+    assert(byName("unique(id)").unexpectedCount === 2) // both dup rows
+    assert(byName("in_set(s)").success)
+    intercept[IllegalStateException] {
+      Validation.validateOrThrow(df, Seq(Validation.between("x", 0.0, 100.0)))
+    }
+  }
+
+  test("streaming materialization lands batches in the lake exactly once") {
+    import graft.streaming.Streaming
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = s"$tmp/wh")
+
+    val batch1 = Seq((1L, 100L, "a"), (2L, 100L, "b")).toDF("id", "et", "v")
+    batch1.write.parquet(s"$src/b1")
+    val fgrp = fs.createFeatureGroup("stream_fg",
+      batch1.limit(0), primaryKey = Seq("id"), eventTime = Some("et"))
+
+    val stream = Streaming.readStream(spark, "parquet",
+      Some(s"$src/*"), schema = Some(batch1.schema))
+    val q = Streaming.materialize(stream, fgrp, s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+    q.processAllAvailable()
+    assert(fs.read(Query.selectAll(fgrp)).count() === 2)
+
+    // second file: update id=2 (same event time — record key is pk+et,
+    // hudi semantics), add id=3 — upsert semantics on re-trigger
+    Seq((2L, 100L, "b2"), (3L, 100L, "c")).toDF("id", "et", "v")
+      .write.parquet(s"$src/b2")
+    q.processAllAvailable()
+    q.stop()
+    val out = fs.read(Query.selectAll(fgrp)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("serving: single-vector lookup merges groups and applies prefix") {
+    val view = graft.view.FeatureView("cv", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_name"))
+        .join(Query.select(fg("nation"), Seq("n_name")),
+          leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+          prefix = Some("nat_")))
+    val server = new graft.serving.FeatureVectorServer(spark, view)
+    val row = server.getFeatureVector(Map("c_custkey" -> 7)).collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("nat_n_name") != null)
+  }
+}
