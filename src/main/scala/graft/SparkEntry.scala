@@ -282,8 +282,12 @@ object SparkEntry {
     // (approximate recall — no SQL oracle; rows-only check).
     "q24_minhash_lsh" -> ((s, dir) => {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      // bands=8 × rows=8 → LSH sensitivity threshold (1/8)^(1/8) ≈ 0.77;
+      // these synthetic docs share a small vocabulary (baseline 2-shingle
+      // similarity ~0.4), so shorter bands would admit most of the O(n²)
+      // pair space as candidates
       graft.ops.Dedup.minHashLsh(docs, "doc_id", "text",
-          shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.3)
+          shingleSize = 2, numHashes = 64, bands = 8, threshold = 0.7)
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("idA", "idB")
     }),

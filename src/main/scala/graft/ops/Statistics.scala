@@ -49,7 +49,8 @@ object Statistics {
     * distinct. Returns one [[ColumnProfile]] per requested column.
     */
   def profile(df: DataFrame, columns: Seq[String] = Nil,
-              exactPercentiles: Boolean = false): Seq[ColumnProfile] = {
+              exactPercentiles: Boolean = false,
+              withPercentiles: Boolean = true): Seq[ColumnProfile] = {
     val cols =
       if (columns.nonEmpty) columns
       else df.schema.fields.map(_.name).toSeq
@@ -66,12 +67,13 @@ object Statistics {
         max(col(c)).cast("double").as(s"${c}__max"),
         sum(col(c)).cast("double").as(s"${c}__sum"),
         avg(col(c)).cast("double").as(s"${c}__mean"),
-        stddev_samp(col(c)).cast("double").as(s"${c}__stddev"),
-        (if (exactPercentiles)
-          expr(s"percentile($c, array(0.25, 0.5, 0.75))")
-        else
-          percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(10000)).cast("array<double>")).as(s"${c}__pcts"))
+        stddev_samp(col(c)).cast("double").as(s"${c}__stddev")) ++
+        (if (!withPercentiles) Seq.empty
+         else Seq((if (exactPercentiles)
+           expr(s"percentile($c, array(0.25, 0.5, 0.75))")
+         else
+           percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+             lit(10000)).cast("array<double>")).as(s"${c}__pcts")))
       else Seq.empty
       base ++ num
     }
@@ -94,7 +96,7 @@ object Statistics {
         min = d(s"${c}__min"), max = d(s"${c}__max"), sum = d(s"${c}__sum"),
         mean = d(s"${c}__mean"), stddev = d(s"${c}__stddev"),
         percentiles =
-          if (!numeric) Nil
+          if (!numeric || !withPercentiles) Nil
           else Option(row.getAs[scala.collection.Seq[Double]](s"${c}__pcts"))
             .map(_.toSeq).getOrElse(Nil))
     }
@@ -106,7 +108,9 @@ object Statistics {
   def profileDf(df: DataFrame, columns: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    profile(df, columns, exactPercentiles = true)
+    // the long-format oracle output carries no percentiles — skip the
+    // sort-heavy exact-percentile aggregate entirely
+    profile(df, columns, withPercentiles = false)
       .map(p => (p.feature, p.count, p.nullCount,
         p.min.getOrElse(Double.NaN), p.max.getOrElse(Double.NaN),
         roundHalfUp(p.mean.getOrElse(Double.NaN), 4),
