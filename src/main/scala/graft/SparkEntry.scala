@@ -445,6 +445,39 @@ object SparkEntry {
       fs.insert(fgrp, Seq((0L, "UPDATED_0"), (99L, "NEW_99")).toDF("id", "v"))
       fs.delete(fgrp, Seq(Tuple1(1L)).toDF("id"))
       fs.read(Query.selectAll(fgrp)).orderBy("id")
+    }),
+
+    // §2.5 monitoring: windowed statistics comparison → drift flag.
+    "q37_monitoring_shift" -> ((s, dir) => {
+      import graft.functions.TimeFunctions.toEpochMillis
+      import graft.ops.{SchemaOps, Statistics}
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      def meanOf(start: String, end: String): Double =
+        SchemaOps.monitoringWindow(ev, "ts",
+            toEpochMillis(start), toEpochMillis(end))
+          .agg(avg(col("value"))).collect().head.getDouble(0)
+      val detection = meanOf("2024-01-15", "2024-01-30")
+      val reference = meanOf("2024-01-01", "2024-01-15")
+      val (diff, shift) = Statistics.differenceAndShift(
+        detection, reference, threshold = 0.05, relative = true)
+      import s.implicits._
+      Seq(("mean_value",
+        Statistics.roundHalfUp(detection, 4),
+        Statistics.roundHalfUp(reference, 4),
+        Statistics.roundHalfUp(diff, 4), shift))
+        .toDF("metric", "detection", "reference", "difference", "shift_detected")
+    }),
+
+    // §2.3/§2.9 ingest shaping: sanitize → Kafka wire encode (key = sorted
+    // PK concat, value = row JSON) → decode roundtrip.
+    "q38_wire_roundtrip" -> ((s, dir) => {
+      import graft.ops.SchemaOps
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val wire = SchemaOps.toKafkaWire(SchemaOps.sanitizeNames(docs),
+        primaryKey = Seq("doc_id"), headers = Map("source" -> "graft"))
+      SchemaOps.fromKafkaWire(wire, docs.schema)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -700,6 +733,21 @@ object SparkEntry {
     "q35_serving_vectors" ->
       """SELECT c_custkey, c_name, c_mktsegment, n_name AS nat_n_name
          FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
-         WHERE c_custkey < 10 ORDER BY c_custkey"""
+         WHERE c_custkey < 10 ORDER BY c_custkey""",
+    "q37_monitoring_shift" ->
+      """WITH det AS (SELECT avg(value) AS m FROM events
+                      WHERE ts >= TIMESTAMP '2024-01-15'
+                        AND ts < TIMESTAMP '2024-01-30'),
+              ref AS (SELECT avg(value) AS m FROM events
+                      WHERE ts >= TIMESTAMP '2024-01-01'
+                        AND ts < TIMESTAMP '2024-01-15')
+         SELECT 'mean_value' AS metric,
+                round(det.m, 4) AS detection,
+                round(ref.m, 4) AS reference,
+                round((det.m - ref.m) / ref.m, 4) AS difference,
+                abs((det.m - ref.m) / ref.m) >= 0.05 AS shift_detected
+         FROM det, ref""",
+    "q38_wire_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
   )
 }

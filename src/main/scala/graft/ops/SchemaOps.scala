@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.model.Feature
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Schema-shaping operators of the ingest path (SURVEY §2.3):
+  * name sanitization, cast-to-declared-schema, label split, preview,
+  * schema-only writes, and the Kafka wire encode.
+  */
+object SchemaOps {
+
+  /** Sanitize every column name: lowercase, illegal chars → underscore
+    * (engine/spark.py:302-338).
+    */
+  def sanitizeNames(df: DataFrame): DataFrame = {
+    val renames = df.columns.map(c => c -> Feature.sanitizeName(c))
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (from == to) d else d.withColumnRenamed(from, to)
+    }
+  }
+
+  /** Cast columns to a declared schema (engine/spark.py:1464-1474
+    * cast_columns); unknown columns pass through untouched.
+    */
+  def castToSchema(df: DataFrame, schema: StructType): DataFrame = {
+    val types: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.columns.map { c =>
+      types.get(c) match {
+        case Some(t) if df.schema(c).dataType != t => col(c).cast(t).as(c)
+        case _                                     => col(c)
+      }
+    }: _*)
+  }
+
+  /** Schema evolution helper: append missing columns with defaults
+    * (feature_group.py:853 appended-column defaults).
+    */
+  def alignToSchema(df: DataFrame, schema: StructType): DataFrame = {
+    val existing = df.columns.toSet
+    val withMissing = schema.fields.filterNot(f => existing(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    castToSchema(withMissing, schema)
+      .select(schema.fields.map(f => col(f.name)): _*)
+  }
+
+  /** `show(n)` / preview semantics (constructor/query.py:209-234). */
+  def preview(df: DataFrame, n: Int = 10): DataFrame = df.limit(n)
+
+  /** Schema-only write frame (`save_empty_dataframe`,
+    * engine/spark.py:1237-1249).
+    */
+  def emptyFrame(df: DataFrame): DataFrame = df.limit(0)
+
+  /** Kafka wire encode (engine/spark.py:507-580 minus Avro, which needs the
+    * spark-avro datasource): key = concat of sorted primary-key values,
+    * value = JSON of the full row, headers = constant metadata entries —
+    * ready for `df.write.format("kafka")`.
+    */
+  def toKafkaWire(df: DataFrame, primaryKey: Seq[String],
+                  headers: Map[String, String] = Map()): DataFrame = {
+    val key = concat(primaryKey.sorted.map(c => col(c).cast("string")): _*)
+    val value = to_json(struct(df.columns.map(col): _*))
+    val hdrs = array(headers.toSeq.sortBy(_._1).map { case (k, v) =>
+      struct(lit(k).as("key"), lit(v).cast("binary").as("value"))
+    }: _*)
+    val base = df.select(key.as("key"), value.as("value"))
+    if (headers.isEmpty) base
+    else df.select(key.as("key"), value.as("value"), hdrs.as("headers"))
+  }
+
+  /** Decode the JSON wire format back (from_json + value.* — the reference's
+    * Kafka read shape, engine/spark.py:994-1003).
+    */
+  def fromKafkaWire(df: DataFrame, schema: StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), schema).as("v"))
+      .select("v.*")
+
+  /** Monitoring-window slice: event-time range + row-fraction sample
+    * (core/monitoring_window_config_engine.py:190-373), profiled with one
+    * agg pass — feeds [[Statistics.differenceAndShift]].
+    */
+  def monitoringWindow(df: DataFrame, eventTimeCol: String,
+                       startMillis: Long, endMillis: Long,
+                       rowPercentage: Double = 1.0,
+                       seed: Long = 42L): DataFrame = {
+    val et = Splits.eventTimeMillisCol(df, eventTimeCol)
+    val window = df.filter(et >= startMillis && et < endMillis)
+    Splits.sampleFraction(window, rowPercentage, seed)
+  }
+}

@@ -45,9 +45,13 @@ object Splits {
       case TimestampNTZType | DateType =>
         unix_millis(col(eventTimeCol).cast(TimestampType))
       case LongType | IntegerType | ShortType | ByteType =>
-        // epoch seconds vs millis heuristic matches TimeFunctions
-        when(col(eventTimeCol).between(100000000L, 100000000000L),
-          col(eventTimeCol) * 1000L).otherwise(col(eventTimeCol))
+        // epoch magnitude heuristic (extends the reference's sec/ms rule to
+        // micros/nanos): ~1e9 s, ~1e12 ms, ~1e15 µs, ~1e18 ns
+        val c = col(eventTimeCol)
+        when(c.between(100000000L, 100000000000L), c * 1000L)
+          .when(c >= 100000000000000000L, expr(s"$eventTimeCol div 1000000"))
+          .when(c >= 100000000000000L, expr(s"$eventTimeCol div 1000"))
+          .otherwise(c)
       case StringType => TimeFunctions.eventTimeToMillis(col(eventTimeCol))
       case other => throw new IllegalArgumentException(
         s"unsupported event-time type $other for $eventTimeCol")

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.SchemaOps
+import graft.sources.Connectors
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ConnectorSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connector option assembly: jdbc query pushdown, snowflake, s3 conf") {
+    val j = Connectors.Jdbc("jdbc:mysql://h/db", "u", "p",
+      query = Some("SELECT 1"))
+    assert(j.format === "jdbc")
+    assert(j.options("query") === "SELECT 1" && j.options("url").startsWith("jdbc:"))
+
+    val sf = Connectors.Snowflake("acct.snowflakecomputing.com", "u", "p",
+      "DB", "SCHEMA", warehouse = Some("WH"), table = Some("T"))
+    assert(sf.options("sfWarehouse") === "WH" && sf.options("dbtable") === "T")
+
+    val s3 = Connectors.S3("bucket", accessKey = Some("AK"),
+      secretKey = Some("SK"), sessionToken = Some("TOK"))
+    assert(s3.hadoopConf("fs.s3a.access.key") === "AK")
+    assert(s3.hadoopConf("fs.s3a.aws.credentials.provider").contains("Temporary"))
+    assert(s3.path("x/y.parquet") === "s3a://bucket/x/y.parquet")
+
+    val k = Connectors.Kafka("b:9092", "topic")
+    assert(k.options("subscribe") === "topic")
+
+    // reader() injects hadoop conf for real
+    Connectors.reader(spark, s3)
+    assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.access.key") === "AK")
+  }
+
+  test("sanitize names lowercases and underscores illegal characters") {
+    val df = Seq((1, 2)).toDF("My Col", "OK_name")
+    assert(SchemaOps.sanitizeNames(df).columns.toSeq === Seq("my_col", "ok_name"))
+  }
+
+  test("cast and align to a declared schema") {
+    val df = Seq(("1", "2.5")).toDF("a", "b")
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", DoubleType),
+      StructField("c", StringType)))
+    val out = SchemaOps.alignToSchema(df, schema)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Seq(("a", LongType), ("b", DoubleType), ("c", StringType)))
+    val r = out.collect().head
+    assert(r.getLong(0) === 1L && r.getDouble(1) === 2.5 && r.isNullAt(2))
+  }
+
+  test("kafka wire encode: sorted-PK key, JSON value, headers") {
+    val df = Seq((2L, 1L, "x")).toDF("b_key", "a_key", "v")
+    val wire = SchemaOps.toKafkaWire(df, Seq("b_key", "a_key"),
+      headers = Map("h1" -> "v1"))
+    val row = wire.collect().head
+    // keys sorted by name: a_key value first
+    assert(row.getAs[String]("key") === "12")
+    assert(row.getAs[String]("value").contains("\"v\":\"x\""))
+    val hdrs = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers")
+    assert(hdrs.head.getAs[String]("key") === "h1")
+
+    val back = SchemaOps.fromKafkaWire(wire, df.schema)
+    assert(back.collect().head.getAs[String]("v") === "x")
+  }
+
+  test("preview and empty-frame helpers") {
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    assert(SchemaOps.preview(df, 3).count() === 3)
+    val empty = SchemaOps.emptyFrame(df)
+    assert(empty.count() === 0 && empty.schema === df.schema)
+  }
+}
