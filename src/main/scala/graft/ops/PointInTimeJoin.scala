@@ -34,6 +34,12 @@ import org.apache.spark.sql.types.StructType
   */
 object PointInTimeJoin {
 
+  /** @param saltBuckets when > 1, spreads each join key over this many
+    *   sub-partitions to break hot-key skew: spine rows are deterministically
+    *   salted, right rows replicated to every bucket. Shuffle volume becomes
+    *   |spine| + saltBuckets × |right| — buy parallelism on a skewed key
+    *   with bounded replication. Leave at 1 (off) unless a key is hot.
+    */
   def asOf(
       spine: DataFrame,
       spineEventTime: String,
@@ -42,7 +48,8 @@ object PointInTimeJoin {
       spineKeys: Seq[String],
       rightKeys: Seq[String],
       prefix: String = "",
-      tieBreak: Option[String] = None): DataFrame = {
+      tieBreak: Option[String] = None,
+      saltBuckets: Int = 1): DataFrame = {
     require(spineKeys.nonEmpty && spineKeys.size == rightKeys.size,
       "as-of join needs matching non-empty key lists")
 
@@ -53,18 +60,26 @@ object PointInTimeJoin {
     val payloadType = StructType(rightPayloadCols.map(c => right.schema(c)))
     val spineType = StructType(spine.schema.fields)
 
+    val salted = saltBuckets > 1
+    val spineSalt =
+      if (salted) pmod(xxhash64(struct(spineCols.map(col): _*)), lit(saltBuckets))
+      else lit(0)
     val spineNorm = spine.select(
       spineKeys.zip(keyNames).map { case (k, kn) => col(k).as(kn) } ++ Seq(
+        spineSalt.as("_pit_salt"),
         col(spineEventTime).as("_pit_t"),
         lit(1).as("_pit_side"),
         lit(0.0).as("_pit_ord"),
         struct(spineCols.map(col): _*).as("_spine"),
         lit(null).cast(payloadType).as("_payload")): _*)
 
+    val rightSalt =
+      if (salted) explode(sequence(lit(0), lit(saltBuckets - 1))) else lit(0)
     val rightNorm = right
       .filter(col(rightEventTime).isNotNull)
       .select(
         rightKeys.zip(keyNames).map { case (k, kn) => col(k).as(kn) } ++ Seq(
+          rightSalt.as("_pit_salt"),
           col(rightEventTime).cast(etType).as("_pit_t"),
           lit(0).as("_pit_side"),
           tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0)).as("_pit_ord"),
@@ -75,7 +90,7 @@ object PointInTimeJoin {
     // before the spine row (side=1) so "≤" is inclusive; among right rows
     // the larger tie-break sorts later and wins the running last().
     val w = Window
-      .partitionBy(keyNames.map(col): _*)
+      .partitionBy((keyNames :+ "_pit_salt").map(col): _*)
       .orderBy(col("_pit_t").asc, col("_pit_side").asc, col("_pit_ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

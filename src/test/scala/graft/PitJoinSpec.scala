@@ -62,6 +62,21 @@ class PitJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("r_t") === 20L)
   }
 
+  test("salted PIT join matches the unsalted result exactly") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter($"event_type" === "view")
+      .select("user_id", "ts", "value")
+    def run(buckets: Int) = PointInTimeJoin
+      .asOf(clicks, "ts", views, "ts", Seq("user_id"), Seq("user_id"),
+        prefix = "v_", saltBuckets = buckets)
+      .select("event_id", "v_ts", "v_value")
+    val plain = run(1)
+    val salted = run(8)
+    assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
+  }
+
   test("matches a window-based reference implementation on real data") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ir._
+import graft.ir.Dsl._
+import graft.model.FeatureGroup
+import graft.ops.PointInTimeJoin
+import graft.planner.QueryPlanner
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests for the filter/join algebra and the PIT join
+  * (SURVEY §5 plan: scalacheck over the operator algebra).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling driver (scalatestplus bridge unavailable in
+    * the offline cache): evaluates the property over `n` seeded samples.
+    */
+  private def forSamples[A](gen: Gen[A], n: Int = 15)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private val rowsGen: Gen[List[(Long, Double, String)]] =
+    Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 8L)
+      x <- Gen.choose(-100.0, 100.0)
+      s <- Gen.oneOf("a", "b", "c", "d")
+    } yield (k, x, s))
+
+  test("property: compiled filter trees match in-memory predicate evaluation") {
+    val g = for {
+      rows <- rowsGen; thr <- Gen.choose(-50.0, 50.0)
+      sv <- Gen.oneOf("a", "b", "c")
+    } yield (rows, thr, sv)
+    forSamples(g) { case (rows, thr, sv) =>
+        if (rows.nonEmpty) {
+          val df = rows.toDF("k", "x", "s")
+          val fe = (("x" > thr) && ("s" =!= sv)) ||
+            (("k" in Seq(0L, 1L, 2L)) && ("s" like "a%"))
+          val got = df.filter(QueryPlanner.compileFilter(df, fe))
+            .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+            .toSet
+          val want = rows.filter { case (k, x, s) =>
+            (x > thr && s != sv) || (Seq(0L, 1L, 2L).contains(k) && s.startsWith("a"))
+          }.toSet
+          assert(got === want)
+        }
+    }
+  }
+
+  private val pitGen = for {
+    spine <- Gen.listOfN(25, for {
+      k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    right <- Gen.listOfN(25, for {
+      k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 50L)
+      v <- Gen.choose(0, 1000)
+    } yield (k, t, v))
+  } yield (spine, right)
+
+  test("property: PIT join equals brute-force latest-≤-t semantics") {
+    forSamples(pitGen) { case (spineRows, rightRows) =>
+      if (spineRows.nonEmpty) {
+        val spine = spineRows.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("sid", "k", "t")
+        // dedupe (k,t) on the right so the winner is unique (tie-break
+        // among equal (k,t) is precombine order, exercised elsewhere)
+        val rightD = rightRows.groupBy(r => (r._1, r._2))
+          .map(_._2.maxBy(_._3)).toList
+        val right = rightD.toDF("k", "t", "v")
+
+        val got = PointInTimeJoin
+          .asOf(spine, "t", right, "t", Seq("k"), Seq("k"), prefix = "r_")
+          .collect()
+          .map(r => r.getAs[Long]("sid") ->
+            (if (r.isNullAt(r.fieldIndex("r_v"))) None
+             else Some(r.getAs[Int]("r_v"))))
+          .toMap
+
+        val want = spineRows.zipWithIndex.map { case ((k, t), i) =>
+          i.toLong -> rightD.filter(r => r._1 == k && r._2 <= t)
+            .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        }.toMap
+
+        assert(got === want)
+      }
+    }
+  }
+
+  test("property: exact dedup output is a minimal distinct cover") {
+    forSamples(rowsGen, n = 10) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((k, x, s), i) => (i.toLong, s) }.toDF("id", "s")
+        val out = graft.ops.Dedup.exact(df, "id", Seq("s")).collect()
+        val distinctS = rows.map(_._3).distinct.size
+        assert(out.length === distinctS)
+        // survivor is the smallest id of its group
+        val firstIdx = rows.map(_._3).zipWithIndex
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2.toLong).min }
+        out.foreach { r =>
+          assert(firstIdx(r.getAs[String]("s")) === r.getAs[Long]("id"))
+        }
+      }
+    }
+  }
+
+  test("property: random split partitions the input exactly") {
+    val g2 = for { rows <- rowsGen; seed <- Gen.choose(1L, 999L) } yield (rows, seed)
+    forSamples(g2, n = 8) { case (rows, seed) =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case (_, i) => i.toLong }.toDF("id")
+        val splits = graft.ops.Splits.random(df,
+          Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), seed)
+        val all = splits.values.map(_.select("id").as[Long].collect().toSet)
+        assert(all.map(_.size).sum === rows.size)       // disjoint cover
+        assert(all.reduce(_ ++ _).size === rows.size)
+      }
+    }
+  }
+}
