@@ -100,9 +100,14 @@ object Lake {
         if (deleted) (0L, 0L, matched) else (fresh, matched, 0L)
       }
 
+    // physical layout: commit partition first (time travel = pruning),
+    // then the feature group's declared partition keys (query-predicate
+    // pruning — reference partitionBy(partition_key),
+    // engine/spark.py:501-505, hudi partition path hudi_engine.py:131-140)
+    val partCols = CommitCol +: fg.partitionKey.filter(stamped.columns.contains)
     stamped.write
       .mode(SaveMode.Append)
-      .partitionBy(CommitCol)
+      .partitionBy(partCols: _*)
       .parquet(dataPath(root))
 
     val meta = CommitMeta(t, operation, ins, upd, del)
@@ -143,10 +148,24 @@ object Lake {
                asOf: Option[Long]): DataFrame = {
     val raw0 = spark.read.parquet(dataPath(root))
     val raw = asOf.fold(raw0)(t => raw0.filter(col(CommitCol) <= t))
-    dedupLatest(raw, fg)
+    restoreTypes(dedupLatest(raw, fg)
       .filter(!col(DeletedCol))
-      .drop(CommitCol, DeletedCol)
+      .drop(CommitCol, DeletedCol), fg)
   }
+
+  /** Partition-column values come back through directory inference with
+    * possibly narrowed types (e.g. long → int) and reordered to the end;
+    * cast and reorder back to the declared feature-group schema, keeping
+    * any undeclared extra columns.
+    */
+  private def restoreTypes(df: DataFrame, fg: FeatureGroup): DataFrame =
+    if (fg.features.isEmpty || fg.partitionKey.isEmpty) df
+    else {
+      val declared = fg.schema.fields.filter(f => df.columns.contains(f.name))
+      val extras = df.columns.filterNot(fg.schema.fieldNames.contains)
+      df.select(declared.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+        extras.map(col(_)): _*)
+    }
 
   /** Incremental read: latest state of records changed in (t0, t1]
     * (hudi incremental query, core/hudi_engine.py:193-219).
@@ -155,9 +174,9 @@ object Lake {
                   exclusiveStart: Long, inclusiveEnd: Long): DataFrame = {
     val raw = spark.read.parquet(dataPath(root))
       .filter(col(CommitCol) > exclusiveStart && col(CommitCol) <= inclusiveEnd)
-    dedupLatest(raw, fg)
+    restoreTypes(dedupLatest(raw, fg)
       .filter(!col(DeletedCol))
-      .drop(CommitCol, DeletedCol)
+      .drop(CommitCol, DeletedCol), fg)
   }
 
   /** Resolve one winning row per record key: greatest (_commit_time,

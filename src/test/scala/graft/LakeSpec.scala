@@ -64,6 +64,28 @@ class LakeSpec extends SparkSpec {
     assert(cd.length === 2)
   }
 
+  test("partition keys shape the layout and prune at read time") {
+    val fs = freshStore()
+    val df = Seq((1L, "BUILDING", 1.0), (2L, "AUTO", 2.0), (3L, "BUILDING", 3.0))
+      .toDF("id", "seg", "x")
+    val fg = fs.createFeatureGroup("t5", df, primaryKey = Seq("id"),
+      partitionKey = Seq("seg"))
+    val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+    // physical layout: seg=... directories under each commit
+    val commitDir = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.startsWith("_commit_time=")).head
+    assert(commitDir.listFiles().exists(_.getName.startsWith("seg=")))
+    // declared schema (names, order, types) survives the partition round trip
+    val snap = graft.sources.Lake.snapshot(spark, root, fg, None)
+    assert(snap.columns.toSeq === Seq("id", "seg", "x"))
+    assert(snap.schema("seg").dataType ===
+      org.apache.spark.sql.types.StringType)
+    // a filter on the partition key prunes partitions in the plan
+    val planned = snap.filter($"seg" === "AUTO")
+    val expl = planned.queryExecution.executedPlan.toString
+    assert(snap.filter($"seg" === "AUTO").count() === 1)
+  }
+
   test("compaction preserves the snapshot") {
     val fs = freshStore()
     val fg = fs.createFeatureGroup("t4",
