@@ -37,8 +37,15 @@ final class FeatureVectorServer(
     broadcast(keys).join(renamed, joinKeys, "left")
   }
 
-  /** Assemble feature vectors for a DataFrame of serving keys. */
-  def getFeatureVectors(keys: DataFrame): DataFrame = {
+  /** Assemble feature vectors for a DataFrame of serving keys.
+    *
+    * @param requestParameters scalar request-time parameters, added as
+    *   literal columns before transformation so ON_DEMAND transformations
+    *   can consume them (reference core/vector_server.py:924-948); per-row
+    *   request context rides in as extra columns of `keys`.
+    */
+  def getFeatureVectors(keys: DataFrame,
+                        requestParameters: Map[String, Any] = Map()): DataFrame = {
     val selected =
       if (view.query.features.isEmpty) lf.featureNames
       else view.query.features.map(_.name)
@@ -75,7 +82,9 @@ final class FeatureVectorServer(
         .foreach(k => out = out.drop(renamed(k)))
     }
 
-    // model-dependent transformations applied on the assembled vector
+    // request parameters become literal columns, then one wide select
+    // applies on-demand + model-dependent transformations together
+    requestParameters.foreach { case (k, v) => out = out.withColumn(k, lit(v)) }
     if (view.transformations.nonEmpty)
       Transformations.applyAll(out, view.transformations, stats)
     else out

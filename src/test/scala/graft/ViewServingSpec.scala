@@ -110,6 +110,25 @@ class ViewServingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("serving: on-demand transformation consumes request parameters") {
+    import graft.ops.Transformations._
+    val onDemand = Transformation("od", OnDemand,
+      inputs = Seq("c_acctbal", "request_rate"), drop = Seq("request_rate"),
+      fn = (cols, _) => Seq((cols(0) * cols(1)).as("scaled_balance")))
+    val view = graft.view.FeatureView("odv", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_acctbal")),
+      transformations = Seq(onDemand))
+    val server = new graft.serving.FeatureVectorServer(spark, view)
+    val keys = spark.range(3).selectExpr("id AS c_custkey")
+    val out = server.getFeatureVectors(keys,
+      requestParameters = Map("request_rate" -> 2.0))
+    assert(out.columns.contains("scaled_balance") &&
+      !out.columns.contains("request_rate"))
+    val row = out.filter($"c_custkey" === 0).collect().head
+    assert(row.getAs[Double]("scaled_balance") ===
+      row.getAs[Double]("c_acctbal") * 2.0)
+  }
+
   test("serving: single-vector lookup merges groups and applies prefix") {
     val view = graft.view.FeatureView("cv", 1,
       Query.select(fg("customer"), Seq("c_custkey", "c_name"))
