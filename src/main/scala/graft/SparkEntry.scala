@@ -478,6 +478,26 @@ object SparkEntry {
       SchemaOps.fromKafkaWire(wire, docs.schema)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // §2.4 symmetric `on` keys (using-columns join, key collapses once).
+    "q39_join_on_keys" -> ((s, dir) => {
+      val spineDf = s.read.parquet(TestTables.parquet(dir, "orders"))
+        .select(col("o_orderkey"),
+          (col("o_orderpriority") === "1-URGENT").as("urgent"))
+      val spineFg = FeatureGroup.spine("ok_spine", spineDf,
+        primaryKey = Seq("o_orderkey"))
+      q(s, Query.selectAll(spineFg)
+        .join(Query.select(fg(s, dir, "orders"), Seq("o_totalprice")),
+          on = Seq("o_orderkey"), joinType = JoinType.Left))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.3 select_all excluding primary key and event time.
+    "q40_select_all_excl" -> ((s, dir) => {
+      q(s, Query.selectAll(fg(s, dir, "orders"),
+          includePrimaryKey = false, includeEventTime = false))
+        .orderBy("o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
     })
   )
 
@@ -748,6 +768,14 @@ object SparkEntry {
                 abs((det.m - ref.m) / ref.m) >= 0.05 AS shift_detected
          FROM det, ref""",
     "q38_wire_roundtrip" ->
-      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "q39_join_on_keys" ->
+      """SELECT o_orderkey, o_orderpriority = '1-URGENT' AS urgent,
+                o_totalprice
+         FROM orders ORDER BY o_orderkey""",
+    "q40_select_all_excl" ->
+      """SELECT o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         ORDER BY o_custkey, o_totalprice, o_orderstatus, o_orderpriority"""
   )
 }

@@ -20,7 +20,11 @@ final case class Feature(
     primary: Boolean = false,
     partition: Boolean = false,
     nullable: Boolean = true,
-    description: Option[String] = None
+    description: Option[String] = None,
+    /** Fill value for rows predating an appended column
+      * (python/hsfs/feature.py default_value, feature_group.py:853).
+      */
+    defaultValue: Option[Any] = None
 ) {
   def toField: StructField = StructField(name, dataType, nullable)
 }

@@ -36,15 +36,31 @@ object SchemaOps {
   }
 
   /** Schema evolution helper: append missing columns with defaults
-    * (feature_group.py:853 appended-column defaults).
+    * (feature_group.py:853 appended-column defaults). `defaults` fills
+    * missing columns that have a declared default value; others get null.
     */
-  def alignToSchema(df: DataFrame, schema: StructType): DataFrame = {
+  def alignToSchema(df: DataFrame, schema: StructType,
+                    defaults: Map[String, Any] = Map()): DataFrame = {
     val existing = df.columns.toSet
     val withMissing = schema.fields.filterNot(f => existing(f.name))
-      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .foldLeft(df) { (d, f) =>
+        val fill = defaults.get(f.name).map(lit(_)).getOrElse(lit(null))
+        d.withColumn(f.name, fill.cast(f.dataType))
+      }
     castToSchema(withMissing, schema)
       .select(schema.fields.map(f => col(f.name)): _*)
   }
+
+  /** Align to a feature-group's declared features, honoring their
+    * `defaultValue`s.
+    */
+  def alignToFeatures(df: DataFrame,
+                      features: Seq[graft.model.Feature]): DataFrame =
+    alignToSchema(df,
+      org.apache.spark.sql.types.StructType(features.map(_.toField)),
+      features.collect { case f if f.defaultValue.isDefined =>
+        f.name -> f.defaultValue.get
+      }.toMap)
 
   /** `show(n)` / preview semantics (constructor/query.py:209-234). */
   def preview(df: DataFrame, n: Int = 10): DataFrame = df.limit(n)

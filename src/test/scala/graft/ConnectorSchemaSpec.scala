@@ -64,6 +64,25 @@ class ConnectorSchemaSpec extends SparkSpec {
     assert(back.collect().head.getAs[String]("v") === "x")
   }
 
+  test("align honors declared feature default values") {
+    import graft.model.Feature
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val feats = Seq(
+      Feature("id", LongType), Feature("v", StringType),
+      Feature("score", DoubleType, defaultValue = Some(0.5)),
+      Feature("note", StringType))
+    val out = SchemaOps.alignToFeatures(df, feats).collect().head
+    assert(out.getAs[Double]("score") === 0.5)
+    assert(out.isNullAt(out.fieldIndex("note")))
+  }
+
+  test("profile of an empty frame reports zero counts, no stats") {
+    val empty = spark.read.parquet(s"$sfDir/nation.parquet").limit(0)
+    val p = graft.ops.Statistics.profile(empty)
+    assert(p.nonEmpty && p.forall(c => c.count === 0 && c.min.isEmpty))
+  }
+
   test("preview and empty-frame helpers") {
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
     assert(SchemaOps.preview(df, 3).count() === 3)
