@@ -71,6 +71,19 @@ final class FeatureStore(
   }
 
   def read(q: Query): DataFrame = QueryPlanner.plan(spark, q)
+
+  /** Register every feature group's current state as a temp view named
+    * `<name>_<version>` and run raw SQL against them — the analog of the
+    * reference's `USE <featurestore>; spark.sql(q)` entry
+    * (python/hsfs/engine/spark.py:140-163).
+    */
+  def sql(query: String): DataFrame = {
+    featureGroups.foreach { fg =>
+      QueryPlanner.materialize(spark, fg, None)
+        .createOrReplaceTempView(fg.id)
+    }
+    spark.sql(query)
+  }
 }
 
 /** Convenience registration of the driver's TPC-H-ish testdata directory as

@@ -22,6 +22,34 @@ object Splits {
     names.zip(df.randomSplit(ws.toArray, seed)).toMap
   }
 
+  /** Exact-proportion random split (the reference python engine's variant,
+    * engine/python.py:980-1017: shuffled index assignment so split sizes
+    * are exact, not Bernoulli-approximate). Distributed form: seeded
+    * per-row random sort key → global row_number → contiguous index ranges
+    * per split. Costs one extra shuffle (the window) over [[random]];
+    * weights must sum to ~1.
+    */
+  def exactRandom(df: DataFrame, weights: Map[String, Double],
+                  seed: Long = 42L): Map[String, DataFrame] = {
+    require(weights.nonEmpty, "at least one split weight")
+    require(math.abs(weights.values.sum - 1.0) < 1e-6,
+      "exact split ratios must sum to 1")
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val w = Window.orderBy(rand(seed), monotonically_increasing_id())
+    val indexed = df.withColumn("_split_idx", row_number().over(w))
+    val names = weights.keys.toSeq.sorted
+    val bounds = names.scanLeft(0L) { (acc, k) =>
+      acc + math.round(weights(k) * n)
+    }
+    names.zipWithIndex.map { case (k, i) =>
+      val (lo, hi) =
+        (bounds(i), if (i == names.size - 1) n else bounds(i + 1))
+      k -> indexed.filter(col("_split_idx") > lo && col("_split_idx") <= hi)
+        .drop("_split_idx")
+    }.toMap
+  }
+
   /** Time-series split: per-split `[start, end)` filter on the event-time
     * column, any accepted event-time representation (normalized to epoch
     * millis with native expressions — the reference inlines a python UDF,

@@ -34,6 +34,26 @@ class StatsTransformSpec extends SparkSpec {
     assert(splits("train").count() > splits("test").count())
   }
 
+  test("exact random split hits the requested sizes exactly") {
+    val df = spark.range(1000).toDF("id")
+    val splits = Splits.exactRandom(df,
+      Map("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1), seed = 7L)
+    assert(splits("train").count() === 700)
+    assert(splits("test").count() === 200)
+    assert(splits("validation").count() === 100)
+    val union = splits.values.map(_.select("id")).reduce(_ union _)
+    assert(union.distinct().count() === 1000) // disjoint exact cover
+  }
+
+  test("feature store sql() runs over registered group views") {
+    val fs = new graft.catalog.FeatureStore(spark,
+      warehouseDir = java.nio.file.Files.createTempDirectory("graft_sql").toString)
+    fs.createFeatureGroup("sqlfg",
+      Seq((1L, 5.0), (2L, 7.0)).toDF("id", "x"), primaryKey = Seq("id"))
+    val n = fs.sql("SELECT sum(x) AS s FROM sqlfg_1").collect().head.getDouble(0)
+    assert(n === 12.0)
+  }
+
   test("time-series split bounds are [start, end)") {
     val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-06-01 00:00:00"),
       (3L, "2024-12-31 23:59:59")).toDF("id", "et")
