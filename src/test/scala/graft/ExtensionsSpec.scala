@@ -57,6 +57,26 @@ class ExtensionsSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("ivf index: assignment covers the corpus, search beats lsh recall") {
+    import graft.ops.IvfIndex
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    assert(idx.assigned.count() === emb.count())
+    assert(idx.assigned.select("_cell").distinct().count() > 1)
+
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+        q, "qid", "qe", k = 3)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfIndex.search(idx, "vec_id", "embedding",
+        q, "qid", "qe", k = 3, nProbe = 4)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    emb.unpersist()
+  }
+
   test("exact dedup keeps one row per content, smallest id") {
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "t")
     val out = Dedup.exact(df, "id", Seq("t")).orderBy("id")
