@@ -78,26 +78,34 @@ object Lake {
       fg: FeatureGroup,
       rows: DataFrame,
       deleted: Boolean,
-      operation: String): CommitMeta = {
+      operation: String,
+      computeStats: Boolean = true): CommitMeta = {
     val t = newCommitTime(spark, root)
     val stamped = rows
       .withColumn(CommitCol, lit(t))
       .withColumn(DeletedCol, lit(deleted))
 
     // Classify the commit for metadata parity with Hudi commit stats
-    // (core/hudi_engine.py:246-274). One semi/anti join against the current
-    // snapshot keys; skipped work when the table is empty.
+    // (core/hudi_engine.py:246-274): ONE action — left join against current
+    // snapshot keys, counting total and matched together. `computeStats =
+    // false` skips the snapshot scan entirely (high-frequency streaming
+    // commits shouldn't rescan the table per micro-batch).
     val keys = recordKey(fg)
     val (ins, upd, del) =
-      if (listCommits(spark, root).isEmpty) {
+      if (!computeStats) (-1L, -1L, -1L)
+      else if (listCommits(spark, root).isEmpty) {
         val n = rows.count()
         if (deleted) (0L, 0L, n) else (n, 0L, 0L)
       } else {
-        val current = snapshot(spark, root, fg, None).select(keys.map(col): _*)
-        val incoming = rows.select(keys.map(col): _*)
-        val matched = incoming.join(current, keys, "left_semi").count()
-        val fresh = incoming.count() - matched
-        if (deleted) (0L, 0L, matched) else (fresh, matched, 0L)
+        val current = snapshot(spark, root, fg, None)
+          .select(keys.map(col): _*).withColumn("_m", lit(1))
+        val r = rows.select(keys.map(col): _*)
+          .join(current, keys, "left")
+          .agg(count(lit(1)).as("n"), sum(col("_m")).as("m"))
+          .collect().head
+        val total = r.getLong(0)
+        val matched = if (r.isNullAt(1)) 0L else r.getLong(1)
+        if (deleted) (0L, 0L, matched) else (total - matched, matched, 0L)
       }
 
     // physical layout: commit partition first (time travel = pruning),
@@ -126,8 +134,9 @@ object Lake {
     * winner (hudi upsert, core/hudi_engine.py:85-169).
     */
   def upsert(spark: SparkSession, root: String, fg: FeatureGroup,
-             df: DataFrame): CommitMeta =
-    writeCommit(spark, root, fg, df, deleted = false, operation = "upsert")
+             df: DataFrame, computeStats: Boolean = true): CommitMeta =
+    writeCommit(spark, root, fg, df, deleted = false, operation = "upsert",
+      computeStats = computeStats)
 
   /** Delete by key: tombstone append (EmptyHoodieRecordPayload analog,
     * core/hudi_engine.py:94-100).

@@ -69,7 +69,7 @@ object Streaming {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          Lake.upsert(batch.sparkSession, root, fg, batch)
+          Lake.upsert(batch.sparkSession, root, fg, batch, computeStats = false)
         }
         ()
       }
