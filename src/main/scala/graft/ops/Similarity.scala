@@ -48,8 +48,11 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, metric: Metric = Cosine,
-      excludeSelf: Boolean = true): DataFrame = {
-    val pairs = corpus
+      excludeSelf: Boolean = true,
+      preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // pushdown-friendly pre-filter on the corpus — the reference's
+    // find_neighbors(filter) pushdown (core/vector_db_client.py:232-298)
+    val pairs = preFilter.fold(corpus)(corpus.filter)
       .withColumn("_part", spark_partition_id())
       .join(broadcast(queries))
       .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
@@ -109,12 +112,14 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, dim: Int, nBits: Int = 8, nTables: Int = 4, nProbes: Int = 3,
       metric: Metric = Cosine, seed: Int = 42,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val corpusF = preFilter.fold(corpus)(corpus.filter)
     def tableSigs(vec: org.apache.spark.sql.Column) =
       (0 until nTables).map(t =>
         hyperplaneSignature(vec, dim, nBits, seed + t * 7919))
 
-    val sigCorpus = corpus.select(col(idCol), col(vecCol),
+    val sigCorpus = corpusF.select(col(idCol), col(vecCol),
       posexplode(array(tableSigs(col(vecCol)): _*)).as(Seq("_table", "_bucket")))
 
     val probesPerTable = tableSigs(col(queryVecCol)).zipWithIndex.flatMap {

@@ -77,6 +77,21 @@ class ExtensionsSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("flagship entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("knn pre-filter restricts the searched corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val res = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      q, "qid", "qe", k = 5, preFilter = Some($"label" === 1))
+    val labels = res.join(emb.select($"vec_id", $"label"), "vec_id")
+      .select("label").distinct().collect().map(_.getInt(0)).toSeq
+    assert(labels === Seq(1))
+  }
+
   test("exact dedup keeps one row per content, smallest id") {
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "t")
     val out = Dedup.exact(df, "id", Seq("t")).orderBy("id")
