@@ -498,6 +498,44 @@ object SparkEntry {
       q(s, Query.selectAll(fg(s, dir, "orders"),
           includePrimaryKey = false, includeEventTime = false))
         .orderBy("o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    }),
+
+    // Headline: TPC-H Q3-style shipping-priority query through the
+    // feature-store SQL entry (registered group views → spark.sql).
+    "q41_sql_q3" -> ((s, dir) => {
+      val fs = new graft.catalog.FeatureStore(s)
+      Seq("customer", "orders", "lineitem").foreach(t => fs.register(fg(s, dir, t)))
+      fs.sql(
+        """SELECT l_orderkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                  date_format(o_orderdate, 'yyyy-MM-dd') AS od
+           FROM customer_1
+           JOIN orders_1 ON c_custkey = o_custkey
+           JOIN lineitem_1 ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1995-03-15'
+             AND l_shipdate > TIMESTAMP '1995-03-15'
+           GROUP BY l_orderkey, o_orderdate
+           ORDER BY revenue DESC, l_orderkey
+           LIMIT 20""")
+    }),
+
+    // Headline: multi-way prefixed join through the IR with an aggregation
+    // on top (customer ⋈ nation ⋈ region revenue rollup).
+    "q42_ir_rollup" -> ((s, dir) => {
+      val joined = q(s, Query.select(fg(s, dir, "customer"),
+          Seq("c_custkey", "c_acctbal"))
+        .join(
+          Query.select(fg(s, dir, "nation"), Seq("n_name"))
+            .join(Query.select(fg(s, dir, "region"), Seq("r_name")),
+              leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey"),
+              joinType = JoinType.Inner),
+          leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+          joinType = JoinType.Inner))
+      joined.groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_balance"))
+        .orderBy("r_name", "n_name")
     })
   )
 
@@ -776,6 +814,27 @@ object SparkEntry {
     "q40_select_all_excl" ->
       """SELECT o_custkey, o_orderstatus, o_totalprice, o_orderpriority
          FROM orders
-         ORDER BY o_custkey, o_totalprice, o_orderstatus, o_orderpriority"""
+         ORDER BY o_custkey, o_totalprice, o_orderstatus, o_orderpriority""",
+    "q41_sql_q3" ->
+      """SELECT l_orderkey,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                strftime(o_orderdate, '%Y-%m-%d') AS od
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 20""",
+    "q42_ir_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+                round(sum(c_acctbal), 2) AS total_balance
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name"""
   )
 }

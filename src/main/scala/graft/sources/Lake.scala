@@ -155,6 +155,12 @@ object Lake {
     */
   def snapshot(spark: SparkSession, root: String, fg: FeatureGroup,
                asOf: Option[Long]): DataFrame = {
+    if (listCommits(spark, root).isEmpty) {
+      // schema-only table (e.g. created from an empty frame): no partitions
+      // exist yet, so return an empty frame with the declared schema
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), fg.schema)
+    }
     val raw0 = spark.read.parquet(dataPath(root))
     val raw = asOf.fold(raw0)(t => raw0.filter(col(CommitCol) <= t))
     restoreTypes(dedupLatest(raw, fg)
