@@ -536,6 +536,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("c_acctbal")), 2).as("total_balance"))
         .orderBy("r_name", "n_name")
+    }),
+
+    // End-to-end training-corpus pipeline: exact dedup → quality gates →
+    // per-language corpus statistics (the 100 TB LLM-data use case in one
+    // declarative plan — dedup window, native text expressions, one agg).
+    "q43_corpus_pipeline" -> ((s, dir) => {
+      import graft.ops.{Dedup, TextAnalysis}
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val deduped = Dedup.exact(docs, "doc_id", Seq("text"))
+      val gated = deduped
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("pr", TextAnalysis.punctRatio(col("text")))
+        .filter(col("n_tok") >= 10 && col("pr") <= 0.2)
+      gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -835,6 +853,23 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name
-         ORDER BY r_name, n_name"""
+         ORDER BY r_name, n_name""",
+    "q43_corpus_pipeline" ->
+      """WITH deduped AS (
+           SELECT * FROM documents
+           WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)),
+         gated AS (
+           SELECT *,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0)) AS n_tok,
+             CASE WHEN length(text) = 0 THEN 0.0
+               ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE) END AS pr
+           FROM deduped)
+         SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+                round(avg(n_chars), 2) AS avg_chars
+         FROM gated
+         WHERE n_tok >= 10 AND pr <= 0.2
+         GROUP BY lang ORDER BY lang"""
   )
 }
