@@ -47,9 +47,12 @@ object VectorFunctions {
       scalarLoop(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
     /** Generated loop body: given float arrays `av`,`bv` and length `n`,
-      * assign the result to `ev.value`.
+      * assign the result to `ev.value`. All locals must come from
+      * `ctx.freshName` — the snippet may be inlined many times into one
+      * generated function.
       */
-    protected def genLoop(av: String, bv: String, n: String, result: String): String
+    protected def genLoop(ctx: CodegenContext, av: String, bv: String,
+                          n: String, result: String): String
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (l, r) => {
@@ -60,7 +63,7 @@ object VectorFunctions {
            |float[] $av = $l.toFloatArray();
            |float[] $bv = $r.toFloatArray();
            |int $n = Math.min($av.length, $bv.length);
-           |${genLoop(av, bv, n, ev.value)}
+           |${genLoop(ctx, av, bv, n, ev.value)}
          """.stripMargin
       })
   }
@@ -74,13 +77,16 @@ object VectorFunctions {
       while (i < n) { acc += av(i).toDouble * bv(i).toDouble; i += 1 }
       acc
     }
-    override protected def genLoop(av: String, bv: String, n: String,
-                                   result: String): String =
+    override protected def genLoop(ctx: CodegenContext, av: String, bv: String,
+                                   n: String, result: String): String = {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       s"""
-         |double acc = 0.0;
-         |for (int i = 0; i < $n; i++) acc += (double) $av[i] * (double) $bv[i];
-         |$result = acc;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++)
+         |  $acc += (double) $av[$i] * (double) $bv[$i];
+         |$result = $acc;
        """.stripMargin
+    }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
   }
@@ -98,17 +104,20 @@ object VectorFunctions {
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    override protected def genLoop(av: String, bv: String, n: String,
-                                   result: String): String =
+    override protected def genLoop(ctx: CodegenContext, av: String, bv: String,
+                                   n: String, result: String): String = {
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
       s"""
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = (double) $av[i]; double y = (double) $bv[i];
-         |  dot += x * y; na += x * x; nb += y * y;
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $av[$i]; double y = (double) $bv[$i];
+         |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |$result = (na == 0.0 || nb == 0.0)
-         |  ? 0.0 : dot / (Math.sqrt(na) * Math.sqrt(nb));
+         |$result = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
+    }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
   }
@@ -124,18 +133,88 @@ object VectorFunctions {
       }
       math.sqrt(acc)
     }
-    override protected def genLoop(av: String, bv: String, n: String,
-                                   result: String): String =
+    override protected def genLoop(ctx: CodegenContext, av: String, bv: String,
+                                   n: String, result: String): String = {
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
       s"""
-         |double acc = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double d = (double) $av[i] - (double) $bv[i]; acc += d * d;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = (double) $av[$i] - (double) $bv[$i]; $acc += d * d;
          |}
-         |$result = Math.sqrt(acc);
+         |$result = Math.sqrt($acc);
        """.stripMargin
+    }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
   }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits of dot products
+    * against pseudo-random hyperplanes derived from (seed, bit, dim) via
+    * splitmix64 — fully codegen'd single pass over the vector (the
+    * higher-order-function formulation allocates an array per bit and runs
+    * interpreted; this is the bucketing hot path of a 100 TB ANN scan).
+    */
+  case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "vec_lsh_signature"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val av = v.asInstanceOf[ArrayData].toFloatArray()
+      var sig = 0L
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var d = 0
+        while (d < av.length) {
+          dot += av(d) * component(seed, b, d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val av = ctx.freshName("av")
+        val sig = ctx.freshName("sig")
+        val dot = ctx.freshName("dot")
+        val b = ctx.freshName("b")
+        val d = ctx.freshName("d")
+        val cls = VectorFunctions.getClass.getName.stripSuffix("$") + "$"
+        s"""
+           |float[] $av = $c.toFloatArray();
+           |long $sig = 0L;
+           |for (int $b = 0; $b < $nBits; $b++) {
+           |  double $dot = 0.0;
+           |  for (int $d = 0; $d < $av.length; $d++) {
+           |    $dot += $av[$d] * $cls.MODULE$$.component(${seed}L, $b, $d);
+           |  }
+           |  if ($dot >= 0) $sig |= (1L << $b);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Deterministic hyperplane component in [-1, 1): splitmix64 of
+    * (seed, bit, dim) scaled. Public so generated code can call it.
+    */
+  def component(seed: Long, b: Int, d: Int): Double = {
+    var z = seed + b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >> 11).toDouble / (1L << 52).toDouble // in (-2, 2), sign-symmetric
+  }
+
+  def vecLshSignature(v: Column, nBits: Int, seed: Long): Column =
+    asCol(HyperplaneSignature(ex(v), nBits, seed))
 
   private def asCol(e: Expression): Column = GraftSqlBridge.column(e)
   private def ex(c: Column): Expression = GraftSqlBridge.expression(c)

@@ -94,6 +94,18 @@ object SchemaOps {
     df.select(from_json(col("value").cast("string"), schema).as("v"))
       .select("v.*")
 
+  /** Monitoring window definitions (core/monitoring_window_config_engine.py
+    * :86-230): rolling = [now - size - offset, now - offset); expanding =
+    * [origin, now - offset). Millis in, (start, end) millis out.
+    */
+  def rollingWindow(nowMillis: Long, sizeMillis: Long,
+                    offsetMillis: Long = 0L): (Long, Long) =
+    (nowMillis - offsetMillis - sizeMillis, nowMillis - offsetMillis)
+
+  def expandingWindow(originMillis: Long, nowMillis: Long,
+                      offsetMillis: Long = 0L): (Long, Long) =
+    (originMillis, nowMillis - offsetMillis)
+
   /** Monitoring-window slice: event-time range + row-fraction sample
     * (core/monitoring_window_config_engine.py:190-373), profiled with one
     * agg pass — feeds [[Statistics.differenceAndShift]].

@@ -78,27 +78,18 @@ object Similarity {
 
   /** Deterministic random-hyperplane signature: `nBits` sign bits of dot
     * products against pseudo-random hyperplanes derived from (seed, bit,
-    * dim) via a hash — no fit step, reproducible across runs/engines.
+    * dim) — no fit step, reproducible across runs. Backed by the codegen'd
+    * [[VectorFunctions.HyperplaneSignature]] expression (single fused pass
+    * over the vector; the HOF formulation allocated one array per bit and
+    * ran interpreted).
     */
   def signatureFor(vec: org.apache.spark.sql.Column,
                    dim: Int, nBits: Int, seed: Int): org.apache.spark.sql.Column =
     hyperplaneSignature(vec, dim, nBits, seed)
 
   private def hyperplaneSignature(vec: org.apache.spark.sql.Column,
-                                  dim: Int, nBits: Int, seed: Int) = {
-    // hyperplane component h[b][d] in (-1, 1) derived from xxhash64 — the
-    // signature is a compact higher-order expression (a per-dimension
-    // unrolled form explodes codegen at dim×bits×tables terms)
-    val bits = (0 until nBits).map { b =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x * ((xxhash64(lit(seed), lit(b), i) % 1000003L).cast("double")
-            / 1000003.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+                                  dim: Int, nBits: Int, seed: Int) =
+    VectorFunctions.vecLshSignature(vec, nBits, seed.toLong)
 
   /** Approximate k-NN via multi-table LSH bucketing: `nTables` independent
     * signatures bucket corpus and queries; candidates are the union of
