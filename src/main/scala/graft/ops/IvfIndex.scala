@@ -55,7 +55,7 @@ object IvfIndex {
       .withColumn("_cd", VectorFunctions.vecL2(col(vecCol), col("_centroid")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(corpus.columns.map(col) :+ col("_cell"): _*)
+      .select(corpus.columns.toIndexedSeq.map(col) :+ col("_cell"): _*)
     Index(centroids, assigned)
   }
 

@@ -82,7 +82,7 @@ object Multimodal {
     val sz = length(col(binaryCol))
     val offsets = transform(sequence(lit(0), lit(n - 1)),
       i => (i * sz / n).cast("int"))
-    df.select(df.columns.map(col) :+
+    df.select(df.columns.toIndexedSeq.map(col) :+
         posexplode(offsets).as(Seq("frame_idx", "_off")): _*)
       .withColumn("frame_bytes",
         col(binaryCol).substr(col("_off") + 1, lit(64)))

@@ -27,7 +27,7 @@ object SchemaOps {
   def castToSchema(df: DataFrame, schema: StructType): DataFrame = {
     val types: Map[String, DataType] =
       schema.fields.map(f => f.name -> f.dataType).toMap
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       types.get(c) match {
         case Some(t) if df.schema(c).dataType != t => col(c).cast(t).as(c)
         case _                                     => col(c)
@@ -48,7 +48,7 @@ object SchemaOps {
         d.withColumn(f.name, fill.cast(f.dataType))
       }
     castToSchema(withMissing, schema)
-      .select(schema.fields.map(f => col(f.name)): _*)
+      .select(schema.fields.toIndexedSeq.map(f => col(f.name)): _*)
   }
 
   /** Align to a feature-group's declared features, honoring their
@@ -78,7 +78,7 @@ object SchemaOps {
   def toKafkaWire(df: DataFrame, primaryKey: Seq[String],
                   headers: Map[String, String] = Map()): DataFrame = {
     val key = concat(primaryKey.sorted.map(c => col(c).cast("string")): _*)
-    val value = to_json(struct(df.columns.map(col): _*))
+    val value = to_json(struct(df.columns.toIndexedSeq.map(col): _*))
     val hdrs = array(headers.toSeq.sortBy(_._1).map { case (k, v) =>
       struct(lit(k).as("key"), lit(v).cast("binary").as("value"))
     }: _*)

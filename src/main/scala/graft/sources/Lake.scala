@@ -178,7 +178,7 @@ object Lake {
     else {
       val declared = fg.schema.fields.filter(f => df.columns.contains(f.name))
       val extras = df.columns.filterNot(fg.schema.fieldNames.contains)
-      df.select(declared.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+      df.select(declared.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
         extras.map(col(_)): _*)
     }
 
