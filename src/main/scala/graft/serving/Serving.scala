@@ -26,10 +26,26 @@ final class FeatureVectorServer(
 
   private val lf = view.query.leftFeatureGroup
 
+  /** Latest row per primary key — the online store holds only the newest
+    * version of each key (reference online path semantics; offline history
+    * keeps every (pk, event_time) record).
+    */
+  private def latestPerKey(fg: FeatureGroup,
+                           df: org.apache.spark.sql.DataFrame) =
+    fg.eventTime.filter(df.columns.contains) match {
+      case Some(et) if fg.primaryKey.nonEmpty =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fg.primaryKey.map(col): _*)
+          .orderBy(col(et).desc)
+        df.withColumn("_sv_rn", row_number().over(w))
+          .filter(col("_sv_rn") === 1).drop("_sv_rn")
+      case _ => df
+    }
+
   private def lookupOne(keys: DataFrame, fg: FeatureGroup,
                         wanted: Seq[String], joinKeys: Seq[String],
                         prefix: String): DataFrame = {
-    val snap = QueryPlanner.materialize(spark, fg, None)
+    val snap = latestPerKey(fg, QueryPlanner.materialize(spark, fg, None))
     val projected = snap.select((joinKeys ++ wanted).distinct.map(col): _*)
     val renamed = wanted.filterNot(joinKeys.contains).foldLeft(projected) {
       (d, c) => d.withColumnRenamed(c, prefix + c)
@@ -68,7 +84,8 @@ final class FeatureVectorServer(
       val rightKeys = if (j.rightOn.nonEmpty) j.rightOn else joinKeys
       val wanted =
         if (j.right.features.isEmpty) rfg.featureNames else j.right.features.map(_.name)
-      val snap = QueryPlanner.plan(spark, j.right.copy(features = Nil))
+      val snap = latestPerKey(rfg,
+        QueryPlanner.plan(spark, j.right.copy(features = Nil)))
       val projected = snap.select(
         (rightKeys ++ wanted.filterNot(rightKeys.contains)).distinct.map(col): _*)
       val prefix = j.prefix.getOrElse("")
