@@ -94,6 +94,36 @@ object SchemaOps {
     df.select(from_json(col("value").cast("string"), schema).as("v"))
       .select("v.*")
 
+  /** Encode complex-typed features (array/map/struct) to `binary` for the
+    * online path (reference Avro-encodes complex features,
+    * engine/spark.py:534-549; JSON bytes here — spark-avro absent — with
+    * the same schema contract and column shape).
+    */
+  def encodeComplexFeatures(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(f.name)).cast(BinaryType).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
+  /** Decode complex features back to their declared types
+    * (reference decoders, core/vector_server.py:994-1064).
+    */
+  def decodeComplexFeatures(df: DataFrame, declared: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.select(declared.fields.toIndexedSeq.map { f =>
+      (f.dataType, df.schema(f.name).dataType) match {
+        case (t @ (_: ArrayType | _: MapType | _: StructType), BinaryType) =>
+          from_json(col(f.name).cast("string"), t).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
   /** Monitoring window definitions (core/monitoring_window_config_engine.py
     * :86-230): rolling = [now - size - offset, now - offset); expanding =
     * [origin, now - offset). Millis in, (start, end) millis out.

@@ -83,6 +83,19 @@ class ConnectorSchemaSpec extends SparkSpec {
     assert(p.nonEmpty && p.forall(c => c.count === 0 && c.min.isEmpty))
   }
 
+  test("complex features round-trip through binary wire encoding") {
+    val df = Seq((1L, Seq(1.0f, 2.0f), Map("a" -> 1)))
+      .toDF("id", "vec", "m")
+    val encoded = SchemaOps.encodeComplexFeatures(df)
+    import org.apache.spark.sql.types._
+    assert(encoded.schema("vec").dataType === BinaryType)
+    assert(encoded.schema("m").dataType === BinaryType)
+    val decoded = SchemaOps.decodeComplexFeatures(encoded, df.schema)
+    val row = decoded.collect().head
+    assert(row.getAs[scala.collection.Seq[Float]]("vec") === Seq(1.0f, 2.0f))
+    assert(row.getAs[Map[String, Int]]("m") === Map("a" -> 1))
+  }
+
   test("preview and empty-frame helpers") {
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
     assert(SchemaOps.preview(df, 3).count() === 3)
