@@ -108,6 +108,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: lake state machine matches an in-memory model") {
+    import graft.sources.Lake
+    val opsGen = Gen.listOfN(5, for {
+      del <- Gen.oneOf(false, false, true) // deletes less frequent
+      keys <- Gen.nonEmptyListOf(Gen.choose(0L, 6L)).map(_.distinct.take(4))
+      tag <- Gen.choose(0, 999)
+    } yield (del, keys, tag))
+
+    forSamples(opsGen, n = 5) { ops =>
+      val fs = new graft.catalog.FeatureStore(spark, warehouseDir =
+        java.nio.file.Files.createTempDirectory("graft_prop_lake").toString)
+      val init = Seq((0L, "init0"), (1L, "init1")).toDF("id", "v")
+      val fg = fs.createFeatureGroup("m", init, primaryKey = Seq("id"))
+      val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+
+      var model = Map(0L -> "init0", 1L -> "init1")
+      var history = List(Lake.listCommits(spark, root).last -> model)
+
+      ops.foreach { case (del, keys, tag) =>
+        if (del) {
+          fs.delete(fg, keys.toDF("id"))
+          model = model -- keys
+        } else {
+          val rows = keys.map(k => (k, s"v$tag-$k"))
+          fs.insert(fg, rows.toDF("id", "v"))
+          model = model ++ rows.map { case (k, v) => k -> v }
+        }
+        history ::= Lake.listCommits(spark, root).last -> model
+      }
+
+      // final snapshot matches the model
+      val got = fs.read(Query.selectAll(fg)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === model)
+
+      // as-of every commit reproduces each historical state
+      history.foreach { case (t, m) =>
+        val at = Lake.snapshot(spark, root, fg, Some(t)).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(at === m, s"as-of $t")
+      }
+    }
+  }
+
   test("property: random split partitions the input exactly") {
     val g2 = for { rows <- rowsGen; seed <- Gen.choose(1L, 999L) } yield (rows, seed)
     forSamples(g2, n = 8) { case (rows, seed) =>
