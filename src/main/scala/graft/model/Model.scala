@@ -66,6 +66,18 @@ final case class FeatureGroup(
     */
   def effectivePrecombine: Option[String] =
     precombineKey.orElse(eventTime).orElse(primaryKey.headOption)
+
+  // Query entry points matching the reference's feature-group API
+  // (fg.select_all() / select / select_except / select_features —
+  // python/hsfs/feature_group.py:240-409). Defined via the IR companion;
+  // imported lazily to avoid a model→ir compile cycle.
+  def selectAll(includePrimaryKey: Boolean = true,
+                includeEventTime: Boolean = true): graft.ir.Query =
+    graft.ir.Query.selectAll(this, includePrimaryKey, includeEventTime)
+  def select(names: String*): graft.ir.Query =
+    graft.ir.Query.select(this, names)
+  def selectExcept(names: String*): graft.ir.Query =
+    graft.ir.Query.selectExcept(this, names)
 }
 
 sealed trait FgSource

@@ -17,6 +17,16 @@ class PlannerSpec extends SparkSpec {
     assert(cols.contains("o_totalprice"))
   }
 
+  test("feature-group query sugar matches the reference API shape") {
+    val q = fg("customer").select("c_custkey", "c_name")
+      .join(fg("nation").selectAll(),
+        leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+        joinType = JoinType.Inner, prefix = Some("n_"))
+    val cols = QueryPlanner.plan(spark, q).columns
+    assert(cols.take(2).toSeq === Seq("c_custkey", "c_name"))
+    assert(cols.contains("n_n_name"))
+  }
+
   test("select_except drops the named features") {
     val q = Query.selectExcept(fg("customer"), Seq("c_acctbal", "c_mktsegment"))
     assert(QueryPlanner.plan(spark, q).columns.toSeq ===
