@@ -348,15 +348,16 @@ object SparkEntry {
     }),
 
     // Multimodal: binary media column + metadata + batched feature
-    // extraction plumbing (decode kernel stubbed; rows-only).
+    // extraction plumbing (decode kernel stubbed). Oracle checks doc_id +
+    // byte length; the filter on the feature width makes a broken decode
+    // visible as a row-count mismatch.
     "q31_multimodal" -> ((s, dir) => {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
         .withColumn("media", col("text").cast("binary"))
       val withMeta = graft.ops.Multimodal.withMediaMeta(docs, "media", "image/fake")
       graft.ops.Multimodal.extractFeatures(withMeta, "media", dim = 8)
-        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
-          col("media_meta.checksum").as("checksum"),
-          col("media_features").getItem(0).as("f0"))
+        .filter(size(col("media_features")) === 8)
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"))
         .orderBy("doc_id")
     }),
 
@@ -748,6 +749,51 @@ object SparkEntry {
                                   x -> len(x) > 0) AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "q29_langid" -> {
+      // the exact languageId heuristic re-expressed in DuckDB SQL: script
+      // ratios by unicode range, stopword votes, same precedence chain
+      def ratio(lo: String, hi: String) =
+        s"""(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^\\x{$lo}-\\x{$hi}]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE) END)"""
+      def votes(words: Seq[String]) =
+        s"""len(list_filter(toks, x -> list_contains([${
+          words.map(w => s"'$w'").mkString(",")}], x)))"""
+      val en = votes(Seq("the", "and", "of", "to", "in", "is", "that", "for",
+        "it", "with", "a"))
+      val es = votes(Seq("el", "la", "de", "que", "y", "en", "los", "del",
+        "las", "por", "un", "una", "es"))
+      val fr = votes(Seq("le", "la", "les", "des", "est", "dans", "que", "et",
+        "du", "une", "pour", "sur"))
+      val de = votes(Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+        "eine", "mit", "von", "den", "zu"))
+      s"""SELECT doc_id,
+           CASE WHEN ${ratio("4e00", "9fff")} > 0.2 THEN 'zh'
+                WHEN ${ratio("3040", "30ff")} > 0.2 THEN 'ja'
+                WHEN ${ratio("ac00", "d7af")} > 0.2 THEN 'ko'
+                WHEN ${ratio("0400", "04ff")} > 0.2 THEN 'ru'
+                WHEN ${ratio("0600", "06ff")} > 0.2 THEN 'ar'
+                WHEN greatest($en, $es, $fr, $de) = 0 THEN 'und'
+                WHEN $en >= greatest($es, $fr, $de) THEN 'en'
+                WHEN $es >= greatest($fr, $de) THEN 'es'
+                WHEN $fr >= $de THEN 'fr'
+                ELSE 'de' END AS lang_pred
+         FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '[\\s[:punct:]]+'),
+                             x -> len(x) > 0) AS toks
+               FROM documents)
+         ORDER BY doc_id"""
+    },
+    "q31_multimodal" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+    "q36_lake_lifecycle" ->
+      """SELECT * FROM (
+           SELECT CAST(n_nationkey AS BIGINT) AS id,
+                  CASE WHEN n_nationkey = 0 THEN 'UPDATED_0' ELSE n_name END AS v
+           FROM nation WHERE n_nationkey <> 1
+           UNION ALL SELECT 99, 'NEW_99')
+         ORDER BY id""",
     "q32_batch_query" ->
       """SELECT o_orderkey, o_custkey,
                 strftime(o_orderdate, '%Y-%m-%d') AS od, o_totalprice, c_name
