@@ -22,9 +22,28 @@ import org.apache.spark.sql.functions._
 final class FeatureVectorServer(
     spark: SparkSession,
     view: FeatureView,
-    stats: Map[String, Transformations.FeatureStatistics] = Map()) {
+    stats: Map[String, Transformations.FeatureStatistics] = Map(),
+    cacheSnapshots: Boolean = true) {
 
   private val lf = view.query.leftFeatureGroup
+
+  // repeated lookups shouldn't re-resolve the lake snapshot per call: the
+  // latest-per-key state of each feature group is cached on first use
+  // (the analog of the reference's online store being a materialized
+  // latest-version table; call close() to release)
+  private val snapCache =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+
+  private def snapshotOf(fg: FeatureGroup,
+                         build: => org.apache.spark.sql.DataFrame) =
+    if (!cacheSnapshots) build
+    else snapCache.getOrElseUpdate(fg.id, { val d = build.cache(); d })
+
+  /** Release cached snapshots. */
+  def close(): Unit = {
+    snapCache.values.foreach(_.unpersist())
+    snapCache.clear()
+  }
 
   /** Latest row per primary key — the online store holds only the newest
     * version of each key (reference online path semantics; offline history
@@ -45,7 +64,8 @@ final class FeatureVectorServer(
   private def lookupOne(keys: DataFrame, fg: FeatureGroup,
                         wanted: Seq[String], joinKeys: Seq[String],
                         prefix: String): DataFrame = {
-    val snap = latestPerKey(fg, QueryPlanner.materialize(spark, fg, None))
+    val snap = snapshotOf(fg,
+      latestPerKey(fg, QueryPlanner.materialize(spark, fg, None)))
     val projected = snap.select((joinKeys ++ wanted).distinct.map(col): _*)
     val renamed = wanted.filterNot(joinKeys.contains).foldLeft(projected) {
       (d, c) => d.withColumnRenamed(c, prefix + c)
@@ -84,8 +104,8 @@ final class FeatureVectorServer(
       val rightKeys = if (j.rightOn.nonEmpty) j.rightOn else joinKeys
       val wanted =
         if (j.right.features.isEmpty) rfg.featureNames else j.right.features.map(_.name)
-      val snap = latestPerKey(rfg,
-        QueryPlanner.plan(spark, j.right.copy(features = Nil)))
+      val snap = snapshotOf(rfg, latestPerKey(rfg,
+        QueryPlanner.plan(spark, j.right.copy(features = Nil))))
       val projected = snap.select(
         (rightKeys ++ wanted.filterNot(rightKeys.contains)).distinct.map(col): _*)
       val prefix = j.prefix.getOrElse("")

@@ -129,6 +129,35 @@ class ViewServingSpec extends SparkSpec {
       row.getAs[Double]("c_acctbal") * 2.0)
   }
 
+  test("pit training frame folds multiple event-time branches") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val eventsFg = fg("events").copy(primaryKey = Seq("user_id"))
+    def branch(t: String, p: String) = JoinSpec(
+      Query.selectAll(eventsFg).where(graft.ir.FilterLeaf(
+        FeatureRef("event_type"), FilterCondition.Eq, t)),
+      leftOn = Seq("user_id"), rightOn = Seq("user_id"), prefix = Some(p))
+    val view = graft.view.FeatureView("pit2", 1,
+      Query(eventsFg, joins = Seq(branch("view", "v_"), branch("error", "e_"))))
+    val out = view.pitTrainingFrame(spark, clicks)
+    assert(out.count() === clicks.count())
+    assert(out.columns.contains("v_value") && out.columns.contains("e_value"))
+    assert(out.filter($"v_ts".isNotNull && $"v_ts" > $"ts").count() === 0)
+    assert(out.filter($"e_ts".isNotNull && $"e_ts" > $"ts").count() === 0)
+  }
+
+  test("serving: cached snapshots give identical repeated lookups") {
+    val view = graft.view.FeatureView("cachev", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_name")))
+    val server = new graft.serving.FeatureVectorServer(spark, view)
+    val keys = spark.range(5).selectExpr("id AS c_custkey")
+    val first = server.getFeatureVectors(keys).collect().toSet
+    val second = server.getFeatureVectors(keys).collect().toSet
+    assert(first === second && first.size === 5)
+    server.close()
+  }
+
   test("serving: single-vector lookup merges groups and applies prefix") {
     val view = graft.view.FeatureView("cv", 1,
       Query.select(fg("customer"), Seq("c_custkey", "c_name"))
