@@ -555,6 +555,34 @@ object SparkEntry {
           sum(col("n_tok")).as("total_tokens"),
           round(avg(col("n_chars")), 2).as("avg_chars"))
         .orderBy("lang")
+    }),
+
+    // §2.10 ANN scale path A: multi-table hyperplane LSH (deterministic
+    // seeded buckets; approximate → rows-only check).
+    "q44_lsh_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.ops.Similarity.lshKnn(emb, "vec_id", "embedding",
+          queries, "qid", "qe", k = 5, dim = 64,
+          nBits = 4, nTables = 8, nProbes = 4)
+        .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"),
+          col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // §2.10 ANN scale path B: IVF coarse quantizer (KMeans cells, nProbe
+    // search; approximate → rows-only check).
+    "q45_ivf_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val idx = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+      graft.ops.IvfIndex.search(idx, "vec_id", "embedding",
+          queries, "qid", "qe", k = 5, nProbe = 3)
+        .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"),
+          col("rank"))
+        .orderBy("qid", "rank")
     })
   )
 
