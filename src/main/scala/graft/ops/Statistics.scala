@@ -165,6 +165,29 @@ object Statistics {
     pairs.toDF("feature_a", "feature_b", "corr_v")
   }
 
+  /** Pearson correlation MATRIX in ONE pass over the data (MLlib
+    * `Correlation.corr` on an assembled vector) — at 100 TB the pairwise
+    * [[correlations]] costs one scan per pair (O(p²) scans); this costs one
+    * scan total for up to the Deequ cap of ~100 columns.
+    */
+  def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.stat.Correlation
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assembled = new VectorAssembler()
+      .setInputCols(columns.toArray).setOutputCol("_features")
+      .setHandleInvalid("skip")
+      .transform(df.select(columns.map(col): _*))
+    val m = Correlation.corr(assembled, "_features").head
+      .getAs[org.apache.spark.ml.linalg.Matrix](0)
+    val rows = for {
+      i <- columns.indices
+      j <- (i + 1) until columns.size
+    } yield (columns(i), columns(j), roundHalfUp(m(i, j), 6))
+    rows.toDF("feature_a", "feature_b", "corr_v")
+  }
+
   /** Monitoring-window statistics comparison: absolute or relative
     * difference of a scalar metric between detection and reference windows
     * against a threshold → shift flag

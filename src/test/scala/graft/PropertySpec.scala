@@ -152,6 +152,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: token count matches in-memory tokenization") {
+    val textGen = Gen.listOfN(12, Gen.oneOf("alpha", "b", "gamma42", "", " ",
+      "x-y", "THE")).map(_.mkString(" "))
+    forSamples(Gen.listOfN(15, textGen), n = 5) { texts =>
+      val df = texts.toDF("t")
+      val got = df.select(
+        graft.ops.TextAnalysis.tokenCount(col("t")).as("n"))
+        .collect().map(_.getInt(0)).toList
+      val want = texts.map(_.split("\\s+").count(_.nonEmpty))
+      assert(got === want)
+    }
+  }
+
   test("property: random split partitions the input exactly") {
     val g2 = for { rows <- rowsGen; seed <- Gen.choose(1L, 999L) } yield (rows, seed)
     forSamples(g2, n = 8) { case (rows, seed) =>

@@ -26,6 +26,27 @@ class StatsTransformSpec extends SparkSpec {
     assert(row.getAs[Double]("uniqueness") === 0.0)
   }
 
+  test("one-pass correlation matrix matches pairwise correlations") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairwise = Statistics.correlations(li, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val matrix = Statistics.correlationMatrix(li, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(matrix.keySet === pairwise.keySet)
+    matrix.foreach { case (k, v) =>
+      assert(math.abs(v - pairwise(k)) < 1e-6, s"pair $k")
+    }
+  }
+
+  test("label split separates X and y") {
+    val (x, y) = Splits.splitLabels(
+      li.select("l_orderkey", "l_quantity", "l_returnflag"),
+      labels = Seq("l_returnflag"))
+    assert(x.columns.toSeq === Seq("l_orderkey", "l_quantity"))
+    assert(y.columns.toSeq === Seq("l_returnflag"))
+    assert(x.count() === y.count())
+  }
+
   test("random split: disjoint cover with requested proportions") {
     val splits = Splits.random(li, Map("train" -> 0.8, "test" -> 0.2), seed = 1L)
     val total = li.count()
