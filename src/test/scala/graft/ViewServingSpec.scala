@@ -110,6 +110,47 @@ class ViewServingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("batch query substitutes a schema-checked spine for the left side") {
+    // the spine replaces the left (label) relation, so the left side's
+    // projection must be spine columns; joined features come from the FGs
+    val view = FeatureView("bv", 1,
+      Query.select(fg("orders"), Seq("o_orderkey", "o_custkey", "o_orderdate"))
+        .join(Query.select(fg("customer"), Seq("c_mktsegment")),
+          leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey")))
+    val spine = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate").limit(10)
+    val out = view.batchQuery(spark, spine = Some(spine))
+    assert(out.count() === 10)
+    // schema check rejects a spine missing the key columns
+    intercept[IllegalArgumentException] {
+      view.batchQuery(spark,
+        spine = Some(spine.drop("o_orderkey")))
+    }
+  }
+
+  test("in-stream dedup drops duplicate keys within the watermark") {
+    import graft.streaming.Streaming
+    val tmp = Files.createTempDirectory("graft_dedup").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    val data = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a-dup"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "b"))
+      .toDF("id", "ts", "v")
+    data.write.parquet(s"$src/b1")
+    val stream = Streaming.readStream(spark, "parquet", Some(s"$src/*"),
+      schema = Some(data.schema))
+    val deduped = Streaming.withDedup(stream, "ts", "10 minutes", Seq("id"))
+    val name = "dedup_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() === 2) // one row per (id, ts)
+  }
+
   test("serving: on-demand transformation consumes request parameters") {
     import graft.ops.Transformations._
     val onDemand = Transformation("od", OnDemand,
