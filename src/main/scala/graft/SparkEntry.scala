@@ -243,7 +243,9 @@ object SparkEntry {
           round(minMaxScaler(col("l_quantity"), q6), 4).as("q_mm"),
           round(standardScaler(col("l_extendedprice"), p6), 4).as("p_std"),
           round(robustScaler(col("l_discount"), d6), 4).as("d_rob"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // order by every output column so ties are identical rows
+        .orderBy("l_orderkey", "l_linenumber", "q_mm", "p_std", "d_rob")
     }),
 
     // §2.11 label encoder (sorted unique → index) + one-hot encoder.
@@ -710,7 +712,7 @@ object SparkEntry {
                 round((l_extendedprice - pmean) / pstd, 4) AS p_std,
                 round((l_discount - d50) / (d75 - d25), 4) AS d_rob
          FROM lineitem, s
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, q_mm, p_std, d_rob""",
     "q21_encoders" ->
       """SELECT o_orderkey,
                 (SELECT count(*) FROM (SELECT DISTINCT o_orderpriority AS d
