@@ -110,9 +110,12 @@ object QueryPlanner {
           .map { case (lk, rk) => left(lk) === rightRenamed(rk) }
           .reduce(_ && _)
         val d = left.join(rightRenamed, cond, j.joinType.spark)
-        // drop asymmetric right-key columns unless the user selected them
-        rks.filterNot(rightSelected.contains)
-          .foldLeft(d)((dd, k) => dd.drop(rightRenamed(k)))
+        // asymmetric (left_on/right_on) keys have distinct names — keep a
+        // right key only if the user selected it; inferred keys share the
+        // left column's name and value, so always drop the right copy
+        val dropKeys =
+          if (j.leftOn.nonEmpty) rks.filterNot(rightSelected.contains) else rks
+        dropKeys.foldLeft(d)((dd, k) => dd.drop(rightRenamed(k)))
       }
 
     val semiLike =

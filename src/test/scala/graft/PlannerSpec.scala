@@ -64,6 +64,20 @@ class PlannerSpec extends SparkSpec {
     assert(cols === Seq("c_custkey", "c_name", "r_c_name"))
   }
 
+  test("inferred-key join tolerates the right side selecting its key") {
+    val spineDf = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderdate")
+    val spineFg = graft.model.FeatureGroup.spine("okspine", spineDf,
+      primaryKey = Seq("o_orderkey"))
+    // right selects its own (shared-name) key — the duplicate must collapse
+    val q = Query.selectAll(spineFg)
+      .join(Query.select(fg("orders"), Seq("o_orderkey", "o_totalprice")),
+        joinType = JoinType.Inner)
+    val df = QueryPlanner.plan(spark, q)
+    assert(df.columns.count(_ == "o_orderkey") === 1)
+    assert(df.count() === spineDf.count())
+  }
+
   test("filter tree compiles: nested and/or with all condition kinds") {
     val q = Query.select(fg("orders"), Seq("o_orderkey"))
       .where((("o_totalprice" > 0.0) && ("o_orderstatus" =!= "nope")) ||
