@@ -55,6 +55,10 @@ object PointInTimeJoin {
 
     val spineCols = spine.columns.toSeq
     val rightPayloadCols = right.columns.toSeq.filterNot(rightKeys.contains)
+    val collisions = rightPayloadCols.map(prefix + _).filter(spineCols.contains)
+    require(collisions.isEmpty,
+      s"as-of join output would duplicate columns ${collisions.mkString(", ")}" +
+        " — set a prefix")
     val keyNames = spineKeys.indices.map(i => s"_pit_k$i")
     val etType = spine.schema(spineEventTime).dataType
     val payloadType = StructType(rightPayloadCols.map(c => right.schema(c)))

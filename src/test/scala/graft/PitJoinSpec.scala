@@ -62,6 +62,15 @@ class PitJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("r_t") === 20L)
   }
 
+  test("colliding output columns are rejected with a clear error") {
+    val sp = Seq((1L, 10L, "x")).toDF("k", "t", "v")
+    val r = Seq((1L, 5L, "y")).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      PointInTimeJoin.asOf(sp, "t", r, "t", Seq("k"), Seq("k"))
+    }
+    assert(e.getMessage.contains("prefix"))
+  }
+
   test("salted PIT join matches the unsalted result exactly") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val clicks = ev.filter($"event_type" === "click")
