@@ -20,6 +20,15 @@ object Connectors {
     def hadoopConf: Map[String, String] = Map.empty
   }
 
+  /** Escape hatch: any datasource by format + options (e.g. local files,
+    * a custom datasource jar on the cluster).
+    */
+  final case class Generic(format: String,
+                           options: Map[String, String] = Map(),
+                           conf: Map[String, String] = Map()) extends Connector {
+    override def hadoopConf: Map[String, String] = conf
+  }
+
   /** JDBC (also MySQL online-storage reads, engine/spark.py:140-155):
     * pushdown of a whole SQL `query` or a `dbtable`
     * (storage_connector.py:949-1038).

@@ -32,6 +32,29 @@ class ConnectorSchemaSpec extends SparkSpec {
     assert(spark.sparkContext.hadoopConfiguration.get("fs.s3a.access.key") === "AK")
   }
 
+  test("external feature group registration exposes a temp view") {
+    val local = Connectors.Generic("parquet")
+    val df = Connectors.registerExternal(spark, local, "ext_nation",
+      path = Some(s"$sfDir/nation.parquet"))
+    assert(spark.table("ext_nation").count() === df.count())
+    assert(df.count() === 25)
+  }
+
+  test("insertStream writes a checkpointed file sink") {
+    import graft.streaming.Streaming
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    import spark.implicits._
+    val data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    data.write.parquet(s"$src/b1")
+    val stream = Streaming.readStream(spark, "parquet", Some(s"$src/*"),
+      schema = Some(data.schema))
+    val q = Streaming.insertStream(stream, "parquet", s"$tmp/ckpt",
+      queryName = Some("graft_sink_test"), path = Some(s"$tmp/out"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$tmp/out").count() === 2)
+  }
+
   test("sanitize names lowercases and underscores illegal characters") {
     val df = Seq((1, 2)).toDF("My Col", "OK_name")
     assert(SchemaOps.sanitizeNames(df).columns.toSeq === Seq("my_col", "ok_name"))
