@@ -708,9 +708,9 @@ object SparkEntry {
                 quantile_cont(l_discount, 0.75) AS d75
                 FROM lineitem)
          SELECT l_orderkey, l_linenumber,
-                round((l_quantity - qmin) / (qmax - qmin), 4) AS q_mm,
-                round((l_extendedprice - pmean) / pstd, 4) AS p_std,
-                round((l_discount - d50) / (d75 - d25), 4) AS d_rob
+                round((l_quantity - qmin) / (qmax - qmin), 4) + 0.0 AS q_mm,
+                round((l_extendedprice - pmean) / pstd, 4) + 0.0 AS p_std,
+                round((l_discount - d50) / (d75 - d25), 4) + 0.0 AS d_rob
          FROM lineitem, s
          ORDER BY l_orderkey, l_linenumber, q_mm, p_std, d_rob""",
     "q21_encoders" ->
@@ -833,7 +833,10 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     "q33_validation" ->
       """WITH t AS (SELECT count(*) AS total FROM orders)
-         SELECT * FROM (
+         SELECT expectation, success,
+                CAST(unexpected_count AS BIGINT) AS unexpected_count,
+                observed_rows
+         FROM (
            SELECT 'between(o_totalprice,0.0,200000.0)' AS expectation,
                   (SELECT count(*) FROM orders
                    WHERE o_totalprice IS NOT NULL
@@ -942,8 +945,9 @@ object SparkEntry {
                ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
                     / CAST(length(text) AS DOUBLE) END AS pr
            FROM deduped)
-         SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
-                round(avg(n_chars), 2) AS avg_chars
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                round(avg(n_chars), 2) + 0.0 AS avg_chars
          FROM gated
          WHERE n_tok >= 10 AND pr <= 0.2
          GROUP BY lang ORDER BY lang"""
