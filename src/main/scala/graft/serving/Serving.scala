@@ -53,24 +53,59 @@ final class FeatureVectorServer(
                            df: org.apache.spark.sql.DataFrame) =
     fg.eventTime.filter(df.columns.contains) match {
       case Some(et) if fg.primaryKey.nonEmpty =>
+        // ties on (pk, event_time) pick a deterministic winner: precombine
+        // columns desc (mirrors Lake.dedupLatest), then a content hash so
+        // the choice never depends on partition scan order
+        val tieBreak =
+          fg.effectivePrecombine.filter(df.columns.contains)
+            .filterNot(_ == et).map(col(_).desc).toSeq :+
+            xxhash64(df.columns.sorted.map(col): _*).desc
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(fg.primaryKey.map(col): _*)
-          .orderBy(col(et).desc)
+          .orderBy(col(et).desc +: tieBreak: _*)
         df.withColumn("_sv_rn", row_number().over(w))
           .filter(col("_sv_rn") === 1).drop("_sv_rn")
       case _ => df
     }
 
+  /** Broadcast-lookup of a small key set against a huge snapshot.
+    *
+    * A LEFT-OUTER join can only broadcast its non-preserved side
+    * (BuildRight), so `broadcast(keys).join(snap, _, "left")` silently
+    * drops the hint and sort-merge-shuffles the full snapshot. The
+    * scale-correct shape is two broadcasts of the SMALL side:
+    *   1. broadcast LEFT-SEMI prune the snapshot to the key set
+    *      (LeftSemi + BuildRight) — the 100 TB side is scanned once,
+    *      never shuffled;
+    *   2. LEFT-OUTER join the keys against the (≤ |keys|) hit set with
+    *      the hits as build side (LeftOuter + BuildRight).
+    * When snapshots are not cached, the semi-prune is pushed BELOW the
+    * latest-per-key window (valid because serving joinKeys ⊆ primary key,
+    * so the filter keeps/drops whole window partitions), shrinking the
+    * row_number shuffle to the matched keys only.
+    */
   private def lookupOne(keys: DataFrame, fg: FeatureGroup,
                         wanted: Seq[String], joinKeys: Seq[String],
                         prefix: String): DataFrame = {
-    val snap = snapshotOf(fg,
-      latestPerKey(fg, QueryPlanner.materialize(spark, fg, None)))
+    val probe = keys.select(joinKeys.map(col): _*).distinct()
+    val snap =
+      if (cacheSnapshots)
+        snapshotOf(fg,
+          latestPerKey(fg, QueryPlanner.materialize(spark, fg, None)))
+      else
+        latestPerKey(fg, QueryPlanner.materialize(spark, fg, None)
+          .join(broadcast(probe), joinKeys, "left_semi"))
     val projected = snap.select((joinKeys ++ wanted).distinct.map(col): _*)
     val renamed = wanted.filterNot(joinKeys.contains).foldLeft(projected) {
       (d, c) => d.withColumnRenamed(c, prefix + c)
     }
-    broadcast(keys).join(renamed, joinKeys, "left")
+    // uncached path is already pruned (and re-joining the same probe
+    // lineage would be a self-join ambiguity); cached path prunes here
+    val hits =
+      if (cacheSnapshots)
+        renamed.join(broadcast(probe), joinKeys, "left_semi")
+      else renamed
+    keys.join(broadcast(hits), joinKeys, "left")
   }
 
   /** Assemble feature vectors for a DataFrame of serving keys.
@@ -104,19 +139,39 @@ final class FeatureVectorServer(
       val rightKeys = if (j.rightOn.nonEmpty) j.rightOn else joinKeys
       val wanted =
         if (j.right.features.isEmpty) rfg.featureNames else j.right.features.map(_.name)
-      val snap = snapshotOf(rfg, latestPerKey(rfg,
-        QueryPlanner.plan(spark, j.right.copy(features = Nil))))
+      val baseSnap = QueryPlanner.plan(spark, j.right.copy(features = Nil))
+      val probe = out.select(joinKeys.map(col): _*).distinct()
+      // same two-broadcast shape as lookupOne; prune below the window
+      // only when the join keys cover the partition (primary) key
+      val canPruneBelowWindow = rightKeys.nonEmpty &&
+        rightKeys.forall(rfg.primaryKey.contains)
+      val pruned = !cacheSnapshots && canPruneBelowWindow
+      val snap =
+        if (pruned) {
+          val pc = rightKeys.zip(joinKeys)
+            .map { case (rk, lk) => baseSnap(rk) === probe(lk) }
+            .reduce(_ && _)
+          latestPerKey(rfg, baseSnap.join(broadcast(probe), pc, "left_semi"))
+        } else snapshotOf(rfg, latestPerKey(rfg, baseSnap))
       val projected = snap.select(
         (rightKeys ++ wanted.filterNot(rightKeys.contains)).distinct.map(col): _*)
       val prefix = j.prefix.getOrElse("")
       val renamed = wanted.filterNot(rightKeys.contains).foldLeft(projected) {
         (d, c) => d.withColumnRenamed(c, prefix + c)
       }
+      val hits =
+        if (pruned) renamed
+        else {
+          val sc = rightKeys.zip(joinKeys)
+            .map { case (rk, lk) => renamed(rk) === probe(lk) }
+            .reduce(_ && _)
+          renamed.join(broadcast(probe), sc, "left_semi")
+        }
       val cond = joinKeys.zip(rightKeys)
-        .map { case (lk, rk) => out(lk) === renamed(rk) }.reduce(_ && _)
-      out = out.join(renamed, cond, "left")
+        .map { case (lk, rk) => out(lk) === hits(rk) }.reduce(_ && _)
+      out = out.join(broadcast(hits), cond, "left")
       rightKeys.filterNot(k => joinKeys.contains(k) && wanted.contains(k))
-        .foreach(k => out = out.drop(renamed(k)))
+        .foreach(k => out = out.drop(hits(k)))
     }
 
     // request parameters become literal columns, then one wide select

@@ -199,6 +199,28 @@ class ViewServingSpec extends SparkSpec {
     server.close()
   }
 
+  test("serving: lookups broadcast the key side, never shuffle the snapshot") {
+    val view = graft.view.FeatureView("planv", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_name"))
+        .join(Query.select(fg("nation"), Seq("n_name")),
+          leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+          prefix = Some("nat_")))
+    for (cache <- Seq(true, false)) {
+      val server = new graft.serving.FeatureVectorServer(spark, view,
+        cacheSnapshots = cache)
+      val keys = spark.range(5).selectExpr("id AS c_custkey")
+      val out = server.getFeatureVectors(keys)
+      assert(out.count() === 5, s"cache=$cache")
+      // an outer join cannot broadcast its preserved side — the fixed
+      // shape (semi-prune + broadcast the hit set) must plan every join
+      // as a broadcast hash join with no snapshot shuffle
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"cache=$cache\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"cache=$cache\n$plan")
+      server.close()
+    }
+  }
+
   test("serving: single-vector lookup merges groups and applies prefix") {
     val view = graft.view.FeatureView("cv", 1,
       Query.select(fg("customer"), Seq("c_custkey", "c_name"))
