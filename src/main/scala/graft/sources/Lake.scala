@@ -34,8 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
   val CommitCol = "_commit_time"
   val DeletedCol = "_deleted"
+
+  /** All filesystem access goes through the Hadoop FileSystem resolved
+    * from the path's scheme + the session's hadoopConfiguration, so the
+    * commit log works wherever the table lives (HDFS/S3/ABFS/local) —
+    * never driver-local java.io.File.
+    */
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
   final case class CommitMeta(
       commitTime: Long,
@@ -60,16 +72,25 @@ object Lake {
     * layout, not the metadata — data is the source of truth).
     */
   def listCommits(spark: SparkSession, root: String): Seq[Long] = {
-    val dir = new java.io.File(dataPath(root))
-    if (!dir.isDirectory) Seq.empty
+    val (fs, p) = fsOf(spark, dataPath(root))
+    if (!fs.exists(p)) Seq.empty
     else
-      dir.listFiles().toSeq
-        .map(_.getName)
+      fs.listStatus(p).toSeq
+        .map(_.getPath.getName)
         .collect { case n if n.startsWith(s"$CommitCol=") =>
           n.stripPrefix(s"$CommitCol=").toLong
         }
         .sorted
   }
+
+  /** Commit-log read with schema merging: columns appended by later
+    * commits (schema evolution) must surface on rows from older commits
+    * as nulls instead of being dropped when the first-listed partition
+    * predates them (reference schema reconciliation,
+    * core/hudi_engine.py:226-244).
+    */
+  private def rawData(spark: SparkSession, root: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dataPath(root))
 
   /** Append one commit of rows (already stamped with tombstone flag). */
   private def writeCommit(
@@ -81,7 +102,14 @@ object Lake {
       operation: String,
       computeStats: Boolean = true): CommitMeta = {
     val t = newCommitTime(spark, root)
-    val stamped = rows
+    // schema evolution at write time: a batch missing declared columns
+    // gets them appended with their declared defaults (feature_group.py:853,
+    // engine/spark.py:1251-1265) so every commit carries the full schema
+    val aligned =
+      if (fg.features.nonEmpty)
+        graft.ops.SchemaOps.alignToFeatures(rows, fg.features)
+      else rows
+    val stamped = aligned
       .withColumn(CommitCol, lit(t))
       .withColumn(DeletedCol, lit(deleted))
 
@@ -97,9 +125,17 @@ object Lake {
         val n = rows.count()
         if (deleted) (0L, 0L, n) else (n, 0L, 0L)
       } else {
-        val current = snapshot(spark, root, fg, None)
+        // incremental stats: resolve current state ONLY for the incoming
+        // keys — semi-prune the commit log by the batch's key set before
+        // the latest-version window, so an upsert of k keys into a 100 TB
+        // table shuffles O(k · versions) rows, never the whole snapshot
+        val incoming = aligned.select(keys.map(col): _*).distinct()
+        val pruned = rawData(spark, root).join(incoming, keys, "left_semi")
+        val current = restoreTypes(
+            dedupLatest(pruned, fg).filter(!col(DeletedCol))
+              .drop(CommitCol, DeletedCol), fg)
           .select(keys.map(col): _*).withColumn("_m", lit(1))
-        val r = rows.select(keys.map(col): _*)
+        val r = aligned.select(keys.map(col): _*)
           .join(current, keys, "left")
           .agg(count(lit(1)).as("n"), sum(col("_m")).as("m"))
           .collect().head
@@ -143,10 +179,15 @@ object Lake {
     */
   def delete(spark: SparkSession, root: String, fg: FeatureGroup,
              keysDf: DataFrame): CommitMeta = {
-    // a tombstone row carries the record key; non-key columns null-padded
-    val snap = snapshot(spark, root, fg, None)
+    // a tombstone row carries the record key's current state; semi-prune
+    // the commit log by the deleted keys BEFORE the latest-version window
+    // so deleting k keys never windows the full table
     val keys = recordKey(fg)
-    val full = snap.join(keysDf.select(keys.map(col): _*), keys, "left_semi")
+    val kdf = keysDf.select(keys.map(col): _*).distinct()
+    val pruned = rawData(spark, root).join(kdf, keys, "left_semi")
+    val full = restoreTypes(
+      dedupLatest(pruned, fg).filter(!col(DeletedCol))
+        .drop(CommitCol, DeletedCol), fg)
     writeCommit(spark, root, fg, full, deleted = true, operation = "delete")
   }
 
@@ -161,11 +202,21 @@ object Lake {
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), fg.schema)
     }
-    val raw0 = spark.read.parquet(dataPath(root))
+    for (h <- commitHorizon(spark, root); t <- asOf; if t < h)
+      throw new IllegalArgumentException(
+        s"as_of $t predates the retained commit horizon $h " +
+          "(older commits were cleaned; see cleanCommits)")
+    val raw0 = rawData(spark, root)
     val raw = asOf.fold(raw0)(t => raw0.filter(col(CommitCol) <= t))
-    restoreTypes(dedupLatest(raw, fg)
+    val resolved = dedupLatest(raw, fg)
       .filter(!col(DeletedCol))
-      .drop(CommitCol, DeletedCol), fg)
+      .drop(CommitCol, DeletedCol)
+    // read-path safety net for tables created before a column was declared
+    val aligned =
+      if (fg.features.nonEmpty)
+        graft.ops.SchemaOps.alignToFeatures(resolved, fg.features)
+      else resolved
+    restoreTypes(aligned, fg)
   }
 
   /** Partition-column values come back through directory inference with
@@ -174,7 +225,7 @@ object Lake {
     * any undeclared extra columns.
     */
   private def restoreTypes(df: DataFrame, fg: FeatureGroup): DataFrame =
-    if (fg.features.isEmpty || fg.partitionKey.isEmpty) df
+    if (fg.features.isEmpty) df
     else {
       val declared = fg.schema.fields.filter(f => df.columns.contains(f.name))
       val extras = df.columns.filterNot(fg.schema.fieldNames.contains)
@@ -187,7 +238,13 @@ object Lake {
     */
   def readChanges(spark: SparkSession, root: String, fg: FeatureGroup,
                   exclusiveStart: Long, inclusiveEnd: Long): DataFrame = {
-    val raw = spark.read.parquet(dataPath(root))
+    // the squashed base commit sits at the horizon time: any range whose
+    // start would include it is not a true incremental read
+    for (h <- commitHorizon(spark, root); if exclusiveStart < h)
+      throw new IllegalArgumentException(
+        s"incremental read from $exclusiveStart predates the retained " +
+          s"commit horizon $h (older commits were cleaned)")
+    val raw = rawData(spark, root)
       .filter(col(CommitCol) > exclusiveStart && col(CommitCol) <= inclusiveEnd)
     restoreTypes(dedupLatest(raw, fg)
       .filter(!col(DeletedCol))
@@ -221,21 +278,76 @@ object Lake {
     */
   def compact(spark: SparkSession, root: String, fg: FeatureGroup): CommitMeta = {
     val snap = snapshot(spark, root, fg, None).cache()
-    val n = snap.count() // force before we delete source files
+    snap.count() // force before we delete source files
     val tmp = s"$root/compact_tmp"
     snap.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val old = new java.io.File(dataPath(root))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(old)
+    val (fs, dp) = fsOf(spark, dataPath(root))
+    fs.delete(dp, true)
     val reread = spark.read.parquet(tmp)
     val meta = writeCommit(spark, root, fg, reread, deleted = false,
       operation = "compact")
     snap.unpersist()
-    rm(new java.io.File(tmp))
+    fs.delete(new Path(tmp), true)
     meta
+  }
+
+  // -- commit retention ------------------------------------------------------
+
+  private def horizonPath(root: String) = s"$root/_commit_horizon"
+
+  /** Oldest commit time still valid for time travel, if retention has ever
+    * run (None = full history available).
+    */
+  def commitHorizon(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, horizonPath(root))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Bound the active timeline to the last `keepLast` commits (the
+    * reference keeps a bounded Hudi active timeline — commits beyond it
+    * are archived; constructor/query.py:367-372). Everything older is
+    * squashed into a single base commit at the newest archived commit
+    * time, so snapshots/as-of/incremental reads at or after the horizon
+    * are unchanged while the commit-partition count (and merge-on-read
+    * amplification) stays bounded. Time travel BEFORE the horizon fails
+    * fast with a clear error instead of returning partial state.
+    * Destructive; call between queries only. Returns the retained commits.
+    */
+  def cleanCommits(spark: SparkSession, root: String, fg: FeatureGroup,
+                   keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val commits = listCommits(spark, root)
+    if (commits.length <= keepLast) return commits
+    val archived = commits.dropRight(keepLast)
+    val baseT = archived.last
+    // resolved state as of the horizon: tombstones fully applied, so the
+    // base commit needs no deleted rows at all
+    val base = snapshot(spark, root, fg, Some(baseT))
+      .withColumn(CommitCol, lit(baseT))
+      .withColumn(DeletedCol, lit(false))
+    val tmp = s"$root/clean_tmp"
+    base.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val (fs, _) = fsOf(spark, root)
+    archived.foreach { t =>
+      fs.delete(new Path(s"${dataPath(root)}/$CommitCol=$t"), true)
+    }
+    val reread = spark.read.parquet(tmp)
+    val partCols =
+      CommitCol +: fg.partitionKey.filter(reread.columns.contains)
+    reread.write.mode(SaveMode.Append).partitionBy(partCols: _*)
+      .parquet(dataPath(root))
+    fs.delete(new Path(tmp), true)
+    val out = fs.create(new Path(horizonPath(root)), true)
+    try out.write(baseT.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    listCommits(spark, root)
   }
 
   /** Commit metadata log (rows inserted/updated/deleted per commit —

@@ -86,6 +86,69 @@ class LakeSpec extends SparkSpec {
     assert(snap.filter($"seg" === "AUTO").count() === 1)
   }
 
+  test("schema evolution: appended column with default, old rows readable") {
+    val fs = freshStore()
+    val fg = fs.createFeatureGroup("tev",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), primaryKey = Seq("id"))
+    val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+    val fg2 = fg.copy(features = fg.features :+ graft.model.Feature(
+      "score", org.apache.spark.sql.types.DoubleType,
+      defaultValue = Some(0.5)))
+    // batch WITHOUT the appended column: write-path alignment fills default
+    Lake.upsert(spark, root, fg2, Seq((3L, "c")).toDF("id", "v"))
+    // batch WITH the column
+    Lake.upsert(spark, root, fg2,
+      Seq((4L, "d", 9.0)).toDF("id", "v", "score"))
+    val snap = Lake.snapshot(spark, root, fg2, None).orderBy("id")
+    // the appended column must not be dropped (mergeSchema read)
+    assert(snap.columns.toSeq === Seq("id", "v", "score"))
+    val rows = snap.collect()
+    assert(rows.length === 4)
+    // rows predating the column surface as null (lakehouse MOR read)
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    assert(rows(2).getDouble(2) === 0.5) // default filled at write time
+    assert(rows(3).getDouble(2) === 9.0)
+  }
+
+  test("commit retention bounds the timeline; pre-horizon reads fail fast") {
+    val fs = freshStore()
+    val fg = fs.createFeatureGroup("tret",
+      Seq((1L, "v1")).toDF("id", "v"), primaryKey = Seq("id"))
+    val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+    fs.insert(fg, Seq((1L, "v2")).toDF("id", "v"))
+    fs.insert(fg, Seq((2L, "w1")).toDF("id", "v"))
+    fs.insert(fg, Seq((1L, "v3")).toDF("id", "v"))
+    val before = Lake.listCommits(spark, root)
+    assert(before.length === 4)
+
+    val retained = Lake.cleanCommits(spark, root, fg, keepLast = 2)
+    // oldest two commits squashed into a base at before(1)
+    assert(retained === before.drop(1))
+    assert(Lake.commitHorizon(spark, root) === Some(before(1)))
+
+    // latest state unchanged by retention
+    val snap = Lake.snapshot(spark, root, fg, None).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(snap.toSeq === Seq((1L, "v3"), (2L, "w1")))
+
+    // as-of AT the horizon resolves from the squashed base
+    val atH = Lake.snapshot(spark, root, fg, Some(before(1)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(atH.toSeq === Seq((1L, "v2")))
+
+    // time travel BEFORE the horizon errors clearly
+    val e = intercept[IllegalArgumentException] {
+      Lake.snapshot(spark, root, fg, Some(before.head)).collect()
+    }
+    assert(e.getMessage.contains("horizon"))
+    intercept[IllegalArgumentException] {
+      Lake.readChanges(spark, root, fg, before.head, before.last).collect()
+    }
+
+    // nothing further to clean → unchanged
+    assert(Lake.cleanCommits(spark, root, fg, 5) === retained)
+  }
+
   test("compaction preserves the snapshot") {
     val fs = freshStore()
     val fg = fs.createFeatureGroup("t4",
