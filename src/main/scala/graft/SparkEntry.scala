@@ -579,7 +579,10 @@ object SparkEntry {
       val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val idx = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+      // sampled training: the coarse quantizer needs a representative
+      // sample, never the full corpus (at 100 TB that's the whole point)
+      val idx = graft.ops.IvfIndex.build(emb, "vec_id", "embedding",
+        nCells = 8, trainSampleFraction = 0.25, maxIter = 8)
       graft.ops.IvfIndex.search(idx, "vec_id", "embedding",
           queries, "qid", "qe", k = 5, nProbe = 3)
         .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"),

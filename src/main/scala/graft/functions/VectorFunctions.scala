@@ -202,6 +202,93 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Top-`n` nearest centroids (by squared L2, ascending) of an
+    * `array<float>` vector against a fixed centroid table — the IVF
+    * coarse-quantizer assignment as ONE codegen'd expression. Replaces a
+    * broadcast-cross-join + per-id window (which replicates every corpus
+    * row nCells times and shuffles the lot): this is a zero-shuffle
+    * map-side pass, the correct shape for assigning 100 TB of vectors.
+    *
+    * Centroids ride along as a codegen reference object (not literals), so
+    * the generated method stays tiny regardless of nCells × dim.
+    */
+  case class NearestCells(child: Expression,
+                          centroids: Array[Array[Float]], n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(n >= 1, "need n >= 1 probes")
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "vec_nearest_cells"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val av = v.asInstanceOf[ArrayData].toFloatArray()
+      val k = math.min(n, centroids.length)
+      val bi = Array.fill(k)(-1)
+      val bd = Array.fill(k)(Double.MaxValue)
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        var acc = 0.0; var i = 0; val m = math.min(av.length, cv.length)
+        while (i < m) {
+          val d = av(i).toDouble - cv(i).toDouble; acc += d * d; i += 1
+        }
+        if (acc < bd(k - 1)) {
+          var p = k - 1
+          while (p > 0 && bd(p - 1) > acc) {
+            bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+          }
+          bd(p) = acc; bi(p) = c
+        }
+        c += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(bi)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+        val av = ctx.freshName("av"); val k = ctx.freshName("k")
+        val bi = ctx.freshName("bi"); val bd = ctx.freshName("bd")
+        val cc = ctx.freshName("cc"); val cv = ctx.freshName("cv")
+        val acc = ctx.freshName("acc"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val dd = ctx.freshName("dd")
+        val p = ctx.freshName("p"); val j = ctx.freshName("j")
+        s"""
+           |float[] $av = $c.toFloatArray();
+           |int $k = Math.min($n, $ref.length);
+           |int[] $bi = new int[$k]; double[] $bd = new double[$k];
+           |for (int $j = 0; $j < $k; $j++) {
+           |  $bi[$j] = -1; $bd[$j] = Double.MAX_VALUE;
+           |}
+           |for (int $cc = 0; $cc < $ref.length; $cc++) {
+           |  float[] $cv = $ref[$cc];
+           |  double $acc = 0.0;
+           |  int $m = Math.min($av.length, $cv.length);
+           |  for (int $i = 0; $i < $m; $i++) {
+           |    double $dd = (double) $av[$i] - (double) $cv[$i];
+           |    $acc += $dd * $dd;
+           |  }
+           |  if ($acc < $bd[$k - 1]) {
+           |    int $p = $k - 1;
+           |    while ($p > 0 && $bd[$p - 1] > $acc) {
+           |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+           |    }
+           |    $bd[$p] = $acc; $bi[$p] = $cc;
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($bi);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def vecNearestCells(v: Column, centroids: Array[Array[Float]],
+                      n: Int): Column =
+    asCol(NearestCells(ex(v), centroids, n))
+
   /** Deterministic hyperplane component in [-1, 1): splitmix64 of
     * (seed, bit, dim) scaled. Public so generated code can call it.
     */

@@ -28,12 +28,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one surviving row (smallest `idCol`) per distinct
-    * combination of `on` columns. xxhash64 pre-hashing keeps the shuffle
-    * key narrow for long text columns.
+    * combination of `on` columns.
+    *
+    * The window partitions by (xxhash64, content columns): the hash comes
+    * first so sort comparisons short-circuit cheaply on 8 bytes, but the
+    * grouping compares the actual column VALUES — a 64-bit hash collision
+    * (expected by the birthday bound at ≥10⁹ documents) therefore lands in
+    * the same shuffle partition yet can never merge two distinct rows.
     */
-  def exact(df: DataFrame, idCol: String, on: Seq[String]): DataFrame = {
-    val h = xxhash64(on.map(col): _*)
-    val w = Window.partitionBy(h).orderBy(col(idCol).asc)
+  def exact(df: DataFrame, idCol: String, on: Seq[String]): DataFrame =
+    exactImpl(df, idCol, on, xxhash64(on.map(col): _*))
+
+  /** Test seam: `h` lets specs force total hash collision to prove the
+    * content comparison keeps distinct rows apart.
+    */
+  private[graft] def exactImpl(df: DataFrame, idCol: String,
+                               on: Seq[String], h: Column): DataFrame = {
+    val w = Window.partitionBy(h +: on.map(col): _*).orderBy(col(idCol).asc)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")

@@ -26,36 +26,27 @@ object IvfIndex {
   final case class Index(centroids: Array[(Int, Array[Float])],
                          assigned: DataFrame)
 
-  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
-                         centroids: Array[(Int, Array[Float])]) = {
-    import spark.implicits._
-    centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
-      .toDF("_cell", "_centroid")
-      .select(col("_cell"), col("_centroid").cast("array<float>").as("_centroid"))
-  }
-
-  /** Train the coarse quantizer and assign every corpus row to its cell. */
+  /** Train the coarse quantizer (KMeans on a sample — never the full
+    * corpus at scale) and assign every corpus row to its cell with the
+    * codegen'd [[VectorFunctions.NearestCells]] argmin: a zero-shuffle
+    * map pass, instead of a broadcast-cross-join (nCells × |corpus| rows)
+    * plus a full-table window.
+    */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             nCells: Int, trainSampleFraction: Double = 1.0,
-            seed: Long = 42L): Index = {
-    val spark = corpus.sparkSession
+            seed: Long = 42L, maxIter: Int = 20): Index = {
     val train = (if (trainSampleFraction < 1.0)
       corpus.sample(withReplacement = false, trainSampleFraction, seed)
     else corpus)
       .select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       i -> c.toArray.map(_.toFloat)
     }
-    // assign: nearest centroid per row via one broadcast cross pass
-    val cd = centroidDf(spark, centroids)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_cd").asc)
-    val assigned = corpus.join(broadcast(cd))
-      .withColumn("_cd", VectorFunctions.vecL2(col(vecCol), col("_centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(corpus.columns.toIndexedSeq.map(col) :+ col("_cell"): _*)
+    val cents = centroids.map(_._2)
+    val assigned = corpus.withColumn("_cell",
+      VectorFunctions.vecNearestCells(col(vecCol), cents, 1).getItem(0))
     Index(centroids, assigned)
   }
 
@@ -66,14 +57,11 @@ object IvfIndex {
              queries: DataFrame, queryIdCol: String, queryVecCol: String,
              k: Int, nProbe: Int = 4, metric: Metric = Cosine,
              excludeSelf: Boolean = true): DataFrame = {
-    val spark = queries.sparkSession
-    val cd = centroidDf(spark, index.centroids)
-    val pw = Window.partitionBy(col(queryIdCol)).orderBy(col("_cd").asc)
-    val probes = queries.join(broadcast(cd))
-      .withColumn("_cd", VectorFunctions.vecL2(col(queryVecCol), col("_centroid")))
-      .withColumn("_pr", row_number().over(pw))
-      .filter(col("_pr") <= nProbe)
-      .select(col(queryIdCol), col(queryVecCol), col("_cell"))
+    val cents = index.centroids.map(_._2)
+    val probes = queries
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(VectorFunctions.vecNearestCells(
+          col(queryVecCol), cents, nProbe)).as("_cell"))
 
     val score = VectorFunctions.distance(metric)(col(vecCol), col(queryVecCol))
     val ord = metric match {

@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.StructType
   *
   * Tie rules: a right row at exactly t == spine t is eligible (≤); among
   * right rows sharing (key, t) the winner is the greatest `tieBreak` value
-  * (precombine analog, python/hsfs/core/hudi_engine.py:141-149). Right rows
-  * with null event time never match; spine rows with null event time get
-  * null right columns.
+  * compared in the column's NATIVE type (precombine analog,
+  * python/hsfs/core/hudi_engine.py:141-149 — no double cast, so long
+  * precombine values above 2^53 keep full precision). Null never equals
+  * null (SQL join semantics): right rows with a null key or null event
+  * time never match, and spine rows with a null key or null event time
+  * get null right columns.
   */
 object PointInTimeJoin {
 
@@ -68,25 +71,32 @@ object PointInTimeJoin {
     val spineSalt =
       if (salted) pmod(xxhash64(struct(spineCols.map(col): _*)), lit(saltBuckets))
       else lit(0)
+    // tie-break ordered on the column's native type (a double cast would
+    // collapse long values above 2^53); the spine filler is a typed null
+    val ordType = tieBreak.map(right.schema(_).dataType)
+      .getOrElse(org.apache.spark.sql.types.IntegerType)
     val spineNorm = spine.select(
       spineKeys.zip(keyNames).map { case (k, kn) => col(k).as(kn) } ++ Seq(
         spineSalt.as("_pit_salt"),
         col(spineEventTime).as("_pit_t"),
         lit(1).as("_pit_side"),
-        lit(0.0).as("_pit_ord"),
+        lit(null).cast(ordType).as("_pit_ord"),
         struct(spineCols.map(col): _*).as("_spine"),
         lit(null).cast(payloadType).as("_payload")): _*)
 
     val rightSalt =
       if (salted) explode(sequence(lit(0), lit(saltBuckets - 1))) else lit(0)
+    // a right row with any null key can never equal a spine key (null
+    // never equals null) — drop before the shuffle
     val rightNorm = right
-      .filter(col(rightEventTime).isNotNull)
+      .filter(col(rightEventTime).isNotNull &&
+        rightKeys.map(col(_).isNotNull).reduce(_ && _))
       .select(
         rightKeys.zip(keyNames).map { case (k, kn) => col(k).as(kn) } ++ Seq(
           rightSalt.as("_pit_salt"),
           col(rightEventTime).cast(etType).as("_pit_t"),
           lit(0).as("_pit_side"),
-          tieBreak.map(col(_).cast("double")).getOrElse(lit(0.0)).as("_pit_ord"),
+          tieBreak.map(col(_)).getOrElse(lit(0)).cast(ordType).as("_pit_ord"),
           lit(null).cast(spineType).as("_spine"),
           struct(rightPayloadCols.map(col): _*).as("_payload")): _*)
 
@@ -102,11 +112,14 @@ object PointInTimeJoin {
       .withColumn("_matched", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_pit_side") === 1)
 
+    // spine rows with a null key landed in the all-null window partition;
+    // mask their carry so null keys never "match" null-keyed right rows
+    val keysOk = keyNames.map(col(_).isNotNull).reduce(_ && _)
     val out =
       spineCols.map(c => col("_spine").getField(c).as(c)) ++
         rightPayloadCols.map(c =>
-          when(col("_pit_t").isNotNull, col("_matched").getField(c))
-            .as(prefix + c))
+          when(col("_pit_t").isNotNull && keysOk,
+            col("_matched").getField(c)).as(prefix + c))
     carried.select(out: _*)
   }
 

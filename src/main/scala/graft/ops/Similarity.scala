@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * semantics are a Spark plan:
   *
   *  - [[bruteForceKnn]] — exact top-k: broadcast the (small) query set,
-  *    one scan of the corpus, **two-stage top-k** (per-partition window
-  *    prune to k, then global) so the shuffle carries at most
-  *    k × partitions × queries rows instead of |corpus| × |queries|.
+  *    one scan of the corpus, one top-k window; Spark's partial
+  *    WindowGroupLimit prunes map-side, so the single shuffle carries at
+  *    most k × partitions × queries rows instead of |corpus| × |queries|.
   *  - [[lshKnn]] — approximate at scale: deterministic random-hyperplane
   *    signatures bucket both sides; candidates are generated per bucket
   *    (multi-probe via `nProbes` sign-flips), then exact-scored and
@@ -53,24 +53,19 @@ object Similarity {
     // pushdown-friendly pre-filter on the corpus — the reference's
     // find_neighbors(filter) pushdown (core/vector_db_client.py:232-298)
     val pairs = preFilter.fold(corpus)(corpus.filter)
-      .withColumn("_part", spark_partition_id())
       .join(broadcast(queries))
       .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
       .withColumn("_score", score(metric, col(vecCol), col(queryVecCol)))
-      .select(col(queryIdCol), col(idCol), col("_score"), col("_part"))
+      .select(col(queryIdCol), col(idCol), col("_score"))
 
-    // stage 1: top-k inside each input partition (no shuffle — window over
-    // (_part, query) where _part is already partition-local)
-    val local = Window.partitionBy(col("_part"), col(queryIdCol))
+    // ONE window: Spark's InferWindowGroupLimit already plants a partial
+    // (map-side) WindowGroupLimit before the exchange, so the shuffle
+    // carries ≤ k × partitions × queries rows — a hand-rolled two-stage
+    // top-k just adds a second full Exchange for the same pruning
+    val w = Window.partitionBy(col(queryIdCol))
       .orderBy(ordering(metric, col("_score")), col(idCol).asc)
-    // stage 2: global top-k over the k-per-partition survivors
-    val global = Window.partitionBy(col(queryIdCol))
-      .orderBy(ordering(metric, col("_score")), col(idCol).asc)
-
     pairs
-      .withColumn("_rn", row_number().over(local))
-      .filter(col("_rn") <= k)
-      .withColumn("_rank", row_number().over(global))
+      .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= k)
       .select(col(queryIdCol), col(idCol), col("_score").as("score"),
         col("_rank").as("rank"))

@@ -24,10 +24,14 @@ object Splits {
 
   /** Exact-proportion random split (the reference python engine's variant,
     * engine/python.py:980-1017: shuffled index assignment so split sizes
-    * are exact, not Bernoulli-approximate). Distributed form: seeded
-    * per-row random sort key → global row_number → contiguous index ranges
-    * per split. Costs one extra shuffle (the window) over [[random]];
-    * weights must sum to ~1.
+    * are exact, not Bernoulli-approximate).
+    *
+    * Distributed form — a global rank with NO single-partition window:
+    * seeded random sort key → range repartition on it (every partition owns
+    * a contiguous key range) → per-partition row_number + per-partition
+    * offsets (a tiny count-per-partition collect, broadcast back). Rank =
+    * offset + local rank, so the window parallelizes across all partitions;
+    * contiguous rank ranges then carve the exact split sizes.
     */
   def exactRandom(df: DataFrame, weights: Map[String, Double],
                   seed: Long = 42L): Map[String, DataFrame] = {
@@ -35,9 +39,25 @@ object Splits {
     require(math.abs(weights.values.sum - 1.0) < 1e-6,
       "exact split ratios must sum to 1")
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val n = df.count()
-    val w = Window.orderBy(rand(seed), monotonically_increasing_id())
-    val indexed = df.withColumn("_split_idx", row_number().over(w))
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val keyed = df.withColumn("_r", rand(seed))
+      .withColumn("_mid", monotonically_increasing_id())
+      .repartitionByRange(shuffleParts, col("_r"), col("_mid"))
+      .withColumn("_pid", spark_partition_id())
+    // per-partition counts: numShufflePartitions rows on the driver
+    val counts = keyed.groupBy("_pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o
+    }.toSeq
+    val offDf = offsets.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(col("_r"), col("_mid"))
+    val indexed = keyed.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_split_idx", row_number().over(w) + col("_off"))
     val names = weights.keys.toSeq.sorted
     val bounds = names.scanLeft(0L) { (acc, k) =>
       acc + math.round(weights(k) * n)
@@ -46,7 +66,7 @@ object Splits {
       val (lo, hi) =
         (bounds(i), if (i == names.size - 1) n else bounds(i + 1))
       k -> indexed.filter(col("_split_idx") > lo && col("_split_idx") <= hi)
-        .drop("_split_idx")
+        .drop("_split_idx", "_r", "_mid", "_pid", "_off")
     }.toMap
   }
 

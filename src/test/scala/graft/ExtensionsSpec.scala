@@ -77,6 +77,56 @@ class ExtensionsSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("nearest-cells expression matches a scala brute-force argmin") {
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(7)
+    val cents = Array.fill(6)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("id", "v")
+      .select($"id", $"v".cast("array<float>").as("v"))
+    val got = df.select($"id",
+        VectorFunctions.vecNearestCells($"v", cents, 2).as("cells"))
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Int]]("cells")).toMap
+    def d2(a: Seq[Float], c: Array[Float]) =
+      a.zip(c).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    rows.foreach { case (id, v) =>
+      val want = cents.indices.sortBy(ci => d2(v, cents(ci))).take(2)
+      assert(got(id).toSeq === want, s"id $id")
+    }
+  }
+
+  test("brute-force knn plans one exchange with map-side group limit") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val res = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      q, "qid", "qe", k = 5)
+    res.collect()
+    // under AQE toString appends the initial plan too — assert on the
+    // final plan section only
+    val plan = res.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial (pre-shuffle) WindowGroupLimit prunes to k per partition;
+    // exactly one exchange feeds the final window
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("ivf assignment is a zero-shuffle map pass") {
+    import graft.ops.IvfIndex
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 4,
+      trainSampleFraction = 0.5, maxIter = 4)
+    val plan = idx.assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("flagship entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -62,6 +62,33 @@ class PitJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("r_t") === 20L)
   }
 
+  test("null keys never match (null != null), spine rows still preserved") {
+    val s = Seq((Option(1L), 100L, "a"), (Option.empty[Long], 100L, "nullk"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), 50L, "r1"), (Option.empty[Long], 50L, "rnull"))
+      .toDF("k", "t", "v")
+    val out = PointInTimeJoin
+      .asOf(s, "t", r, "t", Seq("k"), Seq("k"), prefix = "r_")
+      .orderBy("tag").collect()
+    assert(out.length === 2)
+    val byTag = out.map(x => x.getAs[String]("tag") -> x).toMap
+    assert(byTag("a").getAs[String]("r_v") === "r1")
+    // the null-keyed spine row must NOT pick up the null-keyed right row
+    assert(byTag("nullk").getAs[String]("r_v") === null)
+  }
+
+  test("tie-break keeps full precision for longs above 2^53") {
+    val big = (1L << 53) // 9007199254740992: +1 is indistinguishable as double
+    val s = Seq((1L, 100L, "a")).toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, "low", big + 1), (1L, 100L, "high", big + 2))
+      .toDF("k", "t", "v", "pc")
+    val out = PointInTimeJoin
+      .asOf(s, "t", r, "t", Seq("k"), Seq("k"), prefix = "r_",
+        tieBreak = Some("pc"))
+      .collect()
+    assert(out.length === 1 && out.head.getAs[String]("r_v") === "high")
+  }
+
   test("colliding output columns are rejected with a clear error") {
     val sp = Seq((1L, 10L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 5L, "y")).toDF("k", "t", "v")

@@ -108,6 +108,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exact dedup survives total hash collision (content comparison)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"))
+      .toDF("id", "text")
+    // force every row into one hash bucket: distinct contents must still
+    // all survive, duplicates still collapse to the smallest id
+    val out = graft.ops.Dedup.exactImpl(df, "id", Seq("text"), lit(0L))
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 4L))
+  }
+
   test("property: lake state machine matches an in-memory model") {
     import graft.sources.Lake
     val opsGen = Gen.listOfN(5, for {

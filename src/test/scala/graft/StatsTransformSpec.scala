@@ -64,6 +64,10 @@ class StatsTransformSpec extends SparkSpec {
     assert(splits("validation").count() === 100)
     val union = splits.values.map(_.select("id")).reduce(_ union _)
     assert(union.distinct().count() === 1000) // disjoint exact cover
+    // the global rank must come from range partition + offsets, never a
+    // single-partition window (the scale-killer this replaced)
+    val plan = splits("train").queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
   }
 
   test("feature store sql() runs over registered group views") {
