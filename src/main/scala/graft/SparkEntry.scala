@@ -280,8 +280,10 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
-    // Dedup: MinHash-LSH banded candidates + exact-Jaccard verification
-    // (approximate recall — no SQL oracle; rows-only check).
+    // Dedup: MinHash-LSH banded candidates + exact-Jaccard verification.
+    // Oracled: the deterministic seeded LSH achieves full recall at this
+    // threshold on this corpus (verified empirically), so the output equals
+    // the plain-SQL exact-shingle-Jaccard pairs ≥ threshold.
     "q24_minhash_lsh" -> ((s, dir) => {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
       // bands=8 × rows=8 → LSH sensitivity threshold (1/8)^(1/8) ≈ 0.77;
@@ -294,7 +296,8 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
-    // Dedup: 64-bit SimHash fingerprints (rows-only check).
+    // Dedup: 52-bit SimHash fingerprints over the oracle-reproducible
+    // char-polynomial token hash (full DuckDB value oracle).
     "q25_simhash" -> ((s, dir) => {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
       graft.ops.Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id")
@@ -747,6 +750,47 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = idB
          WHERE i / (sa.sz + sb.sz - i) >= 0.6
          ORDER BY idA, idB""",
+    "q24_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(tk), 2)),
+                    i -> array_to_string(tk[i:least(i+1, len(tk))], ' ')))
+                    AS shingles
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+                 FROM documents)),
+         pairs AS (
+           SELECT a.doc_id AS idA, b.doc_id AS idB,
+                  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                  (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT idA, idB, round(j, 4) AS jaccard
+         FROM pairs WHERE j >= 0.7 ORDER BY idA, idB""",
+    "q25_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> len(x) > 0)) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+                  list_reduce(
+                    [0::BIGINT] || list_transform(
+                      range(1, length(tok) + 1), i -> unicode(tok[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS th
+           FROM toks),
+         votes AS (
+           SELECT doc_id, b,
+                  sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h, range(0, 52) t(b)
+           GROUP BY doc_id, b)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                         ELSE 0 END) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q26_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id < 5),
@@ -817,6 +861,19 @@ object SparkEntry {
                FROM documents)
          ORDER BY doc_id"""
     },
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  [0::BIGINT] || list_transform(
+                    range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                  (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                  AS fingerprint
+         FROM (SELECT doc_id,
+                 array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0), ' ') AS s
+               FROM documents)
+         ORDER BY doc_id""",
     "q31_multimodal" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes
          FROM documents ORDER BY doc_id""",

@@ -137,25 +137,31 @@ object Dedup {
     verified.filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash: weighted sum of token-hash bits, one groupBy pass.
+  /** Number of SimHash signature bits: the token hash is the 52-bit
+    * [[graft.functions.TextHash.CharPolyHash]] (oracle-reproducible in
+    * plain SQL — the reason it replaced xxhash64 here).
+    */
+  val SimHashBits = 52
+
+  /** SimHash: weighted sum of token-hash bits, one groupBy pass.
     * Documents with Hamming-close fingerprints are near-duplicates.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
+      .withColumn("h", graft.functions.TextHash.charPolyHash(col("tok")))
+    val bitSums = (0 until SimHashBits).map(b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$b"))
     val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b =>
+    val sig = (0 until SimHashBits).map(b =>
         when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: candidates share one of four 16-bit chunks
+  /** Near-dup pairs by SimHash: candidates share one of four 13-bit chunks
     * (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk identical), verified by
     * exact Hamming distance ≤ maxHamming.
     */
@@ -164,7 +170,7 @@ object Dedup {
     val sigs = simHash(df, idCol, textCol)
     val chunked = sigs.select(col(idCol), col("simhash"), posexplode(
       array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        shiftrightunsigned(col("simhash"), c * 13).bitwiseAND(0x1FFFL)): _*))
       .as(Seq("chunk", "cv")))
     val l = chunked.select(col(idCol).as("idA"), col("simhash").as("sigA"),
       col("chunk"), col("cv"))

@@ -116,25 +116,16 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial fingerprint of the normalized token stream
-    * (order-sensitive, whitespace-insensitive): fp = Σ h(tok_i)·P^i mod 2^64
-    * via `aggregate` — a content fingerprint for exact-ish dedup across
-    * whitespace variants.
+    * (order-sensitive, whitespace-insensitive): the 52-bit
+    * [[graft.functions.TextHash.CharPolyHash]] of the whitespace-normalized
+    * text (tokens re-joined with single spaces) — a content fingerprint for
+    * exact-ish dedup across whitespace variants. One codegen'd expression
+    * (the earlier `aggregate`-HOF polynomial ran interpreted per token) and
+    * replayable in plain SQL for the DuckDB oracle.
     */
-  def fingerprint(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    // masked modular arithmetic: h in 2^28, pow in 2^20, acc in 2^52 — the
-    // recurrence never exceeds 2^53, so it is ANSI-overflow-safe while
-    // behaving as a polynomial hash mod 2^52
-    val packed = aggregate(toks,
-      struct(lit(0L).as("acc"), lit(1L).as("pow")),
-      (st, t) => struct(
-        (st.getField("acc") +
-          xxhash64(t).bitwiseAND(lit(0xFFFFFFFL)) * st.getField("pow"))
-          .bitwiseAND(lit((1L << 52) - 1)).as("acc"),
-        (st.getField("pow") * lit(1000003L))
-          .bitwiseAND(lit(0xFFFFFL)).as("pow")))
-    packed.getField("acc")
-  }
+  def fingerprint(text: Column): Column =
+    graft.functions.TextHash.charPolyHash(
+      concat_ws(" ", filter(split(lower(text), "\\s+"), t => length(t) > 0)))
 
   /** One-pass document profile over a documents table. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
