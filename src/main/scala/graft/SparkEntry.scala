@@ -509,7 +509,9 @@ object SparkEntry {
     // Headline: TPC-H Q3-style shipping-priority query through the
     // feature-store SQL entry (registered group views → spark.sql).
     "q41_sql_q3" -> ((s, dir) => {
-      val fs = new graft.catalog.FeatureStore(s)
+      // isolated warehouse: the catalog persists per warehouseDir now
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = java.nio.file
+        .Files.createTempDirectory("graft_q41").toString)
       Seq("customer", "orders", "lineitem").foreach(t => fs.register(fg(s, dir, t)))
       fs.sql(
         """SELECT l_orderkey,

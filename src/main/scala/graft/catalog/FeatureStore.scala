@@ -10,6 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by parquet paths, lake tables, views, or caller DataFrames. Replaces the
   * reference's REST-backed metadata service (python/hsfs/feature_store.py)
   * with a local registry; `warehouseDir` is the root for lake-backed groups.
+  *
+  * Definitions PERSIST: every registered group (except ephemeral
+  * DataFrame-backed spines) is written as JSON under
+  * `warehouseDir/_catalog/` via the Hadoop FileSystem and reloaded on
+  * construction, so a new session over the same warehouse sees every
+  * group — the durability the reference gets from its server-side
+  * metadata (python/hsfs/feature_store.py).
   */
 final class FeatureStore(
     val spark: SparkSession,
@@ -19,8 +26,13 @@ final class FeatureStore(
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(String, Int), FeatureGroup]
 
+  CatalogPersistence.load(spark, warehouseDir).foreach { fg =>
+    registry.put((fg.name, fg.version), fg)
+  }
+
   def register(fg: FeatureGroup): FeatureGroup = {
     registry.put((fg.name, fg.version), fg)
+    CatalogPersistence.save(spark, warehouseDir, fg)
     fg
   }
 
@@ -79,8 +91,12 @@ final class FeatureStore(
     */
   def sql(query: String): DataFrame = {
     featureGroups.foreach { fg =>
-      QueryPlanner.materialize(spark, fg, None)
+      // best-effort: a reloaded catalog may reference sources that no
+      // longer resolve (moved parquet, dropped view) — they must not
+      // block SQL over the healthy groups
+      try QueryPlanner.materialize(spark, fg, None)
         .createOrReplaceTempView(fg.id)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.sql(query)
   }

@@ -152,17 +152,22 @@ object Statistics {
       .collect().map(_.get(0)).toSeq
 
   /** Pairwise Pearson correlation over the given numeric columns (Deequ
-    * withCorrelation ≤100 cols). One pass per pair via df.stat; for wide
-    * matrices prefer a single VectorAssembler + Correlation.corr pass.
+    * withCorrelation ≤100 cols). Delegates to the one-pass
+    * [[correlationMatrix]] for 3+ columns — `df.stat.corr` costs one full
+    * scan PER PAIR (O(p²) scans at 100 TB); a single pair keeps the direct
+    * two-column path.
     */
   def correlations(df: DataFrame, columns: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = for {
-      (a, i) <- columns.zipWithIndex
-      b <- columns.drop(i + 1)
-    } yield (a, b, roundHalfUp(df.stat.corr(a, b), 6))
-    pairs.toDF("feature_a", "feature_b", "corr_v")
+    if (columns.size > 2) correlationMatrix(df, columns)
+    else {
+      val pairs = for {
+        (a, i) <- columns.zipWithIndex
+        b <- columns.drop(i + 1)
+      } yield (a, b, roundHalfUp(df.stat.corr(a, b), 6))
+      pairs.toDF("feature_a", "feature_b", "corr_v")
+    }
   }
 
   /** Pearson correlation MATRIX in ONE pass over the data (MLlib

@@ -94,4 +94,48 @@ class GoldenPathSpec extends SparkSpec {
     assert(!diff.isNaN)
     assert(shifted === (math.abs(diff) >= 0.2))
   }
+
+  test("catalog survives a restart: new store over the same warehouse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val fs1 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val fg = fs1.createFeatureGroup("persisted",
+      Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "v", "x"),
+      primaryKey = Seq("id"), eventTime = None,
+      precombineKey = None)
+    fs1.insert(fg, Seq((3L, "c", 2.5)).toDF("id", "v", "x"))
+
+    // a brand-new store over the same warehouse sees the definition
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val back = fs2.getFeatureGroup("persisted")
+    assert(back.primaryKey === Seq("id"))
+    assert(back.features.map(_.name) === Seq("id", "v", "x"))
+    assert(back.source === fg.source)
+    // and can read + keep writing it
+    assert(fs2.read(graft.ir.Query.selectAll(back)).count() === 3)
+    fs2.insert(back, Seq((4L, "d", 3.5)).toDF("id", "v", "x"))
+    assert(fs2.read(graft.ir.Query.selectAll(back)).count() === 4)
+    // declared defaults survive the round trip
+    val fg3 = back.copy(features = back.features :+ graft.model.Feature(
+      "score", org.apache.spark.sql.types.DoubleType,
+      defaultValue = Some(0.25)))
+    fs2.register(fg3)
+    val reloaded = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+      .getFeatureGroup("persisted")
+    assert(reloaded.features.last.defaultValue === Some(0.25))
+  }
+
+  test("plan quality: join headliners push filters and broadcast dims") {
+    val dir = sfDir
+    for (name <- Seq("q41_sql_q3", "q42_ir_rollup")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("PushedFilters: [Is") || plan.contains(
+        "PushedFilters: [*"), s"$name missing pushed filters:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name missing broadcast join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name has a cross join")
+    }
+  }
 }
