@@ -593,6 +593,56 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), round(col("score"), 4).as("score"),
           col("rank"))
         .orderBy("qid", "rank")
+    }),
+
+    // §2.13 monitoring config engine: persisted config + due-schedule +
+    // one-pass dual-window comparison + persisted result log, at a fixed
+    // deterministic "now".
+    "q47_monitoring_engine" -> ((s, dir) => {
+      import graft.ops.Monitoring._
+      import graft.ops.Statistics.roundHalfUp
+      val hour = 3600L * 1000
+      val eng = new MonitoringEngine(s, java.nio.file.Files
+        .createTempDirectory("graft_q47").toString)
+      eng.saveConfig(MonitoringConfig(
+        name = "value_drift", featureGroup = "events", version = 1,
+        feature = "value", eventTimeCol = "ts",
+        detection = WindowSpec(sizeMillis = Some(24 * hour)),
+        reference = Some(WindowSpec(sizeMillis = Some(24 * hour),
+          offsetMillis = 24 * hour)),
+        comparison = ComparisonSpec("mean", threshold = 0.05, relative = true),
+        schedule = ScheduleSpec(everyMillis = 24 * hour)))
+      val now = graft.functions.TimeFunctions.toEpochMillis("2024-01-20")
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val rs = eng.runDue(now, _ => ev)
+      import s.implicits._
+      rs.map(r => (r.configName, roundHalfUp(r.detectionValue, 4),
+          roundHalfUp(r.referenceValue, 4), roundHalfUp(r.difference, 4),
+          r.shiftDetected))
+        .toDF("config_name", "detection", "reference", "difference",
+          "shift_detected")
+    }),
+
+    // LLM-ops: embedding near-duplicate pairs via multi-table LSH
+    // bucketing. Near-dups are planted deterministically (perturbed copies
+    // of the first 50 vectors; +0.25f is exactly representable, so Spark
+    // float and DuckDB double→float arithmetic agree bit-for-bit) and the
+    // seeded LSH achieves full recall at this cosine, so the output equals
+    // the plain-SQL exact cosine-threshold pairs.
+    "q46_embedding_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val dups = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) + lit(0.25f)),
+            slice(col("embedding"), 2, 10000))
+            .cast("array<float>").as("embedding"))
+      val corpus = emb.unionByName(dups)
+      graft.ops.Dedup.embeddingNearDup(corpus, "vec_id", "embedding",
+          dim = 64, threshold = 0.95)
+        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("idA", "idB")
     })
   )
 
@@ -1012,6 +1062,35 @@ object SparkEntry {
                 round(avg(n_chars), 2) + 0.0 AS avg_chars
          FROM gated
          WHERE n_tok >= 10 AND pr <= 0.2
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    "q47_monitoring_engine" ->
+      """WITH det AS (SELECT avg(value) AS m FROM events
+                      WHERE ts >= TIMESTAMP '2024-01-19'
+                        AND ts < TIMESTAMP '2024-01-20'),
+              ref AS (SELECT avg(value) AS m FROM events
+                      WHERE ts >= TIMESTAMP '2024-01-18'
+                        AND ts < TIMESTAMP '2024-01-19')
+         SELECT 'value_drift' AS config_name,
+                round(det.m, 4) AS detection,
+                round(ref.m, 4) AS reference,
+                round((det.m - ref.m) / ref.m, 4) AS difference,
+                abs((det.m - ref.m) / ref.m) >= 0.05 AS shift_detected
+         FROM det, ref""",
+    "q46_embedding_neardup" ->
+      """WITH dup AS (
+           SELECT vec_id + 100000 AS vec_id,
+                  CAST([CAST(embedding[1] + 0.25 AS FLOAT)] || embedding[2:]
+                       AS FLOAT[]) AS embedding
+           FROM embeddings WHERE vec_id < 50),
+         corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT * FROM dup),
+         pairs AS (
+           SELECT a.vec_id AS idA, b.vec_id AS idB,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) AS c
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         SELECT idA, idB, round(c, 4) AS cosine
+         FROM pairs WHERE c >= 0.95 ORDER BY idA, idB"""
   )
 }

@@ -70,8 +70,34 @@ final class FeatureStore(
     register(fg)
   }
 
+  // -- expectation suites (persisted; validated on insert) ------------------
+
+  /** Attach a persisted expectation suite to a feature group; every
+    * subsequent [[insert]] validates against it, honoring the suite's
+    * ingestion policy (STRICT rejects failing batches, ALWAYS lets them
+    * through) — reference expectation_suite.py +
+    * validation_ingestion_policy semantics.
+    */
+  def saveExpectationSuite(fg: FeatureGroup,
+                           suite: graft.ops.Validation.SuiteDef): Unit =
+    SuitePersistence.save(spark, warehouseDir, fg.id, suite)
+
+  def getExpectationSuite(fg: FeatureGroup): Option[graft.ops.Validation.SuiteDef] =
+    SuitePersistence.load(spark, warehouseDir, fg.id)
+
+  def deleteExpectationSuite(fg: FeatureGroup): Unit =
+    SuitePersistence.delete(spark, warehouseDir, fg.id)
+
   def insert(fg: FeatureGroup, df: DataFrame): Lake.CommitMeta = fg.source match {
-    case LakeSource(root) => Lake.upsert(spark, root, fg, df)
+    case LakeSource(root) =>
+      val gated = getExpectationSuite(fg) match {
+        case Some(s) if s.policy == graft.ops.Validation.Policy.Strict =>
+          graft.ops.Validation.validateOrThrow(df, s.expectations)
+        case Some(s) => // ALWAYS: validate (one extra scan), never block
+          graft.ops.Validation.validate(df, s.expectations); df
+        case None => df
+      }
+      Lake.upsert(spark, root, fg, gated)
     case other => throw new IllegalArgumentException(
       s"insert requires a lake-backed group, got $other")
   }

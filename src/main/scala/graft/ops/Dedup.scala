@@ -206,20 +206,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold via hyperplane-LSH
-    * bucketing (both sides bucketed, bucket-local pairs only).
+  /** Embedding near-duplicate pairs: cosine ≥ threshold via multi-table
+    * hyperplane-LSH bucketing — both sides bucketed per table, candidate
+    * pairs only within shared (table, bucket) groups, never all-pairs.
+    * `nTables` independent signatures multiply recall at linear candidate
+    * cost (a single table misses ~(1-p^nBits) of true pairs; with
+    * cos ≈ 0.97, 12 tables of 8 bits give >99.9% per-pair recall).
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, threshold: Double,
-                       nBits: Int = 10, seed: Int = 42): DataFrame = {
+                       nBits: Int = 8, nTables: Int = 12,
+                       seed: Int = 42): DataFrame = {
     val cos = VectorFunctions.vecCosine(col(s"${vecCol}A"), col(s"${vecCol}B"))
-    val sig = Similarity.signatureFor(col(vecCol), dim, nBits, seed)
-    val bucketed = df.select(col(idCol), col(vecCol), sig.as("_bucket"))
+    val sigs = (0 until nTables).map(t =>
+      Similarity.signatureFor(col(vecCol), dim, nBits, seed + t * 7919))
+    val bucketed = df.select(col(idCol), col(vecCol),
+      posexplode(array(sigs: _*)).as(Seq("_table", "_bucket")))
     val l = bucketed.select(col(idCol).as("idA"),
-      col(vecCol).as(s"${vecCol}A"), col("_bucket"))
+      col(vecCol).as(s"${vecCol}A"), col("_table"), col("_bucket"))
     val r = bucketed.select(col(idCol).as("idB"),
-      col(vecCol).as(s"${vecCol}B"), col("_bucket"))
-    l.join(r, "_bucket")
+      col(vecCol).as(s"${vecCol}B"), col("_table"), col("_bucket"))
+    l.join(r, Seq("_table", "_bucket"))
       .filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"), cos.as("cosine"))
       .distinct()

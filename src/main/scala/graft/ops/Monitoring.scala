@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Feature-monitoring configuration engine: persisted monitoring configs,
+  * schedule bookkeeping, and window-comparison execution — the analog of
+  * the reference's config/result engines
+  * (python/hsfs/core/feature_monitoring_config_engine.py:34-500,
+  * core/feature_monitoring_result_engine.py:342-440) with the scheduler
+  * re-expressed for an in-process engine: [[MonitoringEngine.due]] exposes
+  * which configs should fire at a given instant (drive it from any
+  * external scheduler or a stream), and [[MonitoringEngine.runDue]]
+  * executes them and appends to the persisted result log.
+  *
+  * Scale shape: one run = ONE scan of the feature data computing BOTH
+  * windows' aggregate via conditional aggregation (no per-window scans),
+  * plus one append of a single result row.
+  */
+object Monitoring {
+
+  /** Detection/reference window spec (rolling window over event time, or
+    * the full table when `sizeMillis` is None), with optional row
+    * sampling — core/monitoring_window_config_engine.py:86-373.
+    */
+  final case class WindowSpec(
+      sizeMillis: Option[Long],
+      offsetMillis: Long = 0L,
+      rowPercentage: Double = 1.0)
+
+  /** Metric + comparison rule (core/feature_monitoring_result_engine.py
+    * :342-440): relative vs absolute difference against a threshold.
+    */
+  final case class ComparisonSpec(
+      metric: String, // mean | min | max | count | stddev | sum
+      threshold: Double,
+      relative: Boolean = false,
+      strict: Boolean = false)
+
+  /** Fixed-cadence schedule (the reference's job schedule cron analog). */
+  final case class ScheduleSpec(everyMillis: Long, startMillis: Long = 0L)
+
+  final case class MonitoringConfig(
+      name: String,
+      featureGroup: String,
+      version: Int,
+      feature: String,
+      eventTimeCol: String,
+      detection: WindowSpec,
+      reference: Option[WindowSpec],
+      referenceValue: Option[Double] = None,
+      comparison: ComparisonSpec,
+      schedule: ScheduleSpec,
+      enabled: Boolean = true)
+
+  final case class MonitoringResult(
+      configName: String,
+      executedAt: Long,
+      detectionValue: Double,
+      referenceValue: Double,
+      difference: Double,
+      shiftDetected: Boolean)
+
+  private def metricAgg(metric: String, c: org.apache.spark.sql.Column) =
+    metric match {
+      case "mean"   => avg(c)
+      case "min"    => min(c)
+      case "max"    => max(c)
+      case "count"  => count(c).cast("double")
+      case "stddev" => stddev_samp(c)
+      case "sum"    => sum(c)
+      case other => throw new IllegalArgumentException(
+        s"unsupported monitoring metric $other")
+    }
+
+  /** Execute one config at `nowMillis`: single scan, both windows via
+    * conditional aggregation.
+    */
+  def run(spark: SparkSession, df: DataFrame, cfg: MonitoringConfig,
+          nowMillis: Long): MonitoringResult = {
+    val et = Splits.eventTimeMillisCol(df, cfg.eventTimeCol)
+    def windowCond(w: WindowSpec) = w.sizeMillis match {
+      case Some(size) =>
+        val (s, e) = SchemaOps.rollingWindow(nowMillis, size, w.offsetMillis)
+        et >= s && et < e
+      case None => lit(true)
+    }
+    def sampled(c: org.apache.spark.sql.Column, w: WindowSpec) =
+      if (w.rowPercentage >= 1.0) c
+      else c && pmod(xxhash64(col(cfg.feature), et), lit(10000L)) <
+        lit((w.rowPercentage * 10000).toLong)
+
+    val detCond = sampled(windowCond(cfg.detection), cfg.detection)
+    val value = col(cfg.feature)
+    val aggs = Seq(
+      metricAgg(cfg.comparison.metric,
+        when(detCond, value)).as("_det")) ++
+      cfg.reference.map(r =>
+        metricAgg(cfg.comparison.metric,
+          when(sampled(windowCond(r), r), value)).as("_ref"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val det = Option(row.get(0)).fold(Double.NaN)(_.toString.toDouble)
+    val ref = cfg.reference match {
+      case Some(_) => Option(row.get(1)).fold(Double.NaN)(_.toString.toDouble)
+      case None => cfg.referenceValue.getOrElse(
+        throw new IllegalArgumentException(
+          s"config ${cfg.name} has neither reference window nor value"))
+    }
+    val (diff, shift) = Statistics.differenceAndShift(
+      det, ref, cfg.comparison.threshold, cfg.comparison.relative,
+      cfg.comparison.strict)
+    MonitoringResult(cfg.name, nowMillis, det, ref, diff, shift)
+  }
+
+  // -- persistence (configs + result log under a warehouse dir) -----------
+
+  final class MonitoringEngine(spark: SparkSession, warehouseDir: String) {
+
+    private def cfgDir = s"$warehouseDir/_monitoring/configs"
+    private def resultsDir = s"$warehouseDir/_monitoring/results"
+
+    private def fsOf(path: String): (FileSystem, Path) = {
+      val p = new Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    def saveConfig(cfg: MonitoringConfig): Unit = {
+      val j: JValue =
+        ("name" -> cfg.name) ~ ("featureGroup" -> cfg.featureGroup) ~
+          ("version" -> cfg.version) ~ ("feature" -> cfg.feature) ~
+          ("eventTimeCol" -> cfg.eventTimeCol) ~
+          ("detection" -> windowJson(cfg.detection)) ~
+          ("reference" -> cfg.reference.map(windowJson)) ~
+          ("referenceValue" -> cfg.referenceValue) ~
+          ("metric" -> cfg.comparison.metric) ~
+          ("threshold" -> cfg.comparison.threshold) ~
+          ("relative" -> cfg.comparison.relative) ~
+          ("strict" -> cfg.comparison.strict) ~
+          ("everyMillis" -> cfg.schedule.everyMillis) ~
+          ("startMillis" -> cfg.schedule.startMillis) ~
+          ("enabled" -> cfg.enabled)
+      val (fs, _) = fsOf(cfgDir)
+      val out = fs.create(new Path(s"$cfgDir/${cfg.name}.json"), true)
+      try out.write(JsonMethods.compact(JsonMethods.render(j))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private def windowJson(w: WindowSpec): JValue =
+      ("sizeMillis" -> w.sizeMillis) ~ ("offsetMillis" -> w.offsetMillis) ~
+        ("rowPercentage" -> w.rowPercentage)
+
+    private def windowFrom(j: JValue): WindowSpec = WindowSpec(
+      sizeMillis = (j \ "sizeMillis") match {
+        case JInt(i) => Some(i.toLong); case _ => None },
+      offsetMillis = (j \ "offsetMillis") match {
+        case JInt(i) => i.toLong; case _ => 0L },
+      rowPercentage = (j \ "rowPercentage") match {
+        case JDouble(d) => d; case JInt(i) => i.toDouble; case _ => 1.0 })
+
+    private def cfgFrom(j: JValue): MonitoringConfig = {
+      def str(v: JValue) = v match { case JString(s) => s; case _ => "" }
+      def lng(v: JValue, d: Long) =
+        v match { case JInt(i) => i.toLong; case _ => d }
+      def dbl(v: JValue): Option[Double] = v match {
+        case JDouble(x) => Some(x); case JInt(i) => Some(i.toDouble)
+        case _ => None }
+      def bool(v: JValue, d: Boolean) =
+        v match { case JBool(b) => b; case _ => d }
+      MonitoringConfig(
+        name = str(j \ "name"),
+        featureGroup = str(j \ "featureGroup"),
+        version = lng(j \ "version", 1L).toInt,
+        feature = str(j \ "feature"),
+        eventTimeCol = str(j \ "eventTimeCol"),
+        detection = windowFrom(j \ "detection"),
+        reference = (j \ "reference") match {
+          case JNothing | JNull => None
+          case w => Some(windowFrom(w)) },
+        referenceValue = dbl(j \ "referenceValue"),
+        comparison = ComparisonSpec(
+          metric = str(j \ "metric"),
+          threshold = dbl(j \ "threshold").getOrElse(0.0),
+          relative = bool(j \ "relative", d = false),
+          strict = bool(j \ "strict", d = false)),
+        schedule = ScheduleSpec(
+          everyMillis = lng(j \ "everyMillis", 0L),
+          startMillis = lng(j \ "startMillis", 0L)),
+        enabled = bool(j \ "enabled", d = true))
+    }
+
+    def getConfig(name: String): Option[MonitoringConfig] = {
+      val (fs, _) = fsOf(cfgDir)
+      val p = new Path(s"$cfgDir/$name.json")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try new String(in.readAllBytes,
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Some(cfgFrom(JsonMethods.parse(txt)))
+      }
+    }
+
+    def listConfigs(): Seq[MonitoringConfig] = {
+      val (fs, p) = fsOf(cfgDir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".json"))
+        .flatMap(st => getConfig(st.getPath.getName.stripSuffix(".json")))
+    }
+
+    def deleteConfig(name: String): Unit = {
+      val (fs, _) = fsOf(cfgDir)
+      fs.delete(new Path(s"$cfgDir/$name.json"), false)
+      ()
+    }
+
+    /** Persisted result log (parquet append). */
+    def results(): DataFrame = {
+      val (fs, p) = fsOf(resultsDir)
+      if (!fs.exists(p)) {
+        import spark.implicits._
+        Seq.empty[MonitoringResult].toDF()
+      } else spark.read.parquet(resultsDir)
+    }
+
+    private def lastRun(name: String): Option[Long] = {
+      val df = results()
+      if (df.isEmpty) None
+      else {
+        val r = df.filter(col("configName") === name)
+          .agg(max(col("executedAt"))).collect().head
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    }
+
+    /** Configs whose schedule fires at `nowMillis`: enabled, past their
+      * start, and at least `everyMillis` since the last recorded run.
+      */
+    def due(nowMillis: Long): Seq[MonitoringConfig] =
+      listConfigs().filter { c =>
+        c.enabled && nowMillis >= c.schedule.startMillis &&
+          lastRun(c.name).forall(_ + c.schedule.everyMillis <= nowMillis)
+      }
+
+    /** Run every due config against its data and append the results. */
+    def runDue(nowMillis: Long,
+               dataFor: MonitoringConfig => DataFrame): Seq[MonitoringResult] = {
+      val fired = due(nowMillis).map(c => run(spark, dataFor(c), c, nowMillis))
+      if (fired.nonEmpty) {
+        import spark.implicits._
+        fired.toDF().coalesce(1).write.mode("append").parquet(resultsDir)
+      }
+      fired
+    }
+  }
+}

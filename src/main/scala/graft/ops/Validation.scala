@@ -107,4 +107,43 @@ object Validation {
     }
     df
   }
+
+  // -- persistable suites ----------------------------------------------------
+
+  /** Serializable expectation descriptor — the persisted form of a suite
+    * (the runtime [[Expectation]] holds a Column and cannot be stored;
+    * reference metadata CRUD: python/hsfs/expectation_suite.py).
+    */
+  sealed trait ExpectationSpec { def toExpectation: Expectation }
+  final case class NotNullSpec(column: String) extends ExpectationSpec {
+    def toExpectation: Expectation = notNull(column)
+  }
+  final case class BetweenSpec(column: String, min: Double, max: Double)
+      extends ExpectationSpec {
+    def toExpectation: Expectation = between(column, min, max)
+  }
+  final case class InSetSpec(column: String, values: Seq[String])
+      extends ExpectationSpec {
+    def toExpectation: Expectation = inSet(column, values)
+  }
+  final case class RegexSpec(column: String, regex: String)
+      extends ExpectationSpec {
+    def toExpectation: Expectation = matchesRegex(column, regex)
+  }
+  final case class UniqueSpec(column: String) extends ExpectationSpec {
+    def toExpectation: Expectation = unique(column)
+  }
+
+  /** Validation-on-insert policy (reference validation_ingestion_policy):
+    * STRICT rejects a failing batch; ALWAYS validates and lets it through.
+    */
+  object Policy {
+    val Strict = "STRICT"
+    val Always = "ALWAYS"
+  }
+
+  final case class SuiteDef(name: String, specs: Seq[ExpectationSpec],
+                            policy: String = Policy.Strict) {
+    def expectations: Seq[Expectation] = specs.map(_.toExpectation)
+  }
 }

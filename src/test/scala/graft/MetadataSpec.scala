@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Monitoring, Validation}
+import java.nio.file.Files
+
+/** Persisted metadata engines: expectation suites (validated on insert)
+  * and monitoring configs (scheduled window comparisons).
+  */
+class MetadataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expectation suite persists, gates inserts, honors policy") {
+    val wh = Files.createTempDirectory("graft_suites").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val fg = fs.createFeatureGroup("gated",
+      Seq((1L, 50.0), (2L, 70.0)).toDF("id", "x"), primaryKey = Seq("id"))
+
+    fs.saveExpectationSuite(fg, Validation.SuiteDef("basic", Seq(
+      Validation.NotNullSpec("id"),
+      Validation.BetweenSpec("x", 0.0, 100.0))))
+
+    // suite survives a store restart
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val back = fs2.getExpectationSuite(fg)
+    assert(back.map(_.name) === Some("basic"))
+    assert(back.get.specs.size === 2)
+    assert(back.get.policy === Validation.Policy.Strict)
+
+    // STRICT: failing batch rejected, no commit written
+    val commitsBefore = graft.sources.Lake.listCommits(spark,
+      fg.source.asInstanceOf[graft.model.LakeSource].root).size
+    val e = intercept[IllegalStateException] {
+      fs2.insert(fg, Seq((3L, 500.0)).toDF("id", "x"))
+    }
+    assert(e.getMessage.contains("between(x"))
+    assert(graft.sources.Lake.listCommits(spark,
+      fg.source.asInstanceOf[graft.model.LakeSource].root).size
+      === commitsBefore)
+    // passing batch lands
+    fs2.insert(fg, Seq((3L, 30.0)).toDF("id", "x"))
+    assert(fs2.read(graft.ir.Query.selectAll(fg)).count() === 3)
+
+    // ALWAYS: failing batch validated but admitted
+    fs2.saveExpectationSuite(fg, Validation.SuiteDef("basic", Seq(
+      Validation.BetweenSpec("x", 0.0, 100.0)),
+      policy = Validation.Policy.Always))
+    fs2.insert(fg, Seq((4L, 500.0)).toDF("id", "x"))
+    assert(fs2.read(graft.ir.Query.selectAll(fg)).count() === 4)
+
+    fs2.deleteExpectationSuite(fg)
+    assert(fs2.getExpectationSuite(fg).isEmpty)
+  }
+
+  test("monitoring engine: config CRUD, due-schedule, one-pass run, results") {
+    import Monitoring._
+    val wh = Files.createTempDirectory("graft_mon").toString
+    val eng = new MonitoringEngine(spark, wh)
+    val hour = 3600L * 1000
+
+    val cfg = MonitoringConfig(
+      name = "value_drift",
+      featureGroup = "events", version = 1,
+      feature = "value", eventTimeCol = "ts",
+      detection = WindowSpec(sizeMillis = Some(24 * hour)),
+      reference = Some(WindowSpec(sizeMillis = Some(24 * hour),
+        offsetMillis = 24 * hour)),
+      comparison = ComparisonSpec("mean", threshold = 0.05, relative = true),
+      schedule = ScheduleSpec(everyMillis = 24 * hour))
+    eng.saveConfig(cfg)
+
+    // round-trips through JSON
+    val back = eng.getConfig("value_drift").get
+    assert(back === cfg)
+    assert(eng.listConfigs() === Seq(cfg))
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // a "now" inside the synthetic data's range so both windows have rows
+    val now = graft.functions.TimeFunctions.toEpochMillis("2024-01-20")
+
+    // due before any run; runDue executes + appends a result
+    assert(eng.due(now).map(_.name) === Seq("value_drift"))
+    val fired = eng.runDue(now, _ => ev)
+    assert(fired.size === 1)
+    val r = fired.head
+    assert(!r.detectionValue.isNaN && !r.referenceValue.isNaN)
+    assert(r.shiftDetected ===
+      (math.abs(r.difference) >= 0.05))
+
+    // deterministic: the same run via Monitoring.run gives the same values
+    val again = Monitoring.run(spark, ev, cfg, now)
+    assert(again.detectionValue === r.detectionValue)
+    assert(again.referenceValue === r.referenceValue)
+
+    // not due again until a full period elapsed; due at now + period
+    assert(eng.due(now + hour).isEmpty)
+    assert(eng.due(now + 25 * hour).map(_.name) === Seq("value_drift"))
+
+    // result log persisted and queryable
+    assert(eng.results().filter($"configName" === "value_drift").count() === 1)
+
+    // disabled configs never fire
+    eng.saveConfig(cfg.copy(enabled = false))
+    assert(eng.due(now + 25 * hour).isEmpty)
+
+    eng.deleteConfig("value_drift")
+    assert(eng.listConfigs().isEmpty)
+  }
+}
