@@ -74,7 +74,7 @@ object CatalogPersistence {
     }
   }
 
-  private def toJson(fg: FeatureGroup): Option[JValue] =
+  private[catalog] def toJson(fg: FeatureGroup): Option[JValue] =
     sourceToJson(fg.source).map { src =>
       ("name" -> fg.name) ~
         ("version" -> fg.version) ~
@@ -95,7 +95,7 @@ object CatalogPersistence {
         })
     }
 
-  private def fromJson(j: JValue): FeatureGroup = {
+  private[catalog] def fromJson(j: JValue): FeatureGroup = {
     def str(v: JValue): Option[String] =
       v match { case JString(s) => Some(s); case _ => None }
     def strs(v: JValue): Seq[String] =

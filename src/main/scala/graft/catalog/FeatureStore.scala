@@ -88,6 +88,26 @@ final class FeatureStore(
   def deleteExpectationSuite(fg: FeatureGroup): Unit =
     SuitePersistence.delete(spark, warehouseDir, fg.id)
 
+  // -- feature views (persisted query IR) -----------------------------------
+
+  /** Persist a feature view's full query IR + labels/helpers; its
+    * transformations are stored by name (see [[ViewPersistence]]).
+    */
+  def saveFeatureView(view: graft.view.FeatureView): Unit =
+    ViewPersistence.save(spark, warehouseDir, view)
+
+  def getFeatureView(name: String, version: Int = 1,
+                     transformationRegistry:
+                       Map[String, graft.ops.Transformations.Transformation]
+                       = Map()): graft.view.FeatureView =
+    ViewPersistence.load(spark, warehouseDir, name, version,
+        transformationRegistry)
+      .getOrElse(throw new NoSuchElementException(
+        s"feature view $name v$version"))
+
+  def deleteFeatureView(name: String, version: Int = 1): Unit =
+    ViewPersistence.delete(spark, warehouseDir, name, version)
+
   def insert(fg: FeatureGroup, df: DataFrame): Lake.CommitMeta = fg.source match {
     case LakeSource(root) =>
       val gated = getExpectationSuite(fg) match {

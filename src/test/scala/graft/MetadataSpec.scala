@@ -51,6 +51,66 @@ class MetadataSpec extends SparkSpec {
     assert(fs2.getExpectationSuite(fg).isEmpty)
   }
 
+  test("feature view persists its full query IR and rebinds transformations") {
+    import graft.ir._
+    import graft.ops.Transformations
+    val wh = Files.createTempDirectory("graft_views").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    def fg(t: String) = graft.catalog.TestTables.fg(spark, sfDir, t)
+
+    val mm = Transformations.Transformation("bal_mm",
+      Transformations.ModelDependent, Seq("c_acctbal"),
+      drop = Seq("c_acctbal"),
+      fn = (cols, st) => Seq(Transformations
+        .minMaxScaler(cols.head, st("c_acctbal")).as("bal_mm")))
+    val view = graft.view.FeatureView("persistview", 2,
+      Query.select(fg("customer"), Seq("c_custkey", "c_acctbal"))
+        .join(Query.select(fg("nation"), Seq("n_name")),
+          leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+          joinType = JoinType.Inner, prefix = Some("nat_"))
+        .where(FilterLeaf(FeatureRef("c_acctbal"), FilterCondition.Gt, 1000.0)
+          && FilterLeaf(FeatureRef("c_mktsegment"), FilterCondition.In,
+            Seq("BUILDING", "AUTOMOBILE"))),
+      labels = Seq("bal_mm"),
+      transformations = Seq(mm))
+    fs.saveFeatureView(view)
+
+    // a fresh store over the same warehouse reloads the view; lambdas
+    // rebind from the registry by name
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val back = fs2.getFeatureView("persistview", 2,
+      transformationRegistry = Map("bal_mm" -> mm))
+    assert(back.name === "persistview" && back.version === 2)
+    assert(back.labels === Seq("bal_mm"))
+    assert(back.transformations.map(_.name) === Seq("bal_mm"))
+    assert(back.query.joins.head.prefix === Some("nat_"))
+
+    // semantic equality: the reloaded IR plans to the same rows
+    val a = view.batchQuery(spark).orderBy("c_custkey").collect().toSeq
+    val b = back.batchQuery(spark).orderBy("c_custkey").collect().toSeq
+    assert(a === b && a.nonEmpty)
+
+    // missing registry entry fails with a clear message
+    val e = intercept[IllegalArgumentException] {
+      fs2.getFeatureView("persistview", 2)
+    }
+    assert(e.getMessage.contains("bal_mm"))
+
+    // spine-backed queries refuse to persist
+    val spineFg = graft.model.FeatureGroup.spine("sp",
+      Seq((1L, 2.0)).toDF("id", "x"), primaryKey = Seq("id"))
+    intercept[IllegalArgumentException] {
+      fs2.saveFeatureView(graft.view.FeatureView("bad", 1,
+        Query.selectAll(spineFg)))
+    }
+
+    fs2.deleteFeatureView("persistview", 2)
+    intercept[NoSuchElementException] {
+      fs2.getFeatureView("persistview", 2,
+        transformationRegistry = Map("bal_mm" -> mm))
+    }
+  }
+
   test("monitoring engine: config CRUD, due-schedule, one-pass run, results") {
     import Monitoring._
     val wh = Files.createTempDirectory("graft_mon").toString
