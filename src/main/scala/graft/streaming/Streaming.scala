@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+/** One closed activity session (sessionization output). Times in epoch
+  * millis. Top-level: Catalyst encoder codegen cannot instantiate
+  * object-nested case classes.
+  */
+final case class Session(key: String, sessionStart: Long, sessionEnd: Long,
+                         nEvents: Long, total: Double)
+
+/** Open-session state carried between micro-batches (one per active key). */
+final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
 /** Structured-Streaming ingestion — the engine's analog of the reference's
   * stream feature groups (insert_stream → Kafka sink,
   * python/hsfs/engine/spark.py:398-469; Kafka→lakehouse materialization via
@@ -107,4 +117,78 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(col("window.start").as("w_start"), col(keyCol),
         col("n"), col("total"))
+
+  /** Gap-based event-time sessionization with CUSTOM STATE
+    * (`flatMapGroupsWithState` over a `KeyValueGroupedDataset` — the
+    * Structured-Streaming state surface SURVEY §2.12 calls for when
+    * built-in windows can't express the semantics).
+    *
+    * Per key, consecutive events separated by less than `gapMillis` fold
+    * into one session; a gap closes the session and emits it (append
+    * mode). The trailing open session lives in the state store with an
+    * event-time timeout at `last + gap`: when the WATERMARK (not wall
+    * clock) passes it, the timeout fires and the session is emitted —
+    * late data within the watermark still extends sessions correctly.
+    *
+    * Scale shape: state is one small record per ACTIVE key (not per
+    * event), partitioned by key across executors by the state store;
+    * events arrive sorted per micro-batch via in-group sort (bounded by a
+    * key's events per batch, not per stream).
+    *
+    * @param df streaming frame; `eventTimeCol` must be a timestamp column
+    *           (the caller applies any nanos→timestamp normalization)
+    */
+  def sessionize(df: DataFrame, keyCol: String, eventTimeCol: String,
+                 valueCol: String, gapMillis: Long,
+                 watermark: String): org.apache.spark.sql.Dataset[Session] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // project FIRST, then watermark the surviving timestamp column (a
+    // select after withWatermark, or a typed map after it, silently drops
+    // the watermark tag and EventTimeTimeout refuses to plan)
+    val typed = df
+      .select(col(keyCol).cast("string").as("k"),
+        col(eventTimeCol).as("et"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("et", watermark)
+      .as[(String, java.sql.Timestamp, Double)]
+
+    def fold(key: String,
+             rows: Iterator[(String, java.sql.Timestamp, Double)],
+             state: GroupState[SessionState]): Iterator[Session] = {
+      val events = rows.map { case (k, ts, v) => (k, ts.getTime, v) }
+      if (state.hasTimedOut) {
+        // watermark passed last + gap: close and emit the trailing session
+        val s = state.get
+        state.remove()
+        Iterator.single(Session(key, s.start, s.last, s.n, s.total))
+      } else {
+        val sorted = events.toArray.sortBy(_._2)
+        val closed = Vector.newBuilder[Session]
+        var cur = state.getOption
+        sorted.foreach { case (_, t, v) =>
+          cur match {
+            case Some(s) if t - s.last < gapMillis =>
+              cur = Some(SessionState(s.start, math.max(s.last, t),
+                s.n + 1, s.total + v))
+            case Some(s) =>
+              closed += Session(key, s.start, s.last, s.n, s.total)
+              cur = Some(SessionState(t, t, 1L, v))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, v))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMillis)
+        }
+        closed.result().iterator
+      }
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fold)
+  }
 }

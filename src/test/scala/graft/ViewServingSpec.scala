@@ -151,6 +151,59 @@ class ViewServingSpec extends SparkSpec {
     assert(spark.table(name).count() === 2) // one row per (id, ts)
   }
 
+  test("sessionization: custom state closes sessions by gap and watermark") {
+    import graft.streaming.Streaming
+    val tmp = Files.createTempDirectory("graft_sess").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    def minutes(m: Long) = new java.sql.Timestamp(m * 60000L)
+    // batch 1: key a has two bursts separated by > gap; key b one burst
+    Seq(("a", minutes(1), 1.0), ("a", minutes(2), 2.0),
+        ("a", minutes(30), 3.0), ("b", minutes(5), 5.0))
+      .toDF("k", "et", "v").coalesce(1).write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    val stream = Streaming.readStream(spark, "parquet", Some(s"$src/*"),
+        schema = Some(schema),
+        options = Map("maxFilesPerTrigger" -> "1"))
+    val sessions = Streaming.sessionize(stream, "k", "et", "v",
+      gapMillis = 10 * 60000L, watermark = "0 seconds")
+    def drain(): Unit = {
+      // file sink + checkpoint: the SAME logical query resumes across
+      // restarts, carrying its open-session state store forward
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    // intra-batch gap closed a's first session (1-2 min burst); the
+    // watermark (max et = 30 min) already passed b's last+gap, so b's
+    // session closed via event-time timeout in the same run
+    val afterB1 = spark.read.parquet(s"$tmp/out")
+      .as[graft.streaming.Session].collect().sortBy(_.key)
+    assert(afterB1.toSeq === Seq(
+      graft.streaming.Session("a", 60000L, 120000L, 2, 3.0),
+      graft.streaming.Session("b", 300000L, 300000L, 1, 5.0)))
+
+    // batch 2 advances the watermark far past last+gap → the trailing
+    // sessions time out and close; a new session for b opens and closes
+    Seq(("b", minutes(90), 7.0), ("b", minutes(91), 9.0),
+        ("c", minutes(120), 1.0))
+      .toDF("k", "et", "v").coalesce(1).write.parquet(s"$src/b2")
+    drain()
+    val all = spark.read.parquet(s"$tmp/out")
+      .as[graft.streaming.Session].collect()
+      .sortBy(s => (s.key, s.sessionStart))
+    // watermark reached 120 min: a's trailing 30-min burst and b's
+    // 90-91 min burst closed via event-time timeout; c (at exactly the
+    // watermark) stays open in state
+    assert(all.contains(graft.streaming.Session("a", 1800000L, 1800000L, 1, 3.0)))
+    assert(all.contains(graft.streaming.Session("b", 5400000L, 5460000L, 2, 16.0)))
+    assert(!all.exists(_.key == "c"))
+  }
+
   test("serving: on-demand transformation consumes request parameters") {
     import graft.ops.Transformations._
     val onDemand = Transformation("od", OnDemand,
