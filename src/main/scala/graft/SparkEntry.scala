@@ -623,6 +623,35 @@ object SparkEntry {
           "shift_detected")
     }),
 
+    // §2.12 stateful streaming: gap-based sessionization via
+    // flatMapGroupsWithState + event-time timeout, driven to completion
+    // with AvailableNow. Sessions still open at end-of-stream (watermark
+    // never passed last+gap) stay in state — the oracle excludes each
+    // key's trailing session under the same rule.
+    "q48_sessionization" -> ((s, dir) => {
+      val batch = s.read.parquet(TestTables.parquet(dir, "events"))
+      val stream = graft.streaming.Streaming.readStream(
+          s, "parquet", Some(s"$dir/events.*"),
+          schema = Some(batch.schema))
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.streaming.Streaming.sessionize(
+        stream, "user_id", "ts2", "value",
+        gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
+      val name = "q48_sink_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(col("key"),
+          col("sessionStart").as("session_start"),
+          col("sessionEnd").as("session_end"),
+          col("nEvents").as("n_events"),
+          round(col("total"), 2).as("total"))
+        .orderBy("key", "session_start")
+    }),
+
     // LLM-ops: embedding near-duplicate pairs via multi-table LSH
     // bucketing. Near-dups are planted deterministically (perturbed copies
     // of the first 50 vectors; +0.25f is exactly representable, so Spark
@@ -1076,6 +1105,33 @@ object SparkEntry {
                 round((det.m - ref.m) / ref.m, 4) AS difference,
                 abs((det.m - ref.m) / ref.m) >= 0.05 AS shift_detected
          FROM det, ref""",
+    "q48_sessionization" ->
+      """WITH ev AS (
+           SELECT CAST(user_id AS VARCHAR) AS k,
+                  epoch_ms(CAST(ts AS TIMESTAMP)) AS t, value AS v
+           FROM events),
+         mx AS (SELECT max(t) AS maxt FROM ev),
+         lagged AS (
+           SELECT k, t, v,
+                  CASE WHEN lag(t) OVER (PARTITION BY k ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY k ORDER BY t)
+                            >= 21600000
+                       THEN 1 ELSE 0 END AS ns
+           FROM ev),
+         sess AS (
+           SELECT k, t, v,
+                  sum(ns) OVER (PARTITION BY k ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM lagged),
+         agg AS (
+           SELECT k, sid, min(t) AS session_start, max(t) AS session_end,
+                  count(*) AS n_events, round(sum(v ORDER BY t), 2) AS total
+           FROM sess GROUP BY k, sid)
+         SELECT k AS key, session_start, session_end, n_events, total
+         FROM agg, mx
+         WHERE NOT (sid = (SELECT max(sid) FROM agg a2 WHERE a2.k = agg.k)
+                    AND session_end + 21600000 >= maxt)
+         ORDER BY key, session_start""",
     "q46_embedding_neardup" ->
       """WITH dup AS (
            SELECT vec_id + 100000 AS vec_id,
