@@ -623,6 +623,26 @@ object SparkEntry {
           "shift_detected")
     }),
 
+    // §2.4 PIT join, SALTED skew path: identical semantics to q07 with
+    // each hot key spread over 4 sub-partitions (spine salted, right side
+    // replicated per bucket) — the driver gate proves the skew plan is
+    // value-identical to the unsalted one against the same ASOF oracle.
+    "q49_pit_salted" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ops.PointInTimeJoin
+        .asOf(clicks, "ts", views, "ts", Seq("user_id"), Seq("user_id"),
+          prefix = "view_", saltBuckets = 4)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          expr("view_ts div 1000").as("view_ts_us"),
+          col("view_event_id"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
     // §2.12 stateful streaming: gap-based sessionization via
     // flatMapGroupsWithState + event-time timeout, driven to completion
     // with AvailableNow. Sessions still open at end-of-stream (watermark
@@ -1105,6 +1125,14 @@ object SparkEntry {
                 round((det.m - ref.m) / ref.m, 4) AS difference,
                 abs((det.m - ref.m) / ref.m) >= 0.05 AS shift_detected
          FROM det, ref""",
+    "q49_pit_salted" ->
+      """SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+                epoch_us(v.ts) AS view_ts_us,
+                v.event_id AS view_event_id, v.value AS view_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') s
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON s.user_id = v.user_id AND v.ts <= s.ts
+         ORDER BY s.event_id""",
     "q48_sessionization" ->
       """WITH ev AS (
            SELECT CAST(user_id AS VARCHAR) AS k,
