@@ -108,6 +108,19 @@ final class FeatureStore(
   def deleteFeatureView(name: String, version: Int = 1): Unit =
     ViewPersistence.delete(spark, warehouseDir, name, version)
 
+  /** Persist a training run's fitted transformation statistics for a
+    * view; a serving session loads them to scale/encode online vectors
+    * with the training distribution.
+    */
+  def saveTrainingStatistics(
+      viewName: String, version: Int,
+      stats: Map[String, graft.ops.Transformations.FeatureStatistics]): Unit =
+    StatsPersistence.save(spark, warehouseDir, viewName, version, stats)
+
+  def getTrainingStatistics(viewName: String, version: Int = 1)
+      : Option[Map[String, graft.ops.Transformations.FeatureStatistics]] =
+    StatsPersistence.load(spark, warehouseDir, viewName, version)
+
   def insert(fg: FeatureGroup, df: DataFrame): Lake.CommitMeta = fg.source match {
     case LakeSource(root) =>
       val gated = getExpectationSuite(fg) match {

@@ -130,13 +130,21 @@ object Transformations {
     * split only — engine/spark.py:704-712), apply to `df`.
     */
   def fitApply(statsDf: DataFrame, df: DataFrame,
-               transforms: Seq[Transformation]): DataFrame = {
+               transforms: Seq[Transformation]): DataFrame =
+    applyAll(df, transforms, fitStats(statsDf, transforms))
+
+  /** Fit the model-dependent statistics only (one agg pass) — callers
+    * reuse the result across splits and persist it for serving
+    * (reference binds precomputed training-dataset statistics at serving,
+    * core/vector_server.py:924-978).
+    */
+  def fitStats(statsDf: DataFrame,
+               transforms: Seq[Transformation]): Map[String, FeatureStatistics] = {
     val scaled = transforms.filter(_.kind == ModelDependent).flatMap(_.inputs)
-      .filter(c => df.schema(c).dataType.isInstanceOf[
+      .filter(c => statsDf.schema(c).dataType.isInstanceOf[
         org.apache.spark.sql.types.NumericType]).distinct
     val encoded = transforms.filter(_.kind == ModelDependent).flatMap(_.inputs)
       .filterNot(scaled.contains).distinct
-    val stats = FeatureStatistics.compute(statsDf, scaled, encoded)
-    applyAll(df, transforms, stats)
+    FeatureStatistics.compute(statsDf, scaled, encoded)
   }
 }

@@ -100,7 +100,13 @@ object TrainingDataset {
 
   final case class Result(
       splits: Map[String, DataFrame],
-      statistics: Map[String, Seq[Statistics.ColumnProfile]])
+      statistics: Map[String, Seq[Statistics.ColumnProfile]],
+      /** Train-split-fitted transformation statistics — persist these
+        * (FeatureStore.saveTrainingStatistics) and bind them at serving
+        * so online transformations use the TRAINING distribution.
+        */
+      transformationStatistics:
+        Map[String, Transformations.FeatureStatistics] = Map())
 
   /** Build training data from a feature view: batch/PIT frame → split →
     * fit transformations on the TRAIN split only (engine/spark.py:704-712)
@@ -125,19 +131,23 @@ object TrainingDataset {
     val cached = splits.map { case (k, v) => k -> v.cache() }
     val train = cached.getOrElse("train", cached.values.head)
 
+    // fit ONCE on the train split, apply everywhere (a per-split
+    // fitApply would rescan the train split per split)
+    val fitted =
+      if (view.transformations.isEmpty)
+        Map.empty[String, Transformations.FeatureStatistics]
+      else Transformations.fitStats(train, view.transformations)
     val transformed =
       if (view.transformations.isEmpty) cached
-      else {
-        cached.map { case (k, v) =>
-          k -> Transformations.fitApply(train, v, view.transformations)
-        }
+      else cached.map { case (k, v) =>
+        k -> Transformations.applyAll(v, view.transformations, fitted)
       }
 
     val stats = transformed.map { case (k, v) =>
       k -> (if (statsColumns.nonEmpty) Statistics.profile(v, statsColumns)
             else Seq.empty[Statistics.ColumnProfile])
     }
-    Result(transformed, stats)
+    Result(transformed, stats, fitted)
   }
 
   private val formatAliases = Map("tsv" -> "csv")

@@ -111,6 +111,51 @@ class MetadataSpec extends SparkSpec {
     }
   }
 
+  test("training statistics persist and serve with the training distribution") {
+    import graft.ir.Query
+    import graft.ops.Transformations
+    val wh = Files.createTempDirectory("graft_stats").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    def fg(t: String) = graft.catalog.TestTables.fg(spark, sfDir, t)
+
+    val mm = Transformations.Transformation("bal_mm",
+      Transformations.ModelDependent, Seq("c_acctbal"),
+      drop = Seq("c_acctbal"),
+      fn = (cols, st) => Seq(Transformations
+        .minMaxScaler(cols.head, st("c_acctbal")).as("bal_mm")))
+    val view = graft.view.FeatureView("servestats", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_acctbal")),
+      transformations = Seq(mm))
+
+    // training run fits stats once on the train split
+    val res = graft.view.TrainingDataset.build(spark, view,
+      view.batchQuery(spark),
+      randomWeights = Map("train" -> 0.8, "test" -> 0.2))
+    val fitted = res.transformationStatistics
+    assert(fitted.contains("c_acctbal"))
+    fs.saveTrainingStatistics("servestats", 1, fitted)
+
+    // a NEW store (fresh session analog) reloads and serves with them
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val loaded = fs2.getTrainingStatistics("servestats").get
+    assert(loaded("c_acctbal").min === fitted("c_acctbal").min)
+    assert(loaded("c_acctbal").max === fitted("c_acctbal").max)
+
+    val server = new graft.serving.FeatureVectorServer(spark, view, loaded)
+    val keys = spark.range(3, 6).selectExpr("id AS c_custkey")
+    val out = server.getFeatureVectors(keys).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("bal_mm"))).toMap
+    // served value = (raw - trainMin) / (trainMax - trainMin), exactly
+    val raw = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter($"c_custkey".between(3, 5))
+      .select($"c_custkey", $"c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s = loaded("c_acctbal")
+    raw.foreach { case (k, v) =>
+      assert(out(k) === (v - s.min) / (s.max - s.min), s"key $k")
+    }
+  }
+
   test("monitoring engine: config CRUD, due-schedule, one-pass run, results") {
     import Monitoring._
     val wh = Files.createTempDirectory("graft_mon").toString
