@@ -27,10 +27,14 @@ object Splits {
     * are exact, not Bernoulli-approximate).
     *
     * Distributed form — a global rank with NO single-partition window:
-    * seeded random sort key → range repartition on it (every partition owns
-    * a contiguous key range) → per-partition row_number + per-partition
-    * offsets (a tiny count-per-partition collect, broadcast back). Rank =
-    * offset + local rank, so the window parallelizes across all partitions;
+    * seeded random sort key `_r` → bucket `least(floor(_r*P), P-1)` (a pure
+    * function of the DATA, so it is identical every time the lineage is
+    * recomputed — unlike `repartitionByRange`, whose reservoir-sampled
+    * boundaries are re-drawn per job and would silently reshuffle rows
+    * between the counts job and each split's own job) → per-bucket
+    * row_number + per-bucket offsets (a tiny count-per-bucket collect,
+    * broadcast back). Buckets are contiguous `_r` ranges, so
+    * rank = offset(bucket) + local rank is a total order by (_r, _mid);
     * contiguous rank ranges then carve the exact split sizes.
     */
   def exactRandom(df: DataFrame, weights: Map[String, Double],
@@ -42,21 +46,22 @@ object Splits {
     val spark = df.sparkSession
     import spark.implicits._
     val n = df.count()
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val buckets = spark.sessionState.conf.numShufflePartitions
     val keyed = df.withColumn("_r", rand(seed))
       .withColumn("_mid", monotonically_increasing_id())
-      .repartitionByRange(shuffleParts, col("_r"), col("_mid"))
-      .withColumn("_pid", spark_partition_id())
-    // per-partition counts: numShufflePartitions rows on the driver
-    val counts = keyed.groupBy("_pid").count()
+      .withColumn("_bucket",
+        least(floor(col("_r") * buckets), lit(buckets - 1L)).cast("int"))
+      .repartition(buckets, col("_bucket"))
+    // per-bucket counts: at most numShufflePartitions rows on the driver
+    val counts = keyed.groupBy("_bucket").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val offsets = counts.map { case (pid, c) =>
-      val o = (pid, acc); acc += c; o
+    val offsets = counts.map { case (bucket, c) =>
+      val o = (bucket, acc); acc += c; o
     }.toSeq
-    val offDf = offsets.toDF("_pid", "_off")
-    val w = Window.partitionBy(col("_pid")).orderBy(col("_r"), col("_mid"))
-    val indexed = keyed.join(broadcast(offDf), Seq("_pid"))
+    val offDf = offsets.toDF("_bucket", "_off")
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("_r"), col("_mid"))
+    val indexed = keyed.join(broadcast(offDf), Seq("_bucket"))
       .withColumn("_split_idx", row_number().over(w) + col("_off"))
     val names = weights.keys.toSeq.sorted
     val bounds = names.scanLeft(0L) { (acc, k) =>
@@ -66,7 +71,7 @@ object Splits {
       val (lo, hi) =
         (bounds(i), if (i == names.size - 1) n else bounds(i + 1))
       k -> indexed.filter(col("_split_idx") > lo && col("_split_idx") <= hi)
-        .drop("_split_idx", "_r", "_mid", "_pid", "_off")
+        .drop("_split_idx", "_r", "_mid", "_bucket", "_off")
     }.toMap
   }
 

@@ -62,12 +62,6 @@ object Lake {
   private def recordKey(fg: FeatureGroup): Seq[String] =
     (fg.primaryKey ++ fg.eventTime).distinct
 
-  /** Monotonic commit timestamp (epoch millis), unique per table. */
-  private def newCommitTime(spark: SparkSession, root: String): Long = {
-    val last = listCommits(spark, root).lastOption.getOrElse(0L)
-    math.max(System.currentTimeMillis(), last + 1)
-  }
-
   /** Commit times present in the table, ascending (from the partition
     * layout, not the metadata — data is the source of truth).
     */
@@ -101,7 +95,11 @@ object Lake {
       deleted: Boolean,
       operation: String,
       computeStats: Boolean = true): CommitMeta = {
-    val t = newCommitTime(spark, root)
+    // one FS listing serves both the commit-time allocation and the
+    // first-commit check below
+    val priorCommits = listCommits(spark, root)
+    val t = math.max(System.currentTimeMillis(),
+      priorCommits.lastOption.getOrElse(0L) + 1)
     // schema evolution at write time: a batch missing declared columns
     // gets them appended with their declared defaults (feature_group.py:853,
     // engine/spark.py:1251-1265) so every commit carries the full schema
@@ -121,7 +119,7 @@ object Lake {
     val keys = recordKey(fg)
     val (ins, upd, del) =
       if (!computeStats) (-1L, -1L, -1L)
-      else if (listCommits(spark, root).isEmpty) {
+      else if (priorCommits.isEmpty) {
         val n = rows.count()
         if (deleted) (0L, 0L, n) else (n, 0L, 0L)
       } else {
@@ -196,6 +194,7 @@ object Lake {
     */
   def snapshot(spark: SparkSession, root: String, fg: FeatureGroup,
                asOf: Option[Long]): DataFrame = {
+    pendingOpGuard(spark, root)
     if (listCommits(spark, root).isEmpty) {
       // schema-only table (e.g. created from an empty frame): no partitions
       // exist yet, so return an empty frame with the declared schema
@@ -238,6 +237,7 @@ object Lake {
     */
   def readChanges(spark: SparkSession, root: String, fg: FeatureGroup,
                   exclusiveStart: Long, inclusiveEnd: Long): DataFrame = {
+    pendingOpGuard(spark, root)
     // the squashed base commit sits at the horizon time: any range whose
     // start would include it is not a true incremental read
     for (h <- commitHorizon(spark, root); if exclusiveStart < h)
@@ -322,6 +322,7 @@ object Lake {
   def cleanCommits(spark: SparkSession, root: String, fg: FeatureGroup,
                    keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
+    recoverPendingClean(spark, root, fg)
     val commits = listCommits(spark, root)
     if (commits.length <= keepLast) return commits
     val archived = commits.dropRight(keepLast)
@@ -333,6 +334,13 @@ object Lake {
       .withColumn(DeletedCol, lit(false))
     val tmp = s"$root/clean_tmp"
     base.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // COMMIT POINT: the horizon marker goes down while the squashed base
+    // still lives in clean_tmp and the archived partitions are untouched.
+    // A crash anywhere past this line is detected (reads fail fast on the
+    // tmp dir via pendingOpGuard) and replayed idempotently by
+    // recoverPendingClean from marker + tmp; a crash before it leaves the
+    // table fully intact (the orphan tmp is discarded on the next run).
+    writeHorizon(spark, root, baseT)
     val (fs, _) = fsOf(spark, root)
     archived.foreach { t =>
       fs.delete(new Path(s"${dataPath(root)}/$CommitCol=$t"), true)
@@ -343,11 +351,66 @@ object Lake {
     reread.write.mode(SaveMode.Append).partitionBy(partCols: _*)
       .parquet(dataPath(root))
     fs.delete(new Path(tmp), true)
-    val out = fs.create(new Path(horizonPath(root)), true)
-    try out.write(baseT.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
     listCommits(spark, root)
+  }
+
+  private def writeHorizon(spark: SparkSession, root: String, t: Long): Unit = {
+    val (fs, p) = fsOf(spark, horizonPath(root))
+    val out = fs.create(p, true)
+    try out.write(t.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fail reads fast while a crashed maintenance op has the table in an
+    * intermediate state, instead of silently serving partial history.
+    */
+  private def pendingOpGuard(spark: SparkSession, root: String): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    if (fs.exists(new Path(s"$root/clean_tmp")))
+      throw new IllegalStateException(
+        s"interrupted cleanCommits at $root — re-run cleanCommits to " +
+          s"recover (the squashed base is preserved in $root/clean_tmp)")
+    if (fs.exists(new Path(s"$root/compact_tmp")))
+      throw new IllegalStateException(
+        s"interrupted compact at $root — the full snapshot is preserved " +
+          s"in $root/compact_tmp")
+  }
+
+  /** Complete (or discard) a cleanCommits run that crashed mid-operation.
+    * The tmp's own `_commit_time` column tells which case we're in: if it
+    * matches the horizon marker the crash was PAST the commit point →
+    * replay the deletes + base append (idempotent: the base partition at
+    * the horizon time is itself re-deleted first, so a partially appended
+    * base can't double up); otherwise the run aborted before its marker
+    * and the original table is intact → discard the orphan tmp.
+    */
+  private def recoverPendingClean(spark: SparkSession, root: String,
+                                  fg: FeatureGroup): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    val tmp = new Path(s"$root/clean_tmp")
+    if (!fs.exists(tmp)) return
+    if (!fs.exists(new Path(s"$root/clean_tmp/_SUCCESS"))) {
+      // tmp write itself crashed — strictly before the commit point
+      fs.delete(tmp, true)
+      return
+    }
+    val tmpDf = spark.read.parquet(s"$root/clean_tmp")
+    val baseT = tmpDf.select(CommitCol).take(1).headOption match {
+      case Some(r) => r.getLong(0)
+      case None => throw new IllegalStateException(
+        s"interrupted cleanCommits at $root left an empty squashed base; " +
+          "cannot determine its horizon — inspect clean_tmp and the " +
+          "_commit_horizon marker manually")
+    }
+    if (commitHorizon(spark, root).contains(baseT)) {
+      listCommits(spark, root).filter(_ <= baseT).foreach { t =>
+        fs.delete(new Path(s"${dataPath(root)}/$CommitCol=$t"), true)
+      }
+      val partCols = CommitCol +: fg.partitionKey.filter(tmpDf.columns.contains)
+      tmpDf.write.mode(SaveMode.Append).partitionBy(partCols: _*)
+        .parquet(dataPath(root))
+    }
+    fs.delete(tmp, true)
   }
 
   /** Commit metadata log (rows inserted/updated/deleted per commit —

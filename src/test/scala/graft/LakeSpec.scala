@@ -149,6 +149,68 @@ class LakeSpec extends SparkSpec {
     assert(Lake.cleanCommits(spark, root, fg, 5) === retained)
   }
 
+  test("crashed cleanCommits: reads fail fast; re-run replays the clean") {
+    import org.apache.spark.sql.functions.lit
+    val fs = freshStore()
+    val fg = fs.createFeatureGroup("tcrash",
+      Seq((1L, "v1")).toDF("id", "v"), primaryKey = Seq("id"))
+    val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+    fs.insert(fg, Seq((1L, "v2")).toDF("id", "v"))
+    fs.insert(fg, Seq((2L, "w1")).toDF("id", "v"))
+    fs.insert(fg, Seq((1L, "v3")).toDF("id", "v"))
+    val commits = Lake.listCommits(spark, root)
+    val baseT = commits(1)
+
+    // simulate a crash immediately PAST the commit point: squashed base in
+    // clean_tmp + horizon marker down, archived partitions not yet deleted
+    Lake.snapshot(spark, root, fg, Some(baseT))
+      .withColumn("_commit_time", lit(baseT))
+      .withColumn("_deleted", lit(false))
+      .write.mode("overwrite").parquet(s"$root/clean_tmp")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_commit_horizon"),
+      baseT.toString.getBytes)
+
+    // reads refuse to serve the intermediate state
+    val e = intercept[IllegalStateException] {
+      Lake.snapshot(spark, root, fg, None)
+    }
+    assert(e.getMessage.contains("interrupted cleanCommits"))
+    intercept[IllegalStateException] {
+      Lake.readChanges(spark, root, fg, commits(1), commits.last)
+    }
+
+    // re-running cleanCommits recovers, then completes the retention
+    val retained = Lake.cleanCommits(spark, root, fg, keepLast = 2)
+    assert(retained === commits.drop(1))
+    val snap = Lake.snapshot(spark, root, fg, None).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(snap.toSeq === Seq((1L, "v3"), (2L, "w1")))
+    val atH = Lake.snapshot(spark, root, fg, Some(baseT))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(atH.toSeq === Seq((1L, "v2")))
+  }
+
+  test("crashed cleanCommits BEFORE its marker: orphan tmp is discarded") {
+    import org.apache.spark.sql.functions.lit
+    val fs = freshStore()
+    val fg = fs.createFeatureGroup("tcrash2",
+      Seq((1L, "v1")).toDF("id", "v"), primaryKey = Seq("id"))
+    val root = fg.source.asInstanceOf[graft.model.LakeSource].root
+    fs.insert(fg, Seq((2L, "w1")).toDF("id", "v"))
+    val commits = Lake.listCommits(spark, root)
+    // tmp written but NO horizon marker → the run aborted pre-commit-point
+    Lake.snapshot(spark, root, fg, Some(commits.head))
+      .withColumn("_commit_time", lit(commits.head))
+      .withColumn("_deleted", lit(false))
+      .write.mode("overwrite").parquet(s"$root/clean_tmp")
+    intercept[IllegalStateException] { Lake.snapshot(spark, root, fg, None) }
+    // nothing to retain (keepLast covers all): recovery just drops the tmp
+    assert(Lake.cleanCommits(spark, root, fg, keepLast = 5) === commits)
+    assert(!new java.io.File(s"$root/clean_tmp").exists)
+    assert(Lake.snapshot(spark, root, fg, None).count() === 2)
+  }
+
   test("compaction preserves the snapshot") {
     val fs = freshStore()
     val fg = fs.createFeatureGroup("t4",

@@ -189,4 +189,26 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("exactRandom: exact sizes, disjoint, exhaustive, stable across jobs") {
+    // many source partitions + each split collected as its OWN job: the
+    // rank assignment must be a pure function of the data, identical on
+    // every lineage recomputation, or rows drop/duplicate across splits
+    val df = spark.range(0, 10007).toDF("id").repartition(16)
+    val weights = Map("train" -> 0.8, "test" -> 0.1, "validation" -> 0.1)
+    val splits = graft.ops.Splits.exactRandom(df, weights, seed = 7L)
+    val sizes = splits.map { case (k, d) => k -> d.count() }
+    assert(sizes("train") === math.round(0.8 * 10007))
+    assert(sizes("test") === math.round(0.1 * 10007))
+    assert(sizes.values.sum === 10007L)
+    val sets = splits.map { case (k, d) =>
+      k -> d.select("id").as[Long].collect().toSet
+    }
+    assert(sets.values.map(_.size).sum === 10007)       // disjoint
+    assert(sets.values.reduce(_ ++ _).size === 10007)   // exhaustive
+    // re-collecting a split (a fresh job over the same lineage) must give
+    // the exact same membership
+    val again = splits("test").select("id").as[Long].collect().toSet
+    assert(again === sets("test"))
+  }
 }
