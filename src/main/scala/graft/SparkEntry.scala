@@ -353,9 +353,11 @@ object SparkEntry {
     }),
 
     // Multimodal: binary media column + metadata + batched feature
-    // extraction plumbing (decode kernel stubbed). Oracle checks doc_id +
-    // byte length; the filter on the feature width makes a broken decode
-    // visible as a row-count mismatch.
+    // extraction plumbing over NON-image payloads (text bytes) — the real
+    // ImageIO kernel must pass them through as zero embeddings without
+    // failing. Oracle checks doc_id + byte length; the filter on the
+    // feature width makes a broken kernel visible as a row-count mismatch.
+    // The decode itself is verified pixel-exactly by q50_image_decode.
     "q31_multimodal" -> ((s, dir) => {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
         .withColumn("media", col("text").cast("binary"))
@@ -692,6 +694,22 @@ object SparkEntry {
           dim = 64, threshold = 0.95)
         .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
         .orderBy("idA", "idB")
+    }),
+
+    // Multimodal REAL decode: planted PNGs (pixel channels are a closed
+    // form of (doc_id, x, y) — Multimodal.plantedPng) are encoded, then
+    // decoded back through the actual javax.imageio kernel. The oracle
+    // recomputes the per-image channel sums and luminance histogram from
+    // the closed form alone — any decode defect breaks the integer match.
+    "q50_image_decode" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select("doc_id")
+      val withPng = graft.ops.Multimodal.withPlantedPng(docs, "doc_id", "img")
+      graft.ops.Multimodal.extractImageStats(withPng, "img")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("lum_h0"), col("lum_h1"), col("lum_h2"), col("lum_h3"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1175,6 +1193,33 @@ object SparkEntry {
                                          CAST(b.embedding AS DOUBLE[])) AS c
            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
          SELECT idA, idB, round(c, 4) AS cosine
-         FROM pairs WHERE c >= 0.95 ORDER BY idA, idB"""
+         FROM pairs WHERE c >= 0.95 ORDER BY idA, idB""",
+    // independent reconstruction of the planted pixels from the closed
+    // form in Multimodal.plantedPng — no image codec involved, so a match
+    // proves the real ImageIO decode recovered every pixel exactly
+    "q50_image_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+           FROM documents),
+         xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+         px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         vals AS (
+           SELECT doc_id, w, h,
+                  (doc_id + 7*x + 13*y) % 256 AS r,
+                  (3*doc_id + 5*x + 11*y) % 256 AS g,
+                  (5*doc_id + 3*x + 17*y) % 256 AS b
+           FROM px),
+         lums AS (
+           SELECT *, (299*r + 587*g + 114*b) // 1000 AS l FROM vals)
+         SELECT doc_id,
+                CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(sum(CASE WHEN l < 64 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h0,
+                CAST(sum(CASE WHEN l >= 64 AND l < 128 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h1,
+                CAST(sum(CASE WHEN l >= 128 AND l < 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h2,
+                CAST(sum(CASE WHEN l >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h3
+         FROM lums GROUP BY doc_id ORDER BY doc_id"""
   )
 }

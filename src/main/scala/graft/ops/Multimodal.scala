@@ -1,26 +1,35 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus distributed decode / feature-extract plumbing.
+  * with typed metadata, plus distributed decode / feature-extract kernels.
   *
-  * The decode kernels are STUBBED with a deterministic fake (this container
-  * has no image/audio codecs); everything around them — schema contract,
-  * batched per-partition execution, output shapes — is real. In production
-  * the `decodeBatch` body is replaced by an actual codec call; the Spark
-  * plan is unchanged.
+  * The image decode is REAL: `javax.imageio` ships in the JDK (PNG/BMP/GIF
+  * and whatever other readers the JRE registers), so no external codec jar
+  * is needed. Payloads that no registered reader understands yield null
+  * stats / zero embeddings rather than failing the job — a 100 TB corpus
+  * always contains undecodable blobs.
   *
   * Scale notes: decode runs via `mapPartitions` (one JVM-side pass per
   * partition, no per-row task overhead, analogous to the reference's
-  * `mapInPandas` batching); binary payloads never shuffle — feature
-  * extraction happens before any wide transformation, and downstream ops
-  * see only the small fixed-width feature columns.
+  * `mapInPandas` batching — engine/spark.py embedding/complex-feature
+  * path); binary payloads never shuffle — feature extraction happens
+  * before any wide transformation, and downstream ops see only the small
+  * fixed-width feature columns.
   */
 object Multimodal {
+
+  // ImageIO's default scratch-file cache would touch executor-local disk
+  // per decode; in-memory streams are strictly better for byte[] payloads
+  ImageIO.setUseCache(false)
 
   /** Metadata struct carried alongside every media column. */
   val mediaMetaType: StructType = StructType(Seq(
@@ -36,27 +45,80 @@ object Multimodal {
       length(col(binaryCol)).cast("long").as("n_bytes"),
       xxhash64(col(binaryCol)).as("checksum")))
 
-  /** STUB decode kernel: deterministic fake "embedding" derived from the
-    * bytes (splittable hash per lane). Replace with a real codec (JPEG
-    * decode, mel spectrogram, frame sampling) in production — signature
-    * stays `Array[Byte] => Array[Float]`.
+  /** Decoded per-image statistics: dimensions, per-channel pixel-value
+    * sums (exact integers — no float parity concerns across engines), and
+    * an integer luminance histogram (`(299r + 587g + 114b) / 1000`,
+    * bucketed into `lumHist.length` equal slices of 0..255).
     */
-  private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // deterministic seed
+  final case class ImageStats(width: Int, height: Int,
+                              sumR: Long, sumG: Long, sumB: Long,
+                              lumHist: Array[Long])
+
+  /** Real image decode: bytes → stats, None when no registered ImageIO
+    * reader accepts the payload.
+    */
+  def decodeImage(bytes: Array[Byte], lumBuckets: Int = 4): Option[ImageStats] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    // one bulk sRGB grab instead of w*h getRGB calls
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](lumBuckets)
+    val bucketWidth = 256 / lumBuckets
     var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    var d = 0
-    while (d < dim) {
-      val x = h * (d * 2654435761L + 1)
-      out(d) = ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat
-      d += 1
+    while (i < argb.length) {
+      val p = argb(i)
+      val r = (p >>> 16) & 0xff
+      val g = (p >>> 8) & 0xff
+      val b = p & 0xff
+      sr += r; sg += g; sb += b
+      val lum = (299 * r + 587 * g + 114 * b) / 1000
+      hist(math.min(lum / bucketWidth, lumBuckets - 1)) += 1
+      i += 1
     }
-    out
+    Some(ImageStats(w, h, sr, sg, sb, hist))
   }
 
-  /** Distributed feature extraction over a binary media column: batched
-    * per-partition decode → fixed-width `array<float>` feature column.
+  /** Distributed image-stat extraction over a binary media column: batched
+    * per-partition ImageIO decode → flat integer feature columns
+    * (`width/height/sum_r/sum_g/sum_b/lum_h0..h3`, null for undecodable
+    * payloads). Integer outputs are exact, so a planted-pixel oracle can
+    * verify the decode bit-for-bit.
+    */
+  def extractImageStats(df: DataFrame, binaryCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("lum_h0", LongType),
+      StructField("lum_h1", LongType),
+      StructField("lum_h2", LongType),
+      StructField("lum_h3", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        decodeImage(row.getAs[Array[Byte]](idx)) match {
+          case Some(s) => Row.fromSeq(row.toSeq ++ Seq[Any](
+            s.width, s.height, s.sumR, s.sumG, s.sumB,
+            s.lumHist(0), s.lumHist(1), s.lumHist(2), s.lumHist(3)))
+          case None => Row.fromSeq(row.toSeq ++ Seq.fill(9)(null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixed-width float embedding from the REAL decode: `dim`-bucket
+    * luminance histogram normalized by pixel count. Undecodable payloads
+    * embed as the zero vector (kept, not dropped — callers filter on the
+    * metadata/width columns when they want images only).
     */
   def extractFeatures(df: DataFrame, binaryCol: String,
                       dim: Int = 16): DataFrame = {
@@ -66,10 +128,62 @@ object Multimodal {
     val idx = df.schema.fieldIndex(binaryCol)
     df.mapPartitions { rows =>
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](idx)
-        val feats =
-          if (bytes == null) new Array[Float](dim) else fakeDecode(bytes, dim)
+        val feats = decodeImage(row.getAs[Array[Byte]](idx), lumBuckets = dim)
+          .map { s =>
+            val n = s.width.toLong * s.height
+            s.lumHist.map(c => (c.toDouble / n).toFloat)
+          }
+          .getOrElse(new Array[Float](dim))
         Row.fromSeq(row.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Deterministic planted RGB image, PNG-encoded (lossless, so the decode
+    * kernel must recover exactly these pixel values): channel value at
+    * (x, y) for image id `d` is
+    * {{{
+    *   r = (d + 7x + 13y)  mod 256
+    *   g = (3d + 5x + 11y) mod 256
+    *   b = (5d + 3x + 17y) mod 256
+    * }}}
+    * — a closed form an independent SQL oracle can evaluate without any
+    * image codec.
+    */
+  def plantedPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = (((id + 7L * x + 13L * y) % 256) & 0xff).toInt
+        val g = (((3L * id + 5L * x + 11L * y) % 256) & 0xff).toInt
+        val b = (((5L * id + 3L * x + 17L * y) % 256) & 0xff).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Planted-PNG column for a numeric id column: batched per-partition
+    * encode (the inverse of the decode kernel, used to drive it with
+    * independently verifiable pixels). Width/height derive from the id so
+    * dimensions vary across rows: `w = 4 + id mod 5`, `h = 4 + id mod 3`.
+    */
+  def withPlantedPng(df: DataFrame, idCol: String,
+                     binaryCol: String): DataFrame = {
+    val outSchema = df.schema.add(binaryCol, BinaryType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idx)
+        val png = plantedPng(id, 4 + (id % 5).toInt, 4 + (id % 3).toInt)
+        Row.fromSeq(row.toSeq :+ png)
       }
     }(enc)
   }

@@ -210,22 +210,68 @@ class ExtensionsSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
-  test("multimodal: metadata + deterministic stub features, frame sampling") {
+  test("multimodal: metadata, undecodable passthrough, frame sampling") {
     val df = Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
       .toDF("id", "s").withColumn("media", $"s".cast("binary"))
+    // non-image bytes: the real kernel must not fail — zero embedding
     val feat = Multimodal.extractFeatures(
       Multimodal.withMediaMeta(df, "media", "image/fake"), "media", dim = 4)
     val rows = feat.collect()
-    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("media_features").size == 4))
-    val again = Multimodal.extractFeatures(
-      Multimodal.withMediaMeta(df, "media", "image/fake"), "media", dim = 4)
-      .collect()
-    assert(rows.map(_.getAs[scala.collection.Seq[Float]]("media_features")).toSeq ===
-      again.map(_.getAs[scala.collection.Seq[Float]]("media_features")).toSeq)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("media_features")
+      .toSeq === Seq(0f, 0f, 0f, 0f)))
 
     val frames = Multimodal.sampleFrames(df, "media", n = 3)
     assert(frames.count() === 6)
     assert(frames.columns.contains("frame_idx") &&
       frames.columns.contains("frame_bytes"))
+  }
+
+  test("multimodal: ImageIO decode recovers planted pixels exactly") {
+    // independent reference loop over the same closed form
+    def expected(id: Long, w: Int, h: Int): (Long, Long, Long, Seq[Long]) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((id + 7L * x + 13L * y) % 256).toInt
+        val g = ((3L * id + 5L * x + 11L * y) % 256).toInt
+        val b = ((5L * id + 3L * x + 17L * y) % 256).toInt
+        sr += r; sg += g; sb += b
+        hist((299 * r + 587 * g + 114 * b) / 1000 / 64) += 1
+      }
+      (sr, sg, sb, hist.toSeq)
+    }
+    for (id <- Seq(0L, 7L, 123L, 100003L)) {
+      val (w, h) = (4 + (id % 5).toInt, 4 + (id % 3).toInt)
+      val stats = Multimodal.decodeImage(Multimodal.plantedPng(id, w, h)).get
+      val (sr, sg, sb, hist) = expected(id, w, h)
+      assert(stats.width === w && stats.height === h)
+      assert((stats.sumR, stats.sumG, stats.sumB) === ((sr, sg, sb)))
+      assert(stats.lumHist.toSeq === hist)
+    }
+    // undecodable payloads: None / null feature row, never an exception
+    assert(Multimodal.decodeImage("not an image".getBytes) === None)
+    assert(Multimodal.decodeImage(Array.emptyByteArray) === None)
+    assert(Multimodal.decodeImage(null) === None)
+
+    val df = Seq(Tuple1(42L)).toDF("doc_id")
+    val out = Multimodal.extractImageStats(
+      Multimodal.withPlantedPng(df, "doc_id", "img"), "img").collect().head
+    val (w42, h42) = (4 + (42 % 5), 4 + (42 % 3))
+    assert(out.getAs[Int]("width") === w42)
+    assert(out.getAs[Int]("height") === h42)
+    val (sr42, sg42, sb42, hist42) = expected(42L, w42, h42)
+    assert(out.getAs[Long]("sum_r") === sr42)
+    assert(out.getAs[Long]("sum_g") === sg42)
+    assert(out.getAs[Long]("sum_b") === sb42)
+    assert(Seq(out.getAs[Long]("lum_h0"), out.getAs[Long]("lum_h1"),
+      out.getAs[Long]("lum_h2"), out.getAs[Long]("lum_h3")) === hist42)
+
+    // the embedding path is the same real decode: a planted image's
+    // luminance histogram, normalized, never the zero vector
+    val emb = Multimodal.extractFeatures(
+      Multimodal.withPlantedPng(df, "doc_id", "img"), "img", dim = 4)
+      .collect().head.getAs[scala.collection.Seq[Float]]("img_features")
+    assert(math.abs(emb.sum - 1.0f) < 1e-5)
+    assert(emb.toSeq === hist42.map(_.toFloat / (w42 * h42)))
   }
 }
