@@ -455,24 +455,31 @@ object SparkEntry {
       fs.read(Query.selectAll(fgrp)).orderBy("id")
     }),
 
-    // §2.5 monitoring: windowed statistics comparison → drift flag.
+    // §2.5 monitoring: windowed statistics comparison → drift flag,
+    // through the engine's ONE-scan conditional-aggregation path
+    // (Monitoring.run computes both windows in a single pass — never
+    // scan a 100 TB table once per window).
     "q37_monitoring_shift" -> ((s, dir) => {
       import graft.functions.TimeFunctions.toEpochMillis
-      import graft.ops.{SchemaOps, Statistics}
+      import graft.ops.Monitoring._
+      import graft.ops.Statistics.roundHalfUp
+      val day = 24L * 3600 * 1000
       val ev = s.read.parquet(TestTables.parquet(dir, "events"))
-      def meanOf(start: String, end: String): Double =
-        SchemaOps.monitoringWindow(ev, "ts",
-            toEpochMillis(start), toEpochMillis(end))
-          .agg(avg(col("value"))).collect().head.getDouble(0)
-      val detection = meanOf("2024-01-15", "2024-01-30")
-      val reference = meanOf("2024-01-01", "2024-01-15")
-      val (diff, shift) = Statistics.differenceAndShift(
-        detection, reference, threshold = 0.05, relative = true)
+      // now = 2024-01-30: detection [01-15, 01-30), reference [01-01, 01-15)
+      val r = graft.ops.Monitoring.run(s, ev, MonitoringConfig(
+        name = "mean_value", featureGroup = "events", version = 1,
+        feature = "value", eventTimeCol = "ts",
+        detection = WindowSpec(sizeMillis = Some(15 * day)),
+        reference = Some(WindowSpec(sizeMillis = Some(14 * day),
+          offsetMillis = 15 * day)),
+        comparison = ComparisonSpec("mean", threshold = 0.05, relative = true),
+        schedule = ScheduleSpec(everyMillis = day)),
+        nowMillis = toEpochMillis("2024-01-30"))
       import s.implicits._
       Seq(("mean_value",
-        Statistics.roundHalfUp(detection, 4),
-        Statistics.roundHalfUp(reference, 4),
-        Statistics.roundHalfUp(diff, 4), shift))
+        roundHalfUp(r.detectionValue, 4),
+        roundHalfUp(r.referenceValue, 4),
+        roundHalfUp(r.difference, 4), r.shiftDetected))
         .toDF("metric", "detection", "reference", "difference", "shift_detected")
     }),
 

@@ -23,21 +23,44 @@ final class FeatureVectorServer(
     spark: SparkSession,
     view: FeatureView,
     stats: Map[String, Transformations.FeatureStatistics] = Map(),
-    cacheSnapshots: Boolean = true) {
+    cacheSnapshots: Boolean = false) {
 
   private val lf = view.query.leftFeatureGroup
 
-  // repeated lookups shouldn't re-resolve the lake snapshot per call: the
-  // latest-per-key state of each feature group is cached on first use
-  // (the analog of the reference's online store being a materialized
-  // latest-version table; call close() to release)
+  // The DEFAULT lookup path semi-prunes each snapshot to the requested
+  // keys BELOW the latest-per-key window — a 10-key lookup against a
+  // 100 TB group touches only matching key partitions and never windows
+  // the full table. Materializing the full latest-per-key state (the
+  // analog of the reference's online store being a materialized
+  // latest-version table) is a real cost that must be opt-in and named:
+  // call materializeOnline() — or construct with cacheSnapshots=true to
+  // materialize lazily on first lookup. close() releases.
   private val snapCache =
     scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
 
   private def snapshotOf(fg: FeatureGroup,
                          build: => org.apache.spark.sql.DataFrame) =
-    if (!cacheSnapshots) build
-    else snapCache.getOrElseUpdate(fg.id, { val d = build.cache(); d })
+    snapCache.getOrElseUpdate(fg.id, { val d = build.cache(); d })
+
+  private def useCache(fg: FeatureGroup): Boolean =
+    cacheSnapshots || snapCache.contains(fg.id)
+
+  /** Eagerly materialize + cache the latest-per-key snapshot of every
+    * feature group in the view (one full-table window each, paid ONCE,
+    * here, by explicit request). Subsequent lookups are broadcast joins
+    * against the cached state — the "online store" serving mode.
+    */
+  def materializeOnline(): this.type = {
+    def add(fg: FeatureGroup, build: => DataFrame): Unit =
+      if (!snapCache.contains(fg.id)) snapshotOf(fg, build).count()
+    add(lf, latestPerKey(lf, QueryPlanner.materialize(spark, lf, None)))
+    view.query.joins.foreach { j =>
+      val rfg = j.right.leftFeatureGroup
+      add(rfg,
+        latestPerKey(rfg, QueryPlanner.plan(spark, j.right.copy(features = Nil))))
+    }
+    this
+  }
 
   /** Release cached snapshots. */
   def close(): Unit = {
@@ -88,8 +111,9 @@ final class FeatureVectorServer(
                         wanted: Seq[String], joinKeys: Seq[String],
                         prefix: String): DataFrame = {
     val probe = keys.select(joinKeys.map(col): _*).distinct()
+    val cached = useCache(fg)
     val snap =
-      if (cacheSnapshots)
+      if (cached)
         snapshotOf(fg,
           latestPerKey(fg, QueryPlanner.materialize(spark, fg, None)))
       else
@@ -102,7 +126,7 @@ final class FeatureVectorServer(
     // uncached path is already pruned (and re-joining the same probe
     // lineage would be a self-join ambiguity); cached path prunes here
     val hits =
-      if (cacheSnapshots)
+      if (cached)
         renamed.join(broadcast(probe), joinKeys, "left_semi")
       else renamed
     keys.join(broadcast(hits), joinKeys, "left")
@@ -145,14 +169,15 @@ final class FeatureVectorServer(
       // only when the join keys cover the partition (primary) key
       val canPruneBelowWindow = rightKeys.nonEmpty &&
         rightKeys.forall(rfg.primaryKey.contains)
-      val pruned = !cacheSnapshots && canPruneBelowWindow
+      val pruned = !useCache(rfg) && canPruneBelowWindow
       val snap =
         if (pruned) {
           val pc = rightKeys.zip(joinKeys)
             .map { case (rk, lk) => baseSnap(rk) === probe(lk) }
             .reduce(_ && _)
           latestPerKey(rfg, baseSnap.join(broadcast(probe), pc, "left_semi"))
-        } else snapshotOf(rfg, latestPerKey(rfg, baseSnap))
+        } else if (useCache(rfg)) snapshotOf(rfg, latestPerKey(rfg, baseSnap))
+        else latestPerKey(rfg, baseSnap)
       val projected = snap.select(
         (rightKeys ++ wanted.filterNot(rightKeys.contains)).distinct.map(col): _*)
       val prefix = j.prefix.getOrElse("")

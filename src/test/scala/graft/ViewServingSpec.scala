@@ -274,6 +274,40 @@ class ViewServingSpec extends SparkSpec {
     }
   }
 
+  test("serving: default path semi-prunes BELOW the latest-per-key window; materializeOnline is the named opt-in") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val eventsFg = fg("events").copy(primaryKey = Seq("user_id"))
+    val view = graft.view.FeatureView("prunev", 1,
+      Query.select(eventsFg, Seq("user_id", "value")))
+    val keys = spark.range(5).selectExpr("id AS user_id")
+
+    // default (uncached): the key semi-join must sit INSIDE the window's
+    // subtree — a 10-key lookup never windows the full table
+    val server = new graft.serving.FeatureVectorServer(spark, view)
+    val out = server.getFeatureVectors(keys)
+    val windows = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(w =>
+      w.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty),
+      out.queryExecution.optimizedPlan.toString)
+    assert(out.count() === 5)
+
+    // materializeOnline: full-window cost paid once, by explicit request;
+    // results identical to the pruned path
+    val mat = new graft.serving.FeatureVectorServer(spark, view)
+      .materializeOnline()
+    val cachedOut = mat.getFeatureVectors(keys)
+    val cachedWindows =
+      cachedOut.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    // the cached plan reads the materialized relation — no window with an
+    // embedded key join remains in the lookup plan
+    assert(cachedWindows.forall(w =>
+      w.collect { case j: Join if j.joinType == LeftSemi => j }.isEmpty))
+    assert(cachedOut.collect().toSet === out.collect().toSet)
+    mat.close()
+  }
+
   test("serving: single-vector lookup merges groups and applies prefix") {
     val view = graft.view.FeatureView("cv", 1,
       Query.select(fg("customer"), Seq("c_custkey", "c_name"))
