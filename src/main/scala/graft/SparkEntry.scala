@@ -717,6 +717,29 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"),
           col("lum_h0"), col("lum_h1"), col("lum_h2"), col("lum_h3"))
         .orderBy("doc_id")
+    }),
+
+    // External feature group: connector-backed (csv), registered as a
+    // first-class PERSISTED catalog entity with a declared schema, then
+    // read through a SECOND FeatureStore over the same warehouse — the
+    // oracle match proves the restart-survived connector contract, not
+    // just the in-memory registration.
+    "q51_external_fg" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_q51").toString
+      val nation = s.read.parquet(TestTables.parquet(dir, "nation"))
+      val csvDir = s"$wh/nation_csv"
+      nation.coalesce(1).write.option("header", "true").csv(csvDir)
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      fs.createExternalFeatureGroup("nation_ext",
+        graft.sources.Connectors.Generic("csv", Map("header" -> "true")),
+        primaryKey = Seq("n_nationkey"), path = Some(csvDir),
+        features = nation.schema.fields.toSeq.map(f =>
+          graft.model.Feature(f.name, f.dataType, f.name == "n_nationkey")))
+      val restarted = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val ext = restarted.getFeatureGroup("nation_ext")
+      restarted.read(
+          Query.select(ext, Seq("n_nationkey", "n_name", "n_regionkey")))
+        .orderBy("n_nationkey")
     })
   )
 
@@ -1227,6 +1250,9 @@ object SparkEntry {
                 CAST(sum(CASE WHEN l >= 64 AND l < 128 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h1,
                 CAST(sum(CASE WHEN l >= 128 AND l < 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h2,
                 CAST(sum(CASE WHEN l >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h3
-         FROM lums GROUP BY doc_id ORDER BY doc_id"""
+         FROM lums GROUP BY doc_id ORDER BY doc_id""",
+    "q51_external_fg" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey"""
   )
 }

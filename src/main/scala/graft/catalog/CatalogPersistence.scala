@@ -61,15 +61,32 @@ object CatalogPersistence {
     case ParquetSource(path) => Some(("type" -> "parquet") ~ ("path" -> path))
     case LakeSource(root)    => Some(("type" -> "lake") ~ ("path" -> root))
     case ViewSource(table)   => Some(("type" -> "view") ~ ("path" -> table))
+    case ConnectorSource(format, options, conf, path) =>
+      // full pushdown contract persists: options carry e.g. the jdbc
+      // "query"; a reloaded catalog plans the identical external read
+      Some(("type" -> "connector") ~ ("format" -> format) ~
+        ("options" -> options) ~ ("hadoopConf" -> conf) ~
+        ("loadPath" -> path))
     case _                   => None // DataFrame/unbound: session-scoped
   }
 
   private def sourceFromJson(j: JValue): FgSource = {
     val path = (j \ "path") match { case JString(s) => s; case _ => "" }
+    def strMap(v: JValue): Map[String, String] = v match {
+      case JObject(fields) =>
+        fields.collect { case JField(k, JString(s)) => k -> s }.toMap
+      case _ => Map.empty
+    }
     (j \ "type") match {
       case JString("parquet") => ParquetSource(path)
       case JString("lake")    => LakeSource(path)
       case JString("view")    => ViewSource(path)
+      case JString("connector") => ConnectorSource(
+        format = (j \ "format") match { case JString(s) => s; case _ => "" },
+        options = strMap(j \ "options"),
+        hadoopConf = strMap(j \ "hadoopConf"),
+        path = (j \ "loadPath") match {
+          case JString(s) => Some(s); case _ => None })
       case _                  => UnboundSource
     }
   }

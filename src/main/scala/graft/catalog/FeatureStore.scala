@@ -21,7 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class FeatureStore(
     val spark: SparkSession,
     val name: String = "graft",
-    val warehouseDir: String = "/tmp/graft_warehouse"
+    /** Warehouse root. Construction LOADS every persisted definition under
+      * `<warehouseDir>/_catalog` — point it only at directories you trust.
+      * The default is per-user (a shared world-writable default would leak
+      * definitions across users and let another local user plant catalog
+      * JSON that this session would auto-materialize).
+      */
+    val warehouseDir: String =
+      s"${System.getProperty("user.home")}/.graft/warehouse"
 ) {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(String, Int), FeatureGroup]
@@ -68,6 +75,42 @@ final class FeatureStore(
       source = LakeSource(root))
     Lake.create(spark, root, fg, df)
     register(fg)
+  }
+
+  /** Register an external (connector-backed) feature group as a
+    * first-class, PERSISTED catalog entity — the analog of the reference's
+    * ExternalFeatureGroup (core/external_feature_group_engine.py,
+    * engine/spark.py:195-209). The connector's full option set (including
+    * any pushdown `query`) round-trips through the catalog, so a new
+    * session over the same warehouse resolves and plans it identically.
+    *
+    * Schema comes from `features` when declared (network sources may be
+    * unreachable at registration time); otherwise it is inferred with one
+    * read of the source.
+    */
+  def createExternalFeatureGroup(
+      name: String,
+      connector: graft.sources.Connectors.Connector,
+      primaryKey: Seq[String] = Nil,
+      eventTime: Option[String] = None,
+      path: Option[String] = None,
+      features: Seq[Feature] = Nil,
+      version: Int = 1): FeatureGroup = {
+    val src = graft.sources.Connectors.source(connector, path)
+    val feats =
+      if (features.nonEmpty) features
+      else QueryPlanner.materialize(spark, FeatureGroup(name, source = src),
+          None)
+        .schema.fields.toSeq.map(f =>
+          Feature(f.name, f.dataType, primaryKey.contains(f.name),
+            partition = false, f.nullable))
+    register(FeatureGroup(
+      name = name,
+      version = version,
+      features = feats,
+      primaryKey = primaryKey,
+      eventTime = eventTime,
+      source = src))
   }
 
   // -- expectation suites (persisted; validated on insert) ------------------
@@ -149,15 +192,32 @@ final class FeatureStore(
     * (python/hsfs/engine/spark.py:140-163).
     */
   def sql(query: String): DataFrame = {
-    featureGroups.foreach { fg =>
-      // best-effort: a reloaded catalog may reference sources that no
-      // longer resolve (moved parquet, dropped view) — they must not
-      // block SQL over the healthy groups
-      try QueryPlanner.materialize(spark, fg, None)
-        .createOrReplaceTempView(fg.id)
-      catch { case scala.util.control.NonFatal(_) => () }
+    // best-effort per group: a reloaded catalog may reference sources that
+    // no longer resolve (moved parquet, dropped view) — they must not block
+    // SQL over the healthy groups. Failures are kept and attached if the
+    // query then fails to resolve, so a bad path/credentials surfaces as
+    // the root cause instead of TABLE_OR_VIEW_NOT_FOUND.
+    val failures = featureGroups.flatMap { fg =>
+      try {
+        QueryPlanner.materialize(spark, fg, None)
+          .createOrReplaceTempView(fg.id)
+        None
+      } catch {
+        case scala.util.control.NonFatal(e) => Some(fg.id -> e)
+      }
     }
-    spark.sql(query)
+    try spark.sql(query)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException if failures.nonEmpty =>
+        val detail = failures
+          .map { case (id, c) => s"$id: ${c.getMessage}" }.mkString("; ")
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            (s"${e.getMessage}\n(note: ${failures.size} registered feature " +
+              s"group(s) failed to materialize and were skipped — $detail)")),
+          cause = Some(e))
+    }
   }
 }
 

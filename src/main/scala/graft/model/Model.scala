@@ -86,6 +86,17 @@ final case class ParquetSource(path: String) extends FgSource
 final case class LakeSource(root: String) extends FgSource
 final case class ViewSource(table: String) extends FgSource
 final case class DataFrameSource(df: DataFrame) extends FgSource
+/** External (connector-backed) group source: datasource format + options
+  * (+ optional load path), with Hadoop confs injected before the read.
+  * The persistable form of the reference's ExternalFeatureGroup — a
+  * first-class catalog entity whose query/pushdown options survive
+  * restarts (python/hsfs/core/external_feature_group_engine.py,
+  * engine/spark.py:195-209).
+  */
+final case class ConnectorSource(format: String,
+                                 options: Map[String, String] = Map(),
+                                 hadoopConf: Map[String, String] = Map(),
+                                 path: Option[String] = None) extends FgSource
 
 object FeatureGroup {
 

@@ -143,6 +143,19 @@ object QueryPlanner {
     case ParquetSource(path) => spark.read.parquet(path)
     case ViewSource(table)   => spark.table(table)
     case DataFrameSource(df) => df
+    case ConnectorSource(format, options, conf, path) =>
+      // pushdown rides in the options (e.g. jdbc "query"/"dbtable"): the
+      // external system sees the query, Spark sees only its result
+      conf.foreach { case (k, v) =>
+        spark.sparkContext.hadoopConfiguration.set(k, v)
+      }
+      val r = spark.read.format(format).options(options)
+      val df = path.map(r.load).getOrElse(r.load())
+      // the DECLARED schema is authoritative for an external group (the
+      // reference's server-side ExternalFeatureGroup schema): cast what the
+      // connector returned (e.g. csv strings) to it
+      if (fg.features.nonEmpty) graft.ops.SchemaOps.castToSchema(df, fg.schema)
+      else df
     case LakeSource(root) =>
       tt match {
         case Some(TimeTravel(asOf, Some(t0))) =>

@@ -165,4 +165,12 @@ object Connectors {
     df.createOrReplaceTempView(alias)
     df
   }
+
+  /** Persistable source form of a connector — what a first-class external
+    * feature group stores in the catalog (the connector's full option set,
+    * including any pushdown query, survives restarts).
+    */
+  def source(c: Connector,
+             path: Option[String] = None): graft.model.ConnectorSource =
+    graft.model.ConnectorSource(c.format, c.options, c.hadoopConf, path)
 }

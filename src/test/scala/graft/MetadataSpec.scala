@@ -210,4 +210,60 @@ class MetadataSpec extends SparkSpec {
     eng.deleteConfig("value_drift")
     assert(eng.listConfigs().isEmpty)
   }
+
+  test("external feature groups are first-class and survive restarts") {
+    import graft.model._
+    import graft.sources.Connectors
+    val wh = Files.createTempDirectory("graft_ext").toString
+    val csvDir = s"$wh/nation_csv"
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.option("header", "true").csv(csvDir)
+
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val ext = fs.createExternalFeatureGroup("nation_ext",
+      Connectors.Generic("csv",
+        Map("header" -> "true", "inferSchema" -> "true")),
+      primaryKey = Seq("n_nationkey"), path = Some(csvDir))
+    assert(ext.featureNames === Seq("n_nationkey", "n_name", "n_regionkey"))
+
+    // a NEW session over the same warehouse resolves and plans the group
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val reloaded = fs2.getFeatureGroup("nation_ext")
+    assert(reloaded.source.isInstanceOf[ConnectorSource])
+    val out = fs2.read(
+      graft.ir.Query.select(reloaded, Seq("n_nationkey", "n_name")))
+    assert(out.count() === 25)
+    // and raw SQL over the restarted catalog sees it as a view
+    assert(fs2.sql("SELECT count(*) AS n FROM nation_ext_1")
+      .collect().head.getLong(0) === 25)
+
+    // pushdown contract round-trips: a JDBC group with a `query` option
+    // (declared schema — endpoint need not be reachable to register)
+    fs.register(FeatureGroup("orders_ext", version = 1,
+      features = Seq(Feature("o_orderkey", org.apache.spark.sql.types.LongType,
+        primary = true)),
+      primaryKey = Seq("o_orderkey"),
+      source = Connectors.source(Connectors.Jdbc(
+        "jdbc:mysql://db:3306/sales", "u", "p",
+        query = Some("SELECT o_orderkey FROM orders WHERE o_total > 100")))))
+    val jdbcBack = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+      .getFeatureGroup("orders_ext")
+    val src = jdbcBack.source.asInstanceOf[ConnectorSource]
+    assert(src.format === "jdbc")
+    assert(src.options("query") ===
+      "SELECT o_orderkey FROM orders WHERE o_total > 100")
+
+    // a group whose source is gone must not block SQL over healthy groups,
+    // but the failure must surface as the root cause when targeted
+    val broken = fs2.register(FeatureGroup("gone", version = 1,
+      source = ParquetSource(s"$wh/missing.parquet")))
+    assert(fs2.sql("SELECT count(*) AS n FROM nation_ext_1")
+      .collect().head.getLong(0) === 25)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      fs2.sql("SELECT * FROM gone_1")
+    }
+    assert(e.getMessage.contains("gone_1") &&
+      e.getMessage.contains("failed to materialize"))
+  }
 }
