@@ -1,6 +1,9 @@
 package graft.tools
 
 import graft.SparkEntry
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Automated plan-quality sweep: builds every driver query's physical
   * plan and flags the scale anti-patterns the engine promises to avoid —
@@ -10,18 +13,62 @@ import graft.SparkEntry
   *
   * `sbt "runMain graft.tools.PlanAudit"` (SPARK_GRAFT_SF_DIR to change
   * data; queries that must execute to produce a plan are skipped with a
-  * note rather than run).
+  * note rather than run). AQE is disabled for the audit session so the
+  * statically-planned tree is inspected — AQE only improves on it at
+  * runtime.
   */
 object PlanAudit {
 
   // stateful/side-effecting queries whose construction already runs jobs;
-  // their plan shape is asserted in specs instead
+  // their plan shape is asserted in specs instead (PlanAuditSpec walks the
+  // lake-snapshot and streaming last-execution plans with the same rule)
   private val skip = Set("q34_stream_agg", "q36_lake_lifecycle",
     "q47_monitoring_engine", "q48_sessionization")
+
+  /** SinglePartition exchanges NOT justified by their immediate parent.
+    *
+    * A SinglePartition Exchange is benign exactly when the node ABOVE it
+    * is a scalar (no grouping keys) final aggregate or a limit-style tail
+    * — there the exchange moves one row per upstream partition, not data.
+    * The justification is scoped to that parent's OWN child edge: a
+    * single-partition global sort elsewhere in the same plan is still
+    * flagged (a whole-plan substring check would excuse it).
+    */
+  def unjustifiedSinglePartitions(plan: SparkPlan): Seq[String] = {
+    def justifiesChildExchange(p: SparkPlan): Boolean = p match {
+      case a: HashAggregateExec       => a.groupingExpressions.isEmpty
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+      case a: SortAggregateExec       => a.groupingExpressions.isEmpty
+      case _: CollectLimitExec | _: GlobalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    def walk(p: SparkPlan, parentJustifies: Boolean): Seq[String] = {
+      val self = p match {
+        // catches SinglePartition proper AND 1-partition round-robin
+        // (repartition(1)) — both funnel all data through one task
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 && !parentJustifies =>
+          Seq(s"Exchange ${e.outputPartitioning} over ${e.child.nodeName}")
+        case _ => Nil
+      }
+      // codegen wrappers sit between an operator and its exchange child —
+      // transparent for justification purposes
+      val justifies = p match {
+        case _: WholeStageCodegenExec | _: InputAdapter => parentJustifies
+        case _ => justifiesChildExchange(p)
+      }
+      self ++ p.children.flatMap(walk(_, justifies)) ++
+        p.subqueries.flatMap(walk(_, parentJustifies = false))
+    }
+    walk(plan, parentJustifies = false)
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkSessions.local("8", "graft-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    // audit the statically-planned tree (AQE rewrites happen at runtime)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     var hardFlags = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -29,24 +76,18 @@ object PlanAudit {
       else {
         try {
           val df = fn(spark, dir)
-          val plan = df.queryExecution.executedPlan.toString
-            .split("== Initial Plan ==").head
-          val flags = Seq(
-            "SinglePartition" -> plan.contains("SinglePartition"),
+          val exec = df.queryExecution.executedPlan
+          val plan = exec.toString
+          val offending = unjustifiedSinglePartitions(exec)
+          val hard = Seq(
+            s"SinglePartition[${offending.mkString("; ")}]" ->
+              offending.nonEmpty,
             "CartesianProduct" -> plan.contains("CartesianProduct"),
             // nested-loop joins are fine only when one side is broadcast
             // tiny by construction (kNN query sets); flag the rest
             "SortMergeCross" -> (plan.contains("SortMergeJoin Cross")
               || plan.contains("ShuffledHashJoin Cross"))
           ).collect { case (f, true) => f }
-          // benign SinglePartition shapes: CollectLimit tails, and the
-          // canonical scalar global aggregate (map-side partials → one
-          // tiny final HashAggregate with no grouping keys) — the
-          // exchange carries one row per upstream partition, not data
-          val scalarAgg = plan.contains("keys=[]")
-          val hard = flags.filterNot(f =>
-            f == "SinglePartition" &&
-              (plan.contains("CollectLimit") || scalarAgg))
           hardFlags += hard.size
           val verdict = if (hard.nonEmpty) s"FLAG ${hard.mkString(",")}"
             else "ok"
