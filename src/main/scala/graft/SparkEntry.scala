@@ -769,6 +769,34 @@ object SparkEntry {
       restarted.read(
           Query.select(ext, Seq("n_nationkey", "n_name", "n_regionkey")))
         .orderBy("n_nationkey")
+    }),
+
+    // §2.12 sessionization via Spark's NATIVE session_window operator —
+    // the declarative fast path; must emit exactly what the custom-state
+    // q48 path emits (same gap + watermark rules), checked against the
+    // SAME SQL oracle.
+    "q52_session_window" -> ((s, dir) => {
+      val batch = s.read.parquet(TestTables.parquet(dir, "events"))
+      val stream = graft.streaming.Streaming.readStream(
+          s, "parquet", Some(s"$dir/events.*"),
+          schema = Some(batch.schema))
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.streaming.Streaming.sessionizeNative(
+        stream, "user_id", "ts2", "value",
+        gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
+      val name = "q52_sink_" + java.util.UUID.randomUUID.toString
+        .replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).select(col("key"),
+          col("sessionStart").as("session_start"),
+          col("sessionEnd").as("session_end"),
+          col("nEvents").as("n_events"),
+          round(col("total"), 2).as("total"))
+        .orderBy("key", "session_start")
     })
   )
 
@@ -1307,6 +1335,35 @@ object SparkEntry {
          FROM embeddings WHERE vec_id < 5 ORDER BY qid""",
     "q45_ivf_knn" ->
       """SELECT vec_id AS qid, true AS meets_floor
-         FROM embeddings WHERE vec_id < 5 ORDER BY qid"""
+         FROM embeddings WHERE vec_id < 5 ORDER BY qid""",
+    // identical oracle to q48: the native session_window path must emit
+    // exactly the custom-state path's sessions
+    "q52_session_window" ->
+      """WITH ev AS (
+           SELECT CAST(user_id AS VARCHAR) AS k,
+                  epoch_ms(CAST(ts AS TIMESTAMP)) AS t, value AS v
+           FROM events),
+         mx AS (SELECT max(t) AS maxt FROM ev),
+         lagged AS (
+           SELECT k, t, v,
+                  CASE WHEN lag(t) OVER (PARTITION BY k ORDER BY t) IS NULL
+                         OR t - lag(t) OVER (PARTITION BY k ORDER BY t)
+                            >= 21600000
+                       THEN 1 ELSE 0 END AS ns
+           FROM ev),
+         sess AS (
+           SELECT k, t, v,
+                  sum(ns) OVER (PARTITION BY k ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM lagged),
+         agg AS (
+           SELECT k, sid, min(t) AS session_start, max(t) AS session_end,
+                  count(*) AS n_events, round(sum(v ORDER BY t), 2) AS total
+           FROM sess GROUP BY k, sid)
+         SELECT k AS key, session_start, session_end, n_events, total
+         FROM agg, mx
+         WHERE NOT (sid = (SELECT max(sid) FROM agg a2 WHERE a2.k = agg.k)
+                    AND session_end + 21600000 >= maxt)
+         ORDER BY key, session_start"""
   )
 }

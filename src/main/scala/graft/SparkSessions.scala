@@ -24,6 +24,10 @@ object SparkSessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // map-side session merge before the stateful shuffle: at scale the
+      // session_window operator otherwise shuffles one row per EVENT
+      // instead of one per partial session
+      .config("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -151,24 +151,20 @@ object Statistics {
     df.select(col(column)).distinct().orderBy(col(column))
       .collect().map(_.get(0)).toSeq
 
-  /** Pairwise Pearson correlation over the given numeric columns (Deequ
-    * withCorrelation ≤100 cols). Delegates to the one-pass
-    * [[correlationMatrix]] for 3+ columns — `df.stat.corr` costs one full
-    * scan PER PAIR (O(p²) scans at 100 TB); a single pair keeps the direct
-    * two-column path.
+  /** Pearson correlation over the given numeric columns (Deequ
+    * withCorrelation ≤100 cols), in ONE pass via [[correlationMatrix]] —
+    * `df.stat.corr` costs one full scan PER PAIR (O(p²) scans at 100 TB).
+    *
+    * Null semantics are LISTWISE over the REQUESTED set: a row null in any
+    * requested column is excluded from every pair of this call (the
+    * one-pass matrix computes all pairs from one complete-rows pass).
+    * Consequently the same pair can differ between calls with different
+    * column sets when nulls are present — request a pair alone for
+    * pairwise-deletion semantics. Uniform for any column count (the
+    * two-column case is identical under both deletion rules).
     */
-  def correlations(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    if (columns.size > 2) correlationMatrix(df, columns)
-    else {
-      val pairs = for {
-        (a, i) <- columns.zipWithIndex
-        b <- columns.drop(i + 1)
-      } yield (a, b, roundHalfUp(df.stat.corr(a, b), 6))
-      pairs.toDF("feature_a", "feature_b", "corr_v")
-    }
-  }
+  def correlations(df: DataFrame, columns: Seq[String]): DataFrame =
+    correlationMatrix(df, columns)
 
   /** Pearson correlation MATRIX in ONE pass over the data (MLlib
     * `Correlation.corr` on an assembled vector) — at 100 TB the pairwise

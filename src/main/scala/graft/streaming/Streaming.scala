@@ -191,4 +191,27 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fold)
   }
+
+  /** Gap sessionization via Spark's NATIVE `session_window` — the
+    * declarative fast path for the common aggregate shape (count/sum),
+    * with the session state store managed by the built-in operator.
+    * Same gap semantics and emission rule as [[sessionize]] (events merge
+    * when separated by strictly less than the gap; a session finalizes in
+    * append mode once the watermark passes `last + gap`) — proven equal
+    * on the q48 oracle in StreamingSpec. Keep [[sessionize]] for custom
+    * per-session logic the aggregate algebra can't express.
+    */
+  def sessionizeNative(df: DataFrame, keyCol: String, eventTimeCol: String,
+                       valueCol: String, gapMillis: Long,
+                       watermark: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+        col(eventTimeCol).as("et"),
+        col(valueCol).cast("double").as("v"))
+      .withWatermark("et", watermark)
+      .groupBy(session_window(col("et"), s"$gapMillis milliseconds"),
+        col("key"))
+      .agg(unix_millis(min(col("et"))).as("sessionStart"),
+        unix_millis(max(col("et"))).as("sessionEnd"),
+        count(lit(1)).as("nEvents"), sum(col("v")).as("total"))
+      .select("key", "sessionStart", "sessionEnd", "nEvents", "total")
 }

@@ -26,16 +26,29 @@ class StatsTransformSpec extends SparkSpec {
     assert(row.getAs[Double]("uniqueness") === 0.0)
   }
 
-  test("one-pass correlation matrix matches pairwise correlations") {
+  test("one-pass correlation matrix matches per-pair df.stat.corr") {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val pairwise = Statistics.correlations(li, cols)
+    val matrix = Statistics.correlations(li, cols)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    val matrix = Statistics.correlationMatrix(li, cols)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(matrix.keySet === pairwise.keySet)
-    matrix.foreach { case (k, v) =>
-      assert(math.abs(v - pairwise(k)) < 1e-6, s"pair $k")
+    val expectedPairs = for {
+      (a, i) <- cols.zipWithIndex; b <- cols.drop(i + 1)
+    } yield (a, b)
+    assert(matrix.keySet === expectedPairs.toSet)
+    // independent per-pair scans agree with the single-pass matrix
+    expectedPairs.foreach { case (a, b) =>
+      assert(math.abs(matrix((a, b)) - li.stat.corr(a, b)) < 1e-6,
+        s"pair ($a,$b)")
     }
+    // uniform listwise semantics: a null in ANY requested column drops the
+    // row for every pair of the call
+    val withNulls = li.select(
+      $"l_quantity", $"l_extendedprice",
+      when($"l_linenumber" === 1, $"l_discount").as("l_discount"))
+    val complete = withNulls.filter($"l_discount".isNotNull)
+    val m2 = Statistics.correlations(withNulls, cols)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m2(("l_quantity", "l_extendedprice")) -
+      complete.stat.corr("l_quantity", "l_extendedprice")) < 1e-6)
   }
 
   test("label split separates X and y") {

@@ -6,6 +6,7 @@ import graft.ops.{Transformations, Validation}
 import graft.view.{FeatureView, TrainingDataset}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class ViewServingSpec extends SparkSpec {
   import spark.implicits._
@@ -39,6 +40,41 @@ class ViewServingSpec extends SparkSpec {
       val back = TrainingDataset.read(spark, dir, format = f)
       assert(back.count() === df.count(), s"format $f")
       assert(back.columns.sorted.toSeq === df.columns.sorted.toSeq, s"format $f")
+    }
+  }
+
+  test("csv/tsv writers pin the reference default option set (byte-stable files)") {
+    // engine/spark.py:1111-1147 write_options: csv = header + ',' delim,
+    // tsv = header + tab; quoting/escape at Spark csv defaults (quote only
+    // when the value contains the delimiter)
+    val base = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select($"n_nationkey".cast("int"), $"n_name")
+      .orderBy("n_nationkey").limit(3)
+      .union(Seq((99, "x,y"), (100, "q\"z")).toDF("n_nationkey", "n_name"))
+    val rows = base.collect().map(r => (r.getInt(0), r.getString(1)))
+    for (f <- Seq("csv", "tsv")) {
+      val dir = Files.createTempDirectory(s"graft_opts_$f").toString + "/out"
+      TrainingDataset.write(
+        TrainingDataset.Result(Map("train" -> base), Map()),
+        dir, format = f, coalesce = true)
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val lines = java.nio.file.Files.readAllLines(part.toPath)
+      val d = if (f == "tsv") "\t" else ","
+      def cell(s: String) =
+        // Spark csv default quoting: quote iff the value contains the
+        // delimiter or quote char; embedded quotes escaped by doubling
+        if (s.contains(d) || s.contains("\""))
+          "\"" + s.replace("\"", "\\\"") + "\""
+        else s
+      val expected = s"n_nationkey${d}n_name" +:
+        rows.map { case (k, v) => s"$k$d${cell(v)}" }.toSeq
+      assert(lines.asScala.toSeq === expected, s"format $f")
+      // and the pinned read defaults round-trip the same rows + types
+      val back = TrainingDataset.read(spark, dir, format = f)
+        .orderBy("n_nationkey").collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(back.toSeq === rows.toSeq, s"format $f")
     }
   }
 
@@ -199,6 +235,49 @@ class ViewServingSpec extends SparkSpec {
     // watermark reached 120 min: a's trailing 30-min burst and b's
     // 90-91 min burst closed via event-time timeout; c (at exactly the
     // watermark) stays open in state
+    assert(all.contains(graft.streaming.Session("a", 1800000L, 1800000L, 1, 3.0)))
+    assert(all.contains(graft.streaming.Session("b", 5400000L, 5460000L, 2, 16.0)))
+    assert(!all.exists(_.key == "c"))
+  }
+
+  test("sessionization: native session_window path matches the custom-state path") {
+    import graft.streaming.Streaming
+    val tmp = Files.createTempDirectory("graft_sessn").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    def minutes(m: Long) = new java.sql.Timestamp(m * 60000L)
+    Seq(("a", minutes(1), 1.0), ("a", minutes(2), 2.0),
+        ("a", minutes(30), 3.0), ("b", minutes(5), 5.0))
+      .toDF("k", "et", "v").coalesce(1).write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    val stream = Streaming.readStream(spark, "parquet", Some(s"$src/*"),
+        schema = Some(schema),
+        options = Map("maxFilesPerTrigger" -> "1"))
+    val sessions = Streaming.sessionizeNative(stream, "k", "et", "v",
+      gapMillis = 10 * 60000L, watermark = "0 seconds")
+    def drain(): Unit = {
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    // identical emissions to the custom-state path on batch 1
+    val afterB1 = spark.read.parquet(s"$tmp/out")
+      .as[graft.streaming.Session].collect().sortBy(_.key)
+    assert(afterB1.toSeq === Seq(
+      graft.streaming.Session("a", 60000L, 120000L, 2, 3.0),
+      graft.streaming.Session("b", 300000L, 300000L, 1, 5.0)))
+
+    Seq(("b", minutes(90), 7.0), ("b", minutes(91), 9.0),
+        ("c", minutes(120), 1.0))
+      .toDF("k", "et", "v").coalesce(1).write.parquet(s"$src/b2")
+    drain()
+    val all = spark.read.parquet(s"$tmp/out")
+      .as[graft.streaming.Session].collect()
+      .sortBy(s => (s.key, s.sessionStart))
     assert(all.contains(graft.streaming.Session("a", 1800000L, 1800000L, 1, 3.0)))
     assert(all.contains(graft.streaming.Session("b", 5400000L, 5460000L, 2, 16.0)))
     assert(!all.exists(_.key == "c"))
