@@ -238,8 +238,12 @@ object SparkEntry {
     "q20_scalers" -> ((s, dir) => {
       import graft.ops.Transformations._
       val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      // exact percentiles only where the robust scaler needs them —
+      // buffering every distinct l_extendedprice per partition for an
+      // unused quantile is pure waste at scale
       val stats = FeatureStatistics.compute(li,
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        quantilesFor = Seq("l_discount"))
       def r6(x: Double) = graft.ops.Statistics.roundHalfUp(x, 6)
       val q6 = stats("l_quantity")
       val p6 = stats("l_extendedprice")

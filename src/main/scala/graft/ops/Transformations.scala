@@ -29,22 +29,37 @@ object Transformations {
     /** One aggregation pass for all requested features + one distinct pass
       * per encoder feature (unique values must be exact and sorted,
       * builtin_transformations.py:47-49).
+      *
+      * Exact percentiles buffer every distinct value per partition — a real
+      * cost on high-cardinality columns — so they are computed ONLY for
+      * `quantilesFor` columns (defaults to all scaled columns for API
+      * compatibility; pass just the robust-scaled ones). Columns without
+      * quantiles get p25/median/p75 = NaN.
       */
     def compute(df: DataFrame, scaled: Seq[String],
-                encoded: Seq[String] = Nil): Map[String, FeatureStatistics] = {
+                encoded: Seq[String] = Nil,
+                quantilesFor: Seq[String] = null): Map[String, FeatureStatistics] = {
+      val quantileSet =
+        Option(quantilesFor).map(_.toSet).getOrElse(scaled.toSet)
       val aggs = scaled.flatMap { c => Seq(
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         avg(col(c)).cast("double").as(s"${c}__mean"),
-        stddev_samp(col(c)).cast("double").as(s"${c}__std"),
-        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pcts"))
+        stddev_samp(col(c)).cast("double").as(s"${c}__std")) ++
+        (if (quantileSet(c))
+          Seq(expr(s"percentile($c, array(0.25, 0.5, 0.75))")
+            .as(s"${c}__pcts"))
+         else Nil)
       }
       val scaledStats: Map[String, FeatureStatistics] =
         if (scaled.isEmpty) Map.empty
         else {
           val row = df.agg(aggs.head, aggs.tail: _*).collect().head
           scaled.map { c =>
-            val pcts = row.getAs[scala.collection.Seq[Double]](s"${c}__pcts")
+            val pcts =
+              if (quantileSet(c))
+                row.getAs[scala.collection.Seq[Double]](s"${c}__pcts")
+              else scala.collection.Seq(Double.NaN, Double.NaN, Double.NaN)
             c -> FeatureStatistics(
               min = row.getAs[Double](s"${c}__min"),
               max = row.getAs[Double](s"${c}__max"),
