@@ -164,6 +164,73 @@ final class FeatureStore(
       : Option[Map[String, graft.ops.Transformations.FeatureStatistics]] =
     StatsPersistence.load(spark, warehouseDir, viewName, version)
 
+  // -- tags / keywords / provenance (persisted metadata surface) -----------
+
+  private def entityId(fg: FeatureGroup) = s"fg_${fg.id}"
+  private def entityId(viewName: String, version: Int) =
+    s"view_${viewName}_$version"
+
+  /** Attach a tag (string value; JSON-encode structured values) — the
+    * analog of fg.add_tag (python/hsfs/feature_group.py tag APIs).
+    */
+  def addTag(fg: FeatureGroup, name: String, value: String): Unit = {
+    val cur = TagPersistence.load(spark, warehouseDir, entityId(fg))
+    TagPersistence.save(spark, warehouseDir, entityId(fg),
+      cur.copy(tags = cur.tags + (name -> value)))
+  }
+  def getTags(fg: FeatureGroup): Map[String, String] =
+    TagPersistence.load(spark, warehouseDir, entityId(fg)).tags
+  def deleteTag(fg: FeatureGroup, name: String): Unit = {
+    val cur = TagPersistence.load(spark, warehouseDir, entityId(fg))
+    TagPersistence.save(spark, warehouseDir, entityId(fg),
+      cur.copy(tags = cur.tags - name))
+  }
+  def addKeywords(fg: FeatureGroup, kws: Seq[String]): Unit = {
+    val cur = TagPersistence.load(spark, warehouseDir, entityId(fg))
+    TagPersistence.save(spark, warehouseDir, entityId(fg),
+      cur.copy(keywords = (cur.keywords ++ kws).distinct))
+  }
+  def getKeywords(fg: FeatureGroup): Seq[String] =
+    TagPersistence.load(spark, warehouseDir, entityId(fg)).keywords
+
+  def addTag(view: graft.view.FeatureView, name: String, value: String): Unit = {
+    val id = entityId(view.name, view.version)
+    val cur = TagPersistence.load(spark, warehouseDir, id)
+    TagPersistence.save(spark, warehouseDir, id,
+      cur.copy(tags = cur.tags + (name -> value)))
+  }
+  def getTags(view: graft.view.FeatureView): Map[String, String] =
+    TagPersistence.load(spark, warehouseDir,
+      entityId(view.name, view.version)).tags
+
+  /** Registered groups carrying tag `name` (optionally a specific value). */
+  def findGroupsByTag(name: String,
+                      value: Option[String] = None): Seq[FeatureGroup] =
+    featureGroups.filter { fg =>
+      getTags(fg).get(name).exists(v => value.forall(_ == v))
+    }.sortBy(fg => (fg.name, fg.version))
+
+  def findGroupsByKeyword(kw: String): Seq[FeatureGroup] =
+    featureGroups.filter(fg => getKeywords(fg).contains(kw))
+      .sortBy(fg => (fg.name, fg.version))
+
+  /** Upstream provenance of a view: every feature group its query touches
+    * and the features drawn from each — derived from the query IR
+    * (core/explicit_provenance.py Links analog).
+    */
+  def provenance(view: graft.view.FeatureView): Seq[Provenance.Link] =
+    Provenance.links(view.query)
+
+  /** Reverse provenance: persisted views whose query references the
+    * group — scans the persisted IR without needing transformation
+    * registries.
+    */
+  def dependentViews(fg: FeatureGroup): Seq[(String, Int)] =
+    ViewPersistence.list(spark, warehouseDir).filter { case (n, v) =>
+      Provenance.referencedGroups(spark, warehouseDir, n, v)
+        .contains((fg.name, fg.version))
+    }.sorted
+
   def insert(fg: FeatureGroup, df: DataFrame): Lake.CommitMeta = fg.source match {
     case LakeSource(root) =>
       val gated = getExpectationSuite(fg) match {

@@ -201,6 +201,36 @@ object ViewPersistence {
     }
   }
 
+  /** (name, version) of every persisted view. */
+  def list(spark: SparkSession, warehouseDir: String): Seq[(String, Int)] = {
+    val (fs, p) = fsOf(spark, dir(warehouseDir))
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).flatMap { f =>
+        val stem = f.stripSuffix(".json")
+        val cut = stem.lastIndexOf('_')
+        if (cut <= 0) None
+        else stem.drop(cut + 1).toIntOption.map(v => (stem.take(cut), v))
+      }
+  }
+
+  /** A persisted view's query IR alone — no transformation registry
+    * needed (provenance/lineage walks don't execute the view).
+    */
+  def loadQueryRaw(spark: SparkSession, warehouseDir: String, name: String,
+                   version: Int): Option[Query] = {
+    val (fs, _) = fsOf(spark, dir(warehouseDir))
+    val p = new Path(s"${dir(warehouseDir)}/${name}_$version.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(in.readAllBytes, java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(queryFrom(JsonMethods.parse(txt) \ "query"))
+    }
+  }
+
   def delete(spark: SparkSession, warehouseDir: String, name: String,
              version: Int): Unit = {
     val (fs, _) = fsOf(spark, dir(warehouseDir))

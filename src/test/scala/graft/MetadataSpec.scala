@@ -266,4 +266,52 @@ class MetadataSpec extends SparkSpec {
     assert(e.getMessage.contains("gone_1") &&
       e.getMessage.contains("failed to materialize"))
   }
+
+  test("tags/keywords persist and search; provenance derives from query IR") {
+    val wh = Files.createTempDirectory("graft_tags").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val cust = fs.createFeatureGroup("cust",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "seg"), primaryKey = Seq("id"))
+    val txn = fs.createFeatureGroup("txn",
+      Seq((1L, 10.0)).toDF("id", "amount"), primaryKey = Seq("id"))
+
+    fs.addTag(cust, "owner", "risk-team")
+    fs.addTag(cust, "pii", "true")
+    fs.addKeywords(cust, Seq("customer", "segmentation"))
+    fs.addTag(txn, "owner", "payments")
+
+    // persists across restart
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    assert(fs2.getTags(cust) ===
+      Map("owner" -> "risk-team", "pii" -> "true"))
+    assert(fs2.getKeywords(cust) === Seq("customer", "segmentation"))
+    assert(fs2.findGroupsByTag("owner").map(_.name).sorted ===
+      Seq("cust", "txn"))
+    assert(fs2.findGroupsByTag("owner", Some("payments")).map(_.name) ===
+      Seq("txn"))
+    assert(fs2.findGroupsByKeyword("segmentation").map(_.name) === Seq("cust"))
+    fs2.deleteTag(cust, "pii")
+    assert(fs2.getTags(cust) === Map("owner" -> "risk-team"))
+
+    // provenance: view IR → upstream links with per-group features
+    val view = graft.view.FeatureView("custview", 1,
+      graft.ir.Query.select(cust, Seq("id", "seg"))
+        .join(graft.ir.Query.select(txn, Seq("amount")), on = Seq("id")))
+    val links = fs2.provenance(view)
+    assert(links.map(l => (l.groupName, l.features)) ===
+      Seq(("cust", Seq("id", "seg")), ("txn", Seq("amount"))))
+
+    // reverse edge from the PERSISTED view IR
+    fs2.saveFeatureView(view)
+    assert(fs2.dependentViews(txn) === Seq(("custview", 1)))
+    assert(fs2.dependentViews(cust) === Seq(("custview", 1)))
+    assert(fs2.dependentViews(
+      fs2.createFeatureGroup("unused", Seq((1L, 1L)).toDF("id", "x"),
+        primaryKey = Seq("id"))) === Nil)
+
+    // view tags live in their own namespace
+    fs2.addTag(view, "stage", "prod")
+    assert(fs2.getTags(view) === Map("stage" -> "prod"))
+    assert(fs2.getTags(cust).get("stage") === None)
+  }
 }
