@@ -226,10 +226,14 @@ object Dedup {
       col(vecCol).as(s"${vecCol}A"), col("_table"), col("_bucket"))
     val r = bucketed.select(col(idCol).as("idB"),
       col(vecCol).as(s"${vecCol}B"), col("_table"), col("_bucket"))
+    // a true pair collides in most of the nTables tables — deduplicate the
+    // candidate (idA, idB) BEFORE scoring (the vectors ride along; they are
+    // identical for every duplicate of a pair) so the O(dim) cosine runs
+    // once per pair, not once per (table, bucket) collision
     l.join(r, Seq("_table", "_bucket"))
       .filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
       .select(col("idA"), col("idB"), cos.as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }

@@ -149,6 +149,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "x"), (2L, "y")))
   }
 
+  test("embedding near-dup finds planted pair; cosine is scored after pair-dedup") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val dups = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        concat(array(element_at($"embedding", 1) + lit(0.25f)),
+          slice($"embedding", 2, 10000)).cast("array<float>").as("embedding"))
+    val out = Dedup.embeddingNearDup(emb.unionByName(dups), "vec_id",
+      "embedding", dim = 64, threshold = 0.95)
+    // plan shape: with nTables tables, a true pair collides many times —
+    // the O(dim) cosine must run ABOVE the (idA, idB) dedup aggregate,
+    // once per pair, never once per (table, bucket) collision
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    def hasCosine(p: LogicalPlan): Boolean = p.expressions.exists(
+      _.exists(_.isInstanceOf[VectorFunctions.CosineSimilarity]))
+    val plan = out.queryExecution.optimizedPlan
+    assert(plan.exists(hasCosine), "cosine missing from plan")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "pair-dedup aggregate missing from plan")
+    aggs.foreach(a => a.foreach(n =>
+      assert(!hasCosine(n), s"cosine computed at or below the dedup:\n$a")))
+    // correctness: planted pairs found, pair list is unique
+    val rows = out.select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert((0L until 5L).forall(i => rows.contains((i, i + 100000))),
+      s"planted pairs missing: ${rows.toSeq.sorted.take(10)}")
+    assert(rows.length === rows.distinct.length, "duplicate pairs in output")
+  }
+
   test("minhash lsh finds a planted near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
     val nearDup = base + "extra token"
