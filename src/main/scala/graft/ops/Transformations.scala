@@ -121,13 +121,21 @@ object Transformations {
   /** A registered transformation: given input columns and (optional) bound
     * statistics, produce one or more output columns. `drop` lists input
     * features removed after application (hopsworks_udf.py:224-262).
+    *
+    * `needsQuantiles` declares the statistics the transform actually reads:
+    * only robust-scaler-style transforms need exact percentiles, and exact
+    * percentiles buffer every distinct value per partition — `fitStats`
+    * requests them ONLY for inputs of transforms that set this flag, so a
+    * min-max-only pipeline on a high-cardinality column never pays for a
+    * quantile nobody reads.
     */
   final case class Transformation(
       name: String,
       kind: Kind,
       inputs: Seq[String],
       drop: Seq[String] = Nil,
-      fn: (Seq[Column], Map[String, FeatureStatistics]) => Seq[Column])
+      fn: (Seq[Column], Map[String, FeatureStatistics]) => Seq[Column],
+      needsQuantiles: Boolean = false)
 
   /** Apply transformations as ONE wide select (engine/spark.py:1318-1326):
     * untransformed passthrough columns + every transformation output, then
@@ -155,11 +163,15 @@ object Transformations {
     */
   def fitStats(statsDf: DataFrame,
                transforms: Seq[Transformation]): Map[String, FeatureStatistics] = {
-    val scaled = transforms.filter(_.kind == ModelDependent).flatMap(_.inputs)
+    val md = transforms.filter(_.kind == ModelDependent)
+    val scaled = md.flatMap(_.inputs)
       .filter(c => statsDf.schema(c).dataType.isInstanceOf[
         org.apache.spark.sql.types.NumericType]).distinct
-    val encoded = transforms.filter(_.kind == ModelDependent).flatMap(_.inputs)
-      .filterNot(scaled.contains).distinct
-    FeatureStatistics.compute(statsDf, scaled, encoded)
+    val encoded = md.flatMap(_.inputs).filterNot(scaled.contains).distinct
+    // exact percentiles only where a transform declares it reads them
+    val quantiles = md.filter(_.needsQuantiles).flatMap(_.inputs)
+      .filter(scaled.contains).distinct
+    FeatureStatistics.compute(statsDf, scaled, encoded,
+      quantilesFor = quantiles)
   }
 }

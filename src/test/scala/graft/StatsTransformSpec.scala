@@ -132,6 +132,34 @@ class StatsTransformSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("b", "a_mm"))
   }
 
+  test("fitStats computes exact percentiles only for transforms that need them") {
+    import Transformations._
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0))
+      .toDF("a", "b")
+    val mm = Transformation("mm", ModelDependent, Seq("a"),
+      fn = (cols, st) => Seq(minMaxScaler(cols.head, st("a")).as("a_mm")))
+    val rob = Transformation("rob", ModelDependent, Seq("b"),
+      fn = (cols, st) => Seq(robustScaler(cols.head, st("b")).as("b_rob")),
+      needsQuantiles = true)
+    // min-max-only fit: NO percentile aggregate is planned — compute()
+    // assigns NaN quantiles exactly (and only) when the column is left out
+    // of the percentile request, so NaN here proves the aggregate was
+    // never requested for `a`
+    val mmOnly = fitStats(df, Seq(mm))
+    assert(mmOnly("a").min === 1.0 && mmOnly("a").max === 4.0)
+    assert(mmOnly("a").p25.isNaN && mmOnly("a").median.isNaN &&
+      mmOnly("a").p75.isNaN)
+    // mixed fit: quantiles exact for the robust-scaled input only
+    val mixed = fitStats(df, Seq(mm, rob))
+    assert(mixed("a").p25.isNaN)
+    assert(mixed("b").p25 === 17.5 && mixed("b").median === 25.0 &&
+      mixed("b").p75 === 32.5)
+    val out = applyAll(df, Seq(mm, rob), mixed)
+    val r = out.agg(min("a_mm"), max("a_mm"), avg("b_rob")).collect().head
+    assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 1.0)
+    assert(math.abs(r.getDouble(2)) < 1e-9)
+  }
+
   test("monitoring difference and shift detection") {
     assert(Statistics.differenceAndShift(12.0, 10.0, 0.1, relative = true)
       === ((0.2, true)))
