@@ -224,11 +224,13 @@ object SparkEntry {
     // `Splits.random` variant is spec-covered (seeded, no closed form).
     "q19_random_split" -> ((s, dir) => {
       val o = s.read.parquet(TestTables.parquet(dir, "orders"))
-      val splits = graft.ops.Splits.exactRandom(o,
+      // ALL split sizes from one aggregation over the labeled frame (one
+      // job over the data), not one count job per split
+      val assigned = graft.ops.Splits.exactRandomAssigned(o,
         Map("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1), seed = 42L)
       import s.implicits._
-      val sized = splits.toSeq.sortBy(_._1)
-        .map { case (name, df) => (name, df.count()) }
+      val sized = assigned.groupBy(graft.ops.Splits.SplitCol).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
       (sized :+ ("_total", sized.map(_._2).sum))
         .toDF("split", "n_rows").orderBy("split")
     }),

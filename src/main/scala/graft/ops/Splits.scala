@@ -39,6 +39,22 @@ object Splits {
     */
   def exactRandom(df: DataFrame, weights: Map[String, Double],
                   seed: Long = 42L): Map[String, DataFrame] = {
+    val assigned = exactRandomAssigned(df, weights, seed)
+    weights.keys.map { k =>
+      k -> assigned.filter(col(SplitCol) === lit(k)).drop(SplitCol)
+    }.toMap
+  }
+
+  /** Name of the split-label column added by [[exactRandomAssigned]]. */
+  val SplitCol = "_split"
+
+  /** One-pass form of [[exactRandom]]: the input rows plus a `_split`
+    * label column. All split sizes (or any whole-dataset accounting) come
+    * from a SINGLE aggregation over this frame instead of one job per
+    * split; `exactRandom`'s per-split frames are filters over it.
+    */
+  def exactRandomAssigned(df: DataFrame, weights: Map[String, Double],
+                          seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty, "at least one split weight")
     require(math.abs(weights.values.sum - 1.0) < 1e-6,
       "exact split ratios must sum to 1")
@@ -67,12 +83,16 @@ object Splits {
     val bounds = names.scanLeft(0L) { (acc, k) =>
       acc + math.round(weights(k) * n)
     }
-    names.zipWithIndex.map { case (k, i) =>
-      val (lo, hi) =
-        (bounds(i), if (i == names.size - 1) n else bounds(i + 1))
-      k -> indexed.filter(col("_split_idx") > lo && col("_split_idx") <= hi)
-        .drop("_split_idx", "_r", "_mid", "_bucket", "_off")
-    }.toMap
+    // ordered when-chain: first split whose upper bound covers the rank
+    // wins; the last split absorbs the rounding remainder (hi = n)
+    val label = names.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (k, i)) =>
+        val hi = if (i == names.size - 1) n else bounds(i + 1)
+        val branch = (col("_split_idx") <= lit(hi), lit(k))
+        Some(acc.fold(when(branch._1, branch._2))(_.when(branch._1, branch._2)))
+    }.get
+    indexed.withColumn(SplitCol, label)
+      .drop("_split_idx", "_r", "_mid", "_bucket", "_off")
   }
 
   /** Time-series split: per-split `[start, end)` filter on the event-time
