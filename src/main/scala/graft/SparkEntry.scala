@@ -426,13 +426,7 @@ object SparkEntry {
         .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
       val agg = graft.streaming.Streaming.windowedAgg(
         stream, "ts2", "1 day", "1 hour", "event_type", "value")
-      val name = "q34_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable(); q.stop()
-      s.table(name)
+      graft.streaming.Streaming.runToMemory(agg, "q34_sink_", "complete")
         .select(unix_micros(col("w_start")).as("w_start_us"),
           col("event_type"), col("n"), round(col("total"), 2).as("total"))
         .orderBy("w_start_us", "event_type")
@@ -701,14 +695,8 @@ object SparkEntry {
       val sessions = graft.streaming.Streaming.sessionize(
         stream, "user_id", "ts2", "value",
         gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
-      val name = "q48_sink_" + java.util.UUID.randomUUID.toString
-        .replace("-", "")
-      val q = sessions.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable(); q.stop()
-      s.table(name).select(col("key"),
+      graft.streaming.Streaming.runToMemory(sessions.toDF, "q48_sink_", "append")
+        .select(col("key"),
           col("sessionStart").as("session_start"),
           col("sessionEnd").as("session_end"),
           col("nEvents").as("n_events"),
@@ -790,14 +778,8 @@ object SparkEntry {
       val sessions = graft.streaming.Streaming.sessionizeNative(
         stream, "user_id", "ts2", "value",
         gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
-      val name = "q52_sink_" + java.util.UUID.randomUUID.toString
-        .replace("-", "")
-      val q = sessions.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable(); q.stop()
-      s.table(name).select(col("key"),
+      graft.streaming.Streaming.runToMemory(sessions, "q52_sink_", "append")
+        .select(col("key"),
           col("sessionStart").as("session_start"),
           col("sessionEnd").as("session_end"),
           col("nEvents").as("n_events"),

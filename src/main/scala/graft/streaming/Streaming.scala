@@ -105,6 +105,33 @@ object Streaming {
     q
   }
 
+  /** Executed physical plan of the last micro-batch driven through
+    * [[runToMemory]] — the PlanAudit main (and specs) sweep stateful
+    * streaming plans with the same walker as batch plans. The wrapper
+    * type needed to reach it is `private[sql]`; see GraftSqlBridge.
+    */
+  @volatile var lastMicroBatchPlan
+      : Option[org.apache.spark.sql.execution.SparkPlan] = None
+
+  /** Drive a streaming frame to completion (AvailableNow) into a uniquely
+    * named memory sink and return the sink table. Records the final
+    * micro-batch's executed plan in [[lastMicroBatchPlan]] before the
+    * query stops (afterwards it is unreachable).
+    */
+  def runToMemory(df: DataFrame, namePrefix: String,
+                  outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = namePrefix + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    lastMicroBatchPlan = org.apache.spark.sql.GraftSqlBridge.lastExecutedPlan(q)
+    q.stop()
+    spark.table(name)
+  }
+
   /** Tumbling-window streaming aggregation (extension surface — the
     * reference has no stream windows, SURVEY §2.12): count/sum per
     * (window, key) with watermarking.

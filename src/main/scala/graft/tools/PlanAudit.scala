@@ -12,18 +12,20 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   * query. Exit code 1 if any hard flag fires.
   *
   * `sbt "runMain graft.tools.PlanAudit"` (SPARK_GRAFT_SF_DIR to change
-  * data; queries that must execute to produce a plan are skipped with a
-  * note rather than run). AQE is disabled for the audit session so the
-  * statically-planned tree is inspected — AQE only improves on it at
-  * runtime.
+  * data). Stateful queries are RUN so their executed plans — including
+  * the streaming micro-batch plans captured by Streaming.runToMemory —
+  * can be walked; only the lake-lifecycle query is spec-covered instead.
+  * AQE is disabled for the audit session so the statically-planned tree
+  * is inspected — AQE only improves on it at runtime.
   */
 object PlanAudit {
 
-  // stateful/side-effecting queries whose construction already runs jobs;
-  // their plan shape is asserted in specs instead (PlanAuditSpec walks the
-  // lake-snapshot and streaming last-execution plans with the same rule)
-  private val skip = Set("q34_stream_agg", "q36_lake_lifecycle",
-    "q47_monitoring_engine", "q48_sessionization")
+  // The lake lifecycle's value is its WRITE path (create → upsert →
+  // delete), whose per-commit plans the returned snapshot read doesn't
+  // carry — PlanAuditSpec walks the snapshot-read plan with this same
+  // rule. Everything else, including the streaming queries, is swept
+  // here: running a query to obtain its executed plan is fine in a tool.
+  private val skip = Set("q36_lake_lifecycle")
 
   /** SinglePartition exchanges NOT justified by their immediate parent.
     *
@@ -75,10 +77,15 @@ object PlanAudit {
       if (skip(name)) println(f"$name%-24s SKIP (stateful; spec-covered)")
       else {
         try {
+          // streaming queries stash their final micro-batch plan here when
+          // they run (Streaming.runToMemory) — sweep it with the same rule
+          graft.streaming.Streaming.lastMicroBatchPlan = None
           val df = fn(spark, dir)
           val exec = df.queryExecution.executedPlan
-          val plan = exec.toString
-          val offending = unjustifiedSinglePartitions(exec)
+          val streamPlan = graft.streaming.Streaming.lastMicroBatchPlan
+          val plan = exec.toString + streamPlan.fold("")(_.toString)
+          val offending = unjustifiedSinglePartitions(exec) ++
+            streamPlan.toSeq.flatMap(unjustifiedSinglePartitions)
           val hard = Seq(
             s"SinglePartition[${offending.mkString("; ")}]" ->
               offending.nonEmpty,
@@ -89,8 +96,9 @@ object PlanAudit {
               || plan.contains("ShuffledHashJoin Cross"))
           ).collect { case (f, true) => f }
           hardFlags += hard.size
+          val swept = streamPlan.fold("")(_ => " (+micro-batch plan)")
           val verdict = if (hard.nonEmpty) s"FLAG ${hard.mkString(",")}"
-            else "ok"
+            else s"ok$swept"
           println(f"$name%-24s $verdict")
         } catch {
           case e: Throwable =>
