@@ -785,6 +785,83 @@ object SparkEntry {
           col("nEvents").as("n_events"),
           round(col("total"), 2).as("total"))
         .orderBy("key", "session_start")
+    }),
+
+    // §2.13 feature logging: served vectors + model predictions appended
+    // to a lake-backed log at controlled log times, read back with a
+    // [start, end) time filter (core/feature_view_engine.py:971-1107,
+    // core/feature_logging.py contract). The oracle recomputes the
+    // middle batch from the base table — proving both the log write and
+    // the time-filtered read.
+    "q53_feature_logging" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q53")
+        .toString + "/served_log"
+      val cust = s.read.parquet(TestTables.parquet(dir, "customer"))
+      // 0.25 is exactly representable: double*0.25 is exact scaling, so
+      // Spark and the DuckDB oracle produce bit-identical predictions
+      // with no cross-engine rounding-rule dependence
+      def served(lo: Int, hi: Int) = cust
+        .filter(col("c_custkey") >= lo && col("c_custkey") < hi)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          (col("c_acctbal").cast("double") * lit(0.25)).as("prediction"))
+      val fg = graft.model.FeatureGroup("served_log", 1,
+        primaryKey = Seq("c_custkey"),
+        source = graft.model.LakeSource(root))
+      import graft.serving.FeatureLogging
+      val ts = Seq("2024-01-01", "2024-02-01", "2024-03-01")
+        .map(graft.functions.TimeFunctions.toEpochMillis)
+      FeatureLogging.log(s, root, fg, served(1, 11), Some(ts(0)))
+      FeatureLogging.log(s, root, fg, served(11, 21), Some(ts(1)))
+      FeatureLogging.log(s, root, fg, served(21, 31), Some(ts(2)))
+      FeatureLogging.read(s, root, fg,
+          startMillis = Some(ts(1)), endMillis = Some(ts(2)))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("prediction"), col("_log_time").as("log_time"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.13 tags / keywords / provenance ROUND-TRIP: tag groups and a
+    // view, restart (second FeatureStore over the same warehouse), then
+    // answer discovery queries — find-by-tag/keyword, reverse provenance
+    // (dependent views), IR-derived upstream links, view tags. Oracle =
+    // the deterministic expected rows; scale-independent by design.
+    "q54_tags_provenance" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q54").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val nation = s.read.parquet(TestTables.parquet(dir, "nation"))
+      val region = s.read.parquet(TestTables.parquet(dir, "region"))
+      val fgN = fs.createFeatureGroup("nations_meta", nation,
+        primaryKey = Seq("n_nationkey"))
+      val fgR = fs.createFeatureGroup("regions_meta", region,
+        primaryKey = Seq("r_regionkey"))
+      fs.addTag(fgN, "owner", "growth-team")
+      fs.addTag(fgR, "owner", "core-team")
+      fs.addKeywords(fgN, Seq("geo", "dim"))
+      val view = graft.view.FeatureView("geo_view", 1,
+        Query.select(fgN, Seq("n_nationkey", "n_name"))
+          .join(Query.select(fgR, Seq("r_name")),
+            leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey")))
+      fs.saveFeatureView(view)
+      fs.addTag(view, "purpose", "demo")
+      // restart: a brand-new store over the same warehouse
+      val fs2 = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val viewBack = fs2.getFeatureView("geo_view", 1)
+      val rows =
+        fs2.findGroupsByTag("owner").map(g =>
+          ("group_by_tag:owner", g.name, fs2.getTags(g)("owner"))) ++
+        fs2.findGroupsByKeyword("geo").map(g =>
+          ("group_by_keyword:geo", g.name,
+            fs2.getKeywords(g).sorted.mkString(","))) ++
+        fs2.dependentViews(fgN).map { case (n, v) =>
+          ("dependent_view:nations_meta", n, s"v$v") } ++
+        fs2.dependentViews(fgR).map { case (n, v) =>
+          ("dependent_view:regions_meta", n, s"v$v") } ++
+        fs2.provenance(viewBack).map(l =>
+          ("provenance", l.groupName, l.features.mkString(","))) ++
+        fs2.getTags(viewBack).toSeq.sorted.map { case (k, v) =>
+          (s"view_tag:$k", viewBack.name, v) }
+      rows.toDF("kind", "name", "detail").orderBy("kind", "name")
     })
   )
 
@@ -1352,6 +1429,27 @@ object SparkEntry {
          FROM agg, mx
          WHERE NOT (sid = (SELECT max(sid) FROM agg a2 WHERE a2.k = agg.k)
                     AND session_end + 21600000 >= maxt)
-         ORDER BY key, session_start"""
+         ORDER BY key, session_start""",
+    // the middle logged batch, recomputed from the base table; log_time
+    // is the controlled epoch-millis stamp of that batch (2024-02-01 UTC)
+    "q53_feature_logging" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+                CAST(c_acctbal AS DOUBLE) * 0.25 AS prediction,
+                CAST(1706745600000 AS BIGINT) AS log_time
+         FROM customer
+         WHERE c_custkey >= 11 AND c_custkey < 21
+         ORDER BY c_custkey""",
+    "q54_tags_provenance" ->
+      """SELECT * FROM (VALUES
+           ('dependent_view:nations_meta', 'geo_view', 'v1'),
+           ('dependent_view:regions_meta', 'geo_view', 'v1'),
+           ('group_by_keyword:geo', 'nations_meta', 'dim,geo'),
+           ('group_by_tag:owner', 'nations_meta', 'growth-team'),
+           ('group_by_tag:owner', 'regions_meta', 'core-team'),
+           ('provenance', 'nations_meta', 'n_nationkey,n_name'),
+           ('provenance', 'regions_meta', 'r_name'),
+           ('view_tag:purpose', 'geo_view', 'demo'))
+         AS t(kind, name, detail)
+         ORDER BY kind, name"""
   )
 }

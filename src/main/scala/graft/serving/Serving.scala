@@ -235,9 +235,10 @@ object FeatureLogging {
   import graft.sources.Lake
 
   def log(spark: SparkSession, root: String, fg: FeatureGroup,
-          vectors: DataFrame): Lake.CommitMeta = {
+          vectors: DataFrame,
+          logTimeMillis: Option[Long] = None): Lake.CommitMeta = {
     val stamped = vectors.withColumn("_log_time",
-      lit(System.currentTimeMillis()))
+      lit(logTimeMillis.getOrElse(System.currentTimeMillis())))
     if (Lake.listCommits(spark, root).isEmpty)
       Lake.create(spark, root, fg, stamped)
     else Lake.upsert(spark, root, fg, stamped)
