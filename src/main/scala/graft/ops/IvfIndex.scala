@@ -50,6 +50,34 @@ object IvfIndex {
     Index(centroids, assigned)
   }
 
+  /** Persist the index: centroids plus the assignment PARTITIONED BY
+    * `_cell`, so a probe's cell filter becomes partition pruning at the
+    * scan — at 100 TB a search then reads only the probed cells' files,
+    * never the corpus. Build once per corpus version, search many times.
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq
+      .map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("_cell").parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted index. The assignment scan stays lazy — search's
+    * cell join prunes partitions instead of reading the corpus.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .sortBy(_._1)
+    Index(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** Search: probe the `nProbe` nearest cells per query, exact-score only
     * those cells' rows, return top-k per query.
     */

@@ -35,21 +35,31 @@ object Transformations {
       * `quantilesFor` columns (defaults to all scaled columns for API
       * compatibility; pass just the robust-scaled ones). Columns without
       * quantiles get p25/median/p75 = NaN.
+      *
+      * `approxQuantiles = true` swaps the exact `percentile` for
+      * `approx_percentile` (a bounded-memory mergeable sketch) — the right
+      * default at 100 TB, where buffering every distinct value per
+      * partition is not an option; exact remains the default because the
+      * oracle-parity gates compare against DuckDB's exact quantiles.
       */
     def compute(df: DataFrame, scaled: Seq[String],
                 encoded: Seq[String] = Nil,
-                quantilesFor: Seq[String] = null): Map[String, FeatureStatistics] = {
+                quantilesFor: Seq[String] = null,
+                approxQuantiles: Boolean = false,
+                approxAccuracy: Int = 10000): Map[String, FeatureStatistics] = {
       val quantileSet =
         Option(quantilesFor).map(_.toSet).getOrElse(scaled.toSet)
+      val pctAgg: String => Column =
+        if (approxQuantiles)
+          c => expr(s"approx_percentile($c, array(0.25, 0.5, 0.75), " +
+            s"$approxAccuracy)").cast("array<double>")
+        else c => expr(s"percentile($c, array(0.25, 0.5, 0.75))")
       val aggs = scaled.flatMap { c => Seq(
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         avg(col(c)).cast("double").as(s"${c}__mean"),
         stddev_samp(col(c)).cast("double").as(s"${c}__std")) ++
-        (if (quantileSet(c))
-          Seq(expr(s"percentile($c, array(0.25, 0.5, 0.75))")
-            .as(s"${c}__pcts"))
-         else Nil)
+        (if (quantileSet(c)) Seq(pctAgg(c).as(s"${c}__pcts")) else Nil)
       }
       val scaledStats: Map[String, FeatureStatistics] =
         if (scaled.isEmpty) Map.empty

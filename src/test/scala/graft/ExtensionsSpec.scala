@@ -77,6 +77,33 @@ class ExtensionsSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("ivf index persists; loaded search matches and prunes cell partitions") {
+    import graft.ops.IvfIndex
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val idx = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.save(idx, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_._1).toSeq ===
+      idx.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.map(_._2.toSeq).toSeq ===
+      idx.centroids.map(_._2.toSeq).toSeq)
+    def rows(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(3))).toSet
+    val fresh = IvfIndex.search(idx, "vec_id", "embedding",
+      q, "qid", "qe", k = 3, nProbe = 2)
+    val reloaded = IvfIndex.search(loaded, "vec_id", "embedding",
+      q, "qid", "qe", k = 3, nProbe = 2)
+    assert(rows(reloaded) === rows(fresh))
+    // the persisted layout is partitioned by _cell: the broadcast cell
+    // join must reach the scan as a dynamic-partition-pruning filter, so
+    // a probe reads only the probed cells' files — never the corpus
+    val plan = reloaded.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("nearest-cells expression matches a scala brute-force argmin") {
     import graft.functions.VectorFunctions
     val rnd = new scala.util.Random(7)

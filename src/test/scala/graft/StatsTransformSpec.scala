@@ -160,6 +160,22 @@ class StatsTransformSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2)) < 1e-9)
   }
 
+  test("approx quantiles track exact on the same column") {
+    import Transformations._
+    val df = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS x")
+    val exact = FeatureStatistics.compute(df, Seq("x"))("x")
+    val approx = FeatureStatistics.compute(df, Seq("x"),
+      approxQuantiles = true)("x")
+    // 1000 distinct values at accuracy 10000: the sketch holds every
+    // value, so approx lands within one step of the exact interpolated
+    // percentile (approx_percentile returns an observed value, exact
+    // interpolates between them)
+    assert(math.abs(approx.p25 - exact.p25) <= 1.0, s"$approx vs $exact")
+    assert(math.abs(approx.median - exact.median) <= 1.0)
+    assert(math.abs(approx.p75 - exact.p75) <= 1.0)
+    assert(approx.min === exact.min && approx.max === exact.max)
+  }
+
   test("monitoring difference and shift detection") {
     assert(Statistics.differenceAndShift(12.0, 10.0, 0.1, relative = true)
       === ((0.2, true)))
