@@ -862,6 +862,36 @@ object SparkEntry {
         fs2.getTags(viewBack).toSeq.sorted.map { case (k, v) =>
           (s"view_tag:$k", viewBack.name, v) }
       rows.toDF("kind", "name", "detail").orderBy("kind", "name")
+    }),
+
+    // Training-dataset VERSIONS as persisted catalog entities: build with
+    // EXACT split sizes, materialize per-split files + descriptor, restart
+    // (second FeatureStore over the same warehouse), read the artifact
+    // back purely from its descriptor. Oracle = the closed-form exact
+    // split sizes over the source table — proving build, write, metadata
+    // persistence, and read-back in one gate.
+    "q55_training_dataset" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q55").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val view = graft.view.FeatureView("td_view", 1,
+        Query.select(fg(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_acctbal")))
+      fs.saveFeatureView(view)
+      fs.createTrainingDataset(view, 1,
+        randomWeights =
+          Map("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1),
+        seed = 42L, exactSizes = true)
+      // restart: a brand-new store over the same warehouse
+      val fs2 = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val meta = fs2.getTrainingDataset("td_view", 1, 1)
+      val sized = fs2.readTrainingDataset("td_view", 1, 1).toSeq
+        .map { case (k, df) => (k, df.count()) }.sortBy(_._1)
+      (sized :+ (("_total", sized.map(_._2).sum)))
+        .toDF("split", "n_rows")
+        .withColumn("format", lit(meta.format))
+        .withColumn("td_version", lit(meta.version))
+        .orderBy("split")
     })
   )
 
@@ -1450,6 +1480,22 @@ object SparkEntry {
            ('provenance', 'regions_meta', 'r_name'),
            ('view_tag:purpose', 'geo_view', 'demo'))
          AS t(kind, name, detail)
-         ORDER BY kind, name"""
+         ORDER BY kind, name""",
+    // exact-split closed form (same as q19) over the customer table, read
+    // back through the persisted descriptor after a store restart
+    "q55_training_dataset" ->
+      """WITH n AS (SELECT count(*) AS c FROM customer)
+         SELECT * FROM (
+           SELECT 'test' AS split, CAST(round(0.2*c) AS BIGINT) AS n_rows,
+                  'parquet' AS format, 1 AS td_version FROM n
+           UNION ALL
+           SELECT 'train', CAST(round(0.7*c) AS BIGINT), 'parquet', 1 FROM n
+           UNION ALL
+           SELECT 'validation',
+                  CAST(c - round(0.2*c) - round(0.7*c) AS BIGINT),
+                  'parquet', 1 FROM n
+           UNION ALL
+           SELECT '_total', CAST(c AS BIGINT), 'parquet', 1 FROM n)
+         ORDER BY split"""
   )
 }

@@ -164,6 +164,78 @@ final class FeatureStore(
       : Option[Map[String, graft.ops.Transformations.FeatureStatistics]] =
     StatsPersistence.load(spark, warehouseDir, viewName, version)
 
+  // -- training datasets (materialized, versioned) -------------------------
+
+  /** Materialize + persist a training-dataset version for a view: build
+    * (splits + train-split-fitted transformation statistics), write the
+    * per-split files under the warehouse, persist the descriptor AND the
+    * fitted statistics — a restarted session reads the exact artifact and
+    * serves with the training distribution
+    * (training_dataset.py + core/feature_view_engine.py:229-320).
+    */
+  def createTrainingDataset(
+      view: graft.view.FeatureView, version: Int,
+      randomWeights: Map[String, Double] = Map(),
+      timeBounds: Map[String, (Long, Long)] = Map(),
+      seed: Long = 42L, exactSizes: Boolean = false,
+      format: String = "parquet", coalesce: Boolean = false)
+      : TrainingDatasetPersistence.TrainingDatasetMeta = {
+    val res = graft.view.TrainingDataset.build(spark, view,
+      view.batchQuery(spark), randomWeights, timeBounds, seed,
+      exactSizes = exactSizes)
+    val path =
+      s"$warehouseDir/training_datasets/${view.name}_${view.version}/$version"
+    graft.view.TrainingDataset.write(res, path, format, coalesce = coalesce)
+    if (res.transformationStatistics.nonEmpty)
+      saveTrainingStatistics(view.name, view.version,
+        res.transformationStatistics)
+    val meta = TrainingDatasetPersistence.TrainingDatasetMeta(
+      view.name, view.version, version, format, path,
+      randomWeights, timeBounds, seed, exactSizes,
+      createdMillis = System.currentTimeMillis())
+    TrainingDatasetPersistence.save(spark, warehouseDir, meta)
+    meta
+  }
+
+  def getTrainingDataset(viewName: String, viewVersion: Int = 1,
+                         version: Int = 1)
+      : TrainingDatasetPersistence.TrainingDatasetMeta =
+    TrainingDatasetPersistence
+      .load(spark, warehouseDir, viewName, viewVersion, version)
+      .getOrElse(throw new NoSuchElementException(
+        s"training dataset $viewName v$viewVersion td$version"))
+
+  /** Read back a materialized training-dataset version's splits from its
+    * persisted descriptor (a single-split dataset lives at the path root,
+    * multi-split ones in per-split subdirectories — TrainingDataset.write
+    * layout).
+    */
+  def readTrainingDataset(viewName: String, viewVersion: Int = 1,
+                          version: Int = 1): Map[String, DataFrame] = {
+    val meta = getTrainingDataset(viewName, viewVersion, version)
+    val names = meta.splitNames
+    names.map { n =>
+      val p = if (names.size == 1) meta.path else s"${meta.path}/$n"
+      n -> graft.view.TrainingDataset.read(spark, p, meta.format)
+    }.toMap
+  }
+
+  /** Persisted training-dataset versions of a view, ascending. */
+  def trainingDatasets(viewName: String, viewVersion: Int = 1): Seq[Int] =
+    TrainingDatasetPersistence.list(spark, warehouseDir, viewName, viewVersion)
+
+  /** Drop a version: descriptor + materialized files. */
+  def deleteTrainingDataset(viewName: String, viewVersion: Int = 1,
+                            version: Int = 1): Unit = {
+    TrainingDatasetPersistence.load(spark, warehouseDir, viewName,
+        viewVersion, version).foreach { meta =>
+      val p = new org.apache.hadoop.fs.Path(meta.path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    TrainingDatasetPersistence.delete(spark, warehouseDir, viewName,
+      viewVersion, version)
+  }
+
   // -- tags / keywords / provenance (persisted metadata surface) -----------
 
   private def entityId(fg: FeatureGroup) = s"fg_${fg.id}"

@@ -117,13 +117,17 @@ object TrainingDataset {
             randomWeights: Map[String, Double] = Map(),
             timeBounds: Map[String, (Long, Long)] = Map(),
             seed: Long = 42L,
-            statsColumns: Seq[String] = Nil): Result = {
+            statsColumns: Seq[String] = Nil,
+            exactSizes: Boolean = false): Result = {
     val splits: Map[String, DataFrame] =
       if (timeBounds.nonEmpty) {
         val et = view.query.leftFeatureGroup.eventTime.get
         Splits.timeSeries(frame, et, timeBounds)
       } else if (randomWeights.nonEmpty) {
-        Splits.random(frame, randomWeights, seed)
+        // exactSizes = the python engine's exact-proportion variant
+        // (weights must sum to 1); default is the Bernoulli randomSplit
+        if (exactSizes) Splits.exactRandom(frame, randomWeights, seed)
+        else Splits.random(frame, randomWeights, seed)
       } else Map("train" -> frame)
 
     // splits are cached before stats + transform + write

@@ -314,4 +314,41 @@ class MetadataSpec extends SparkSpec {
     assert(fs2.getTags(view) === Map("stage" -> "prod"))
     assert(fs2.getTags(cust).get("stage") === None)
   }
+
+  test("training-dataset versions persist and read back across restart") {
+    import graft.ir.Query
+    val wh = Files.createTempDirectory("graft_td").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    def fg(t: String) = graft.catalog.TestTables.fg(spark, sfDir, t)
+    val view = graft.view.FeatureView("tdspec", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_acctbal")))
+    fs.saveFeatureView(view)
+    val meta = fs.createTrainingDataset(view, 1,
+      randomWeights = Map("train" -> 0.75, "test" -> 0.25),
+      exactSizes = true)
+    assert(meta.splitNames === Seq("test", "train"))
+
+    // restart: descriptor + files readable from a brand-new store
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    assert(fs2.trainingDatasets("tdspec") === Seq(1))
+    val back = fs2.getTrainingDataset("tdspec", 1, 1)
+    assert(back.format === "parquet" && back.exactSizes &&
+      back.randomWeights === Map("train" -> 0.75, "test" -> 0.25))
+    val splits = fs2.readTrainingDataset("tdspec", 1, 1)
+    val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    val test = math.round(0.25 * n)
+    assert(splits("test").count() === test)
+    assert(splits("train").count() === n - test)
+    // disjoint and exhaustive on the key
+    val trainIds = splits("train").select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val testIds = splits("test").select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    assert((trainIds & testIds).isEmpty)
+    assert(trainIds.size + testIds.size === n)
+
+    fs2.deleteTrainingDataset("tdspec", 1, 1)
+    assert(fs2.trainingDatasets("tdspec") === Nil)
+    intercept[NoSuchElementException] { fs2.getTrainingDataset("tdspec") }
+  }
 }
