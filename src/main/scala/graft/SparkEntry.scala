@@ -892,6 +892,34 @@ object SparkEntry {
         .withColumn("format", lit(meta.format))
         .withColumn("td_version", lit(meta.version))
         .orderBy("split")
+    }),
+
+    // Schema evolution: append declared features to a committed lake
+    // group WITHOUT rewriting data — rows predating the new columns read
+    // back as the features' default values (null when none) through the
+    // aligned snapshot; a post-append insert carries real values. The
+    // restart (second store) proves the evolved definition persists.
+    "q56_append_features" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q56").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val init = s.read.parquet(TestTables.parquet(dir, "nation"))
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("v"))
+      val fgrp = fs.createFeatureGroup("nations_evolved", init, Seq("id"))
+      val evolved = fs.appendFeatures(fgrp, Seq(
+        graft.model.Feature("score",
+          org.apache.spark.sql.types.DoubleType,
+          defaultValue = Some(0.5)),
+        graft.model.Feature("note",
+          org.apache.spark.sql.types.StringType)))
+      fs.insert(evolved, Seq((100L, "NEW_A", 1.5, "x"),
+          (101L, "NEW_B", 2.5, "y"))
+        .toDF("id", "v", "score", "note"))
+      // restart: the evolved definition must persist
+      val fs2 = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      fs2.read(Query.selectAll(fs2.getFeatureGroup("nations_evolved")))
+        .orderBy("id")
     })
   )
 
@@ -1496,6 +1524,18 @@ object SparkEntry {
                   'parquet', 1 FROM n
            UNION ALL
            SELECT '_total', CAST(c AS BIGINT), 'parquet', 1 FROM n)
-         ORDER BY split"""
+         ORDER BY split""",
+    // pre-append rows fill the declared defaults (score=0.5, note=null);
+    // the post-append insert carries real values
+    "q56_append_features" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS v,
+                CAST(0.5 AS DOUBLE) AS score, CAST(NULL AS VARCHAR) AS note
+         FROM nation
+         UNION ALL
+         SELECT * FROM (VALUES
+           (100, 'NEW_A', CAST(1.5 AS DOUBLE), 'x'),
+           (101, 'NEW_B', CAST(2.5 AS DOUBLE), 'y'))
+           AS t(id, v, score, note)
+         ORDER BY id"""
   )
 }

@@ -47,6 +47,20 @@ final class FeatureStore(
     registry.getOrElse((name, version),
       throw new NoSuchElementException(s"feature group $name v$version"))
 
+  /** Append features to a registered group's declared schema — the ALTER
+    * TABLE ADD COLUMNS analog (feature_group.py append_features,
+    * engine/spark.py save_empty_dataframe): no data rewrite. Committed
+    * rows predate the new columns and read back as each feature's
+    * `defaultValue` (null when none) via the aligned lake read; inserts
+    * from now on carry them. Returns the updated, persisted definition.
+    */
+  def appendFeatures(fg: FeatureGroup, newFeatures: Seq[Feature]): FeatureGroup = {
+    val clash = newFeatures.map(_.name).intersect(fg.featureNames)
+    require(clash.isEmpty,
+      s"features already declared: ${clash.mkString(", ")}")
+    register(fg.copy(features = fg.features ++ newFeatures))
+  }
+
   def featureGroups: Seq[FeatureGroup] = registry.values.toSeq
 
   /** Create a lake-backed (time-travel, upsertable) feature group from an

@@ -38,29 +38,50 @@ object SchemaOps {
   /** Schema evolution helper: append missing columns with defaults
     * (feature_group.py:853 appended-column defaults). `defaults` fills
     * missing columns that have a declared default value; others get null.
+    *
+    * `fillNullDefaults` additionally COALESCEs nulls in present columns
+    * to their default — the read-path form: a merged-schema scan over a
+    * lake table surfaces appended columns as null for rows predating the
+    * append, and those rows must read back the declared default. (Writes
+    * align batches to the full schema with defaults, so post-append nulls
+    * only arise from an explicit null insert, which this coats too —
+    * documented semantic of a declared default.)
     */
   def alignToSchema(df: DataFrame, schema: StructType,
-                    defaults: Map[String, Any] = Map()): DataFrame = {
+                    defaults: Map[String, Any] = Map(),
+                    fillNullDefaults: Boolean = false): DataFrame = {
     val existing = df.columns.toSet
     val withMissing = schema.fields.filterNot(f => existing(f.name))
       .foldLeft(df) { (d, f) =>
         val fill = defaults.get(f.name).map(lit(_)).getOrElse(lit(null))
         d.withColumn(f.name, fill.cast(f.dataType))
       }
-    castToSchema(withMissing, schema)
-      .select(schema.fields.toIndexedSeq.map(f => col(f.name)): _*)
+    val cast = castToSchema(withMissing, schema)
+    val filled =
+      if (!fillNullDefaults) cast
+      else schema.fields.foldLeft(cast) { (d, f) =>
+        defaults.get(f.name) match {
+          case Some(v) if existing(f.name) =>
+            d.withColumn(f.name,
+              coalesce(col(f.name), lit(v).cast(f.dataType)))
+          case _ => d
+        }
+      }
+    filled.select(schema.fields.toIndexedSeq.map(f => col(f.name)): _*)
   }
 
   /** Align to a feature-group's declared features, honoring their
     * `defaultValue`s.
     */
   def alignToFeatures(df: DataFrame,
-                      features: Seq[graft.model.Feature]): DataFrame =
+                      features: Seq[graft.model.Feature],
+                      fillNullDefaults: Boolean = false): DataFrame =
     alignToSchema(df,
       org.apache.spark.sql.types.StructType(features.map(_.toField)),
       features.collect { case f if f.defaultValue.isDefined =>
         f.name -> f.defaultValue.get
-      }.toMap)
+      }.toMap,
+      fillNullDefaults)
 
   /** `show(n)` / preview semantics (constructor/query.py:209-234). */
   def preview(df: DataFrame, n: Int = 10): DataFrame = df.limit(n)

@@ -210,10 +210,13 @@ object Lake {
     val resolved = dedupLatest(raw, fg)
       .filter(!col(DeletedCol))
       .drop(CommitCol, DeletedCol)
-    // read-path safety net for tables created before a column was declared
+    // read-path safety net for tables created before a column was
+    // declared: appended columns surface as null for pre-append commits
+    // under the merged-schema scan and fill their declared defaults here
     val aligned =
       if (fg.features.nonEmpty)
-        graft.ops.SchemaOps.alignToFeatures(resolved, fg.features)
+        graft.ops.SchemaOps.alignToFeatures(resolved, fg.features,
+          fillNullDefaults = true)
       else resolved
     restoreTypes(aligned, fg)
   }

@@ -104,8 +104,10 @@ class LakeSpec extends SparkSpec {
     assert(snap.columns.toSeq === Seq("id", "v", "score"))
     val rows = snap.collect()
     assert(rows.length === 4)
-    // rows predating the column surface as null (lakehouse MOR read)
-    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2))
+    // rows predating the column read back its declared DEFAULT (the
+    // merged-schema scan surfaces them as null; the aligned read fills) —
+    // the appendFeatures contract (feature_group.py:853)
+    assert(rows(0).getDouble(2) === 0.5 && rows(1).getDouble(2) === 0.5)
     assert(rows(2).getDouble(2) === 0.5) // default filled at write time
     assert(rows(3).getDouble(2) === 9.0)
   }

@@ -315,6 +315,30 @@ class MetadataSpec extends SparkSpec {
     assert(fs2.getTags(cust).get("stage") === None)
   }
 
+  test("appendFeatures evolves the declared schema without data rewrite") {
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft_append").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val fg = fs.createFeatureGroup("evolves",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), primaryKey = Seq("id"))
+    // name clash is rejected before touching the catalog
+    intercept[IllegalArgumentException] {
+      fs.appendFeatures(fg, Seq(graft.model.Feature("v", StringType)))
+    }
+    val evolved = fs.appendFeatures(fg, Seq(
+      graft.model.Feature("w", DoubleType, defaultValue = Some(9.0))))
+    fs.insert(evolved, Seq((3L, "c", 1.0)).toDF("id", "v", "w"))
+    val got = fs.read(graft.ir.Query.selectAll(evolved)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // pre-append rows read the declared default; the new row its value
+    assert(got.toSeq === Seq((1L, 9.0), (2L, 9.0), (3L, 1.0)))
+    // an insert OMITTING the evolved column also fills the default
+    fs.insert(evolved, Seq((4L, "d")).toDF("id", "v"))
+    val r4 = fs.read(graft.ir.Query.selectAll(evolved))
+      .filter($"id" === 4L).collect().head
+    assert(r4.getDouble(2) === 9.0)
+  }
+
   test("training-dataset versions persist and read back across restart") {
     import graft.ir.Query
     val wh = Files.createTempDirectory("graft_td").toString
