@@ -920,6 +920,59 @@ object SparkEntry {
       val fs2 = new graft.catalog.FeatureStore(s, warehouseDir = wh)
       fs2.read(Query.selectAll(fs2.getFeatureGroup("nations_evolved")))
         .orderBy("id")
+    }),
+
+    // Dedup clusters: near-dup candidate pairs → connected components
+    // (alternating large-star/small-star) → (member, cluster
+    // representative = min reachable id). The oracle rebuilds the same
+    // pair graph in SQL and closes it transitively with a recursive CTE,
+    // so transitive-closure semantics are verified value-for-value.
+    "q57_dup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .filter(col("doc_id") < 150)
+      val pairs = graft.ops.Dedup.tokenJaccard(docs, "doc_id", "text",
+        threshold = 0.7)
+      graft.ops.Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
+
+    // Decontamination: distinct word-3-gram overlap of each corpus doc
+    // against a probe (eval) slice of the corpus; char-poly gram hashing
+    // so the oracle replays the exact same join in SQL on gram strings.
+    "q58_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val probe = docs.filter(pmod(col("doc_id"), lit(17)) === 3)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      graft.ops.Dedup.contaminationOverlap(corpus, "doc_id", "text",
+          probe, "text", n = 3,
+          hashFn = graft.functions.TextHash.charPolyHash)
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget sharding: reproducible content-shuffle order (text
+    // fingerprint), distributed two-level prefix sum, ~2000-token bins.
+    "q59_token_shards" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .withColumn("n_tokens",
+          graft.ops.TextAnalysis.tokenCount(col("text")))
+      graft.ops.Sharding.tokenBudgetBins(docs, "doc_id", "n_tokens",
+          budget = 2000L,
+          orderKeyCol = graft.ops.TextAnalysis.fingerprint(col("text")))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified deterministic sampling by language: pure hash-threshold
+    // filter (zero shuffle, reproducible across engines); the salted
+    // char-poly id hash is replayed verbatim by the SQL oracle.
+    "q60_stratified_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val salted = (c: org.apache.spark.sql.Column) =>
+        graft.functions.TextHash.charPolyHash(
+          concat_ws(":", lit("graft-sample"), c.cast("string"),
+            reverse(c.cast("string"))))
+      graft.ops.Splits.stratifiedDeterministic(docs, "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.1),
+          hashFn = salted)
+        .select("doc_id", "lang").orderBy("doc_id")
     })
   )
 
@@ -1536,6 +1589,89 @@ object SparkEntry {
            (100, 'NEW_A', CAST(1.5 AS DOUBLE), 'x'),
            (101, 'NEW_B', CAST(2.5 AS DOUBLE), 'y'))
            AS t(id, v, score, note)
-         ORDER BY id"""
+         ORDER BY id""",
+    // same pair graph as q23-style token Jaccard, closed transitively by
+    // a recursive CTE: component = min reachable id
+    "q57_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents WHERE doc_id < 150)
+           WHERE len(tok) > 0),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+                   FROM toks a JOIN toks b
+                     ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT idA, idB FROM inter
+                   JOIN sizes sa ON sa.doc_id = idA
+                   JOIN sizes sb ON sb.doc_id = idB
+                   WHERE i / (sa.sz + sb.sz - i) >= 0.7),
+         edges AS (SELECT idA AS u, idB AS v FROM pairs
+                   UNION SELECT idB, idA FROM pairs
+                   UNION SELECT idA, idA FROM pairs
+                   UNION SELECT idB, idB FROM pairs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT u AS id, min(v) AS component FROM reach
+         GROUP BY u ORDER BY id""",
+    // word-3-gram sets per doc (same slide/truncation as shingleStrings),
+    // probe slice = doc_id % 17 = 3; overlap = distinct shared grams
+    "q58_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(tk) - 2, 1) + 1),
+                    i -> array_to_string(tk[i:least(i + 2, len(tk))], ' ')))) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+                 FROM documents)),
+         probe AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 3),
+         corp AS (SELECT doc_id, g FROM sh WHERE doc_id % 17 <> 3)
+         SELECT doc_id, count(*) AS n_overlap
+         FROM corp JOIN probe USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // single global window replays the distributed two-level prefix sum:
+    // order by (content fingerprint, doc_id), bin = exclusive cumsum div
+    // budget
+    "q59_token_shards" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> len(x) > 0)) AS n_tokens,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS ok
+           FROM (SELECT doc_id, text,
+                   array_to_string(
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0), ' ') AS s
+                 FROM documents)),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(sum(n_tokens) OVER (ORDER BY ok, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS excl
+               FROM t)
+         SELECT doc_id, CAST(excl // 2000 AS BIGINT) AS bin, n_tokens
+         FROM c ORDER BY doc_id""",
+    // salted char-poly hash of the id, mod 1e6, against per-stratum
+    // integer thresholds (floor(fraction * 1e6))
+    "q60_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                    % 1000000 AS u
+           FROM (SELECT doc_id, lang,
+                   'graft-sample:' || CAST(doc_id AS VARCHAR) || ':' ||
+                   reverse(CAST(doc_id AS VARCHAR)) AS s
+                 FROM documents))
+         WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
+                   WHEN 'fr' THEN 250000 WHEN 'de' THEN 100000 ELSE -1 END
+         ORDER BY doc_id"""
   )
 }

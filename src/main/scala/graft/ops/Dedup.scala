@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   *    groups.
   *  - [[embeddingNearDup]] — cosine-threshold pairs via the LSH bucketing
   *    of [[Similarity]].
+  *  - [[duplicateClusters]] / [[deduplicateByClusters]] — alternating-star
+  *    connected components turning candidate pairs into keep-one groups.
+  *  - [[contaminationOverlap]] / [[decontaminate]] — n-gram overlap gate
+  *    against an eval/benchmark probe set.
   */
 object Dedup {
 
@@ -204,6 +208,153 @@ object Dedup {
       .select(col("idA"), col("idB"),
         (col("inter") / (col("szA") + col("szB") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over an undirected candidate-pair graph via
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * step that turns near-dup PAIRS ([[minHashLsh]] / [[simHashNearDups]] /
+    * [[embeddingNearDup]] output) into dedup GROUPS.
+    *
+    * Scale shape: every step is join + groupBy algebra keyed on node id —
+    * no collect_set neighborhoods (a hub node with 10⁸ neighbors never
+    * has to fit its adjacency list in one row) and no driver-side graph.
+    * Converges in O(log n) rounds on ANY graph shape — long path graphs
+    * collapse logarithmically, where naive min-label propagation needs a
+    * round per hop. Each round is localCheckpoint'ed to keep the plan
+    * flat (swap for `checkpoint` + a reliable dir on a real cluster where
+    * executor loss matters); convergence is detected with an
+    * order-independent (count, bit_xor of edge hashes) fingerprint — one
+    * cheap aggregate per round over the just-materialized blocks.
+    *
+    * @param pairs candidate pairs; self-pairs and null ids are dropped
+    * @return (id, component) for every node appearing in `pairs`, where
+    *         component = the minimum reachable id (cluster representative)
+    */
+  def duplicateClusters(pairs: DataFrame, idACol: String = "idA",
+                        idBCol: String = "idB", maxIter: Int = 25): DataFrame = {
+    def dedupEdges(e: DataFrame): DataFrame = e.distinct()
+
+    // m(u) = min(N(u) ∪ {u}), computed by aggregation + join — never by
+    // materializing a neighborhood array
+    def minsOf(sym: DataFrame): DataFrame =
+      sym.groupBy("u").agg(min("v").as("_mv"))
+        .select(col("u"), least(col("_mv"), col("u")).as("m"))
+
+    // large-star: connect every strictly-larger neighbor of u to m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      dedupEdges(sym.join(minsOf(sym), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: orient edges (larger, smaller); connect u and its
+    // smaller neighbors to the minimum of that in-neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      val nbrs = oriented.join(mins, "u").select(col("v").as("n"), col("m"))
+      val self = mins.select(col("u").as("n"), col("m"))
+      dedupEdges(nbrs.union(self)
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v")))
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
+        .collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = dedupEdges(pairs
+      .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
+        col(idACol) =!= col(idBCol))
+      .select(col(idACol).as("u"), col(idBCol).as("v")))
+      .localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      iter += 1
+    }
+    // the fixed point is a star forest: every edge is (member, component
+    // minimum), so components fall out without another traversal
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Keep one survivor — the component-minimum id — per duplicate cluster:
+    * the standard pairs → clusters → keep-one corpus dedup. Rows whose id
+    * is not in `clusters` pass through untouched; losers are removed with
+    * one left_anti join against the (small) loser id set, so the corpus
+    * itself is never reshuffled.
+    */
+  def deduplicateByClusters(df: DataFrame, idCol: String,
+                            clusters: DataFrame): DataFrame = {
+    val losers = clusters.filter(col("id") =!= col("component")).select("id")
+    df.join(losers, df(idCol) === losers("id"), "left_anti")
+  }
+
+  /** Distinct word n-gram STRINGS per document — row-local companion to
+    * [[shingleArray]] for operators that need the grams themselves (or a
+    * caller-chosen hash of them) rather than xxhash64.
+    */
+  def shingleStrings(textCol: Column, n: Int): Column = {
+    val toks = array_remove(split(lower(textCol), "\\s+"), "")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Train/eval contamination check: for each corpus document, the number
+    * of distinct word n-grams it shares with the probe (benchmark / test)
+    * corpus. The standard decontamination gate before training-data
+    * export: drop (or flag) documents with n_overlap ≥ some floor.
+    *
+    * Scale shape: both sides reduce to (docLocal n-gram set → hash)
+    * before any shuffle; the only shuffles are the probe distinct and the
+    * gram join. The probe side (an eval set) is normally orders of
+    * magnitude smaller than the corpus, so AQE broadcasts it and the
+    * 100 TB corpus side never reshuffles.
+    *
+    * @param hashFn gram hash — xxhash64 by default; pass
+    *               [[graft.functions.TextHash.charPolyHash]] for an
+    *               external-SQL-replayable oracle
+    * @return (idCol, n_overlap) for corpus docs with ≥ 1 shared gram
+    */
+  def contaminationOverlap(corpus: DataFrame, idCol: String, textCol: String,
+                           probe: DataFrame, probeTextCol: String,
+                           n: Int = 3,
+                           hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val probeGrams = probe
+      .select(explode(shingleStrings(col(probeTextCol), n)).as("_g"))
+      .select(hashFn(col("_g")).as("_gh")).distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(shingleStrings(col(textCol), n)).as("_g"))
+      .select(col(idCol), hashFn(col("_g")).as("_gh"))
+    corpusGrams.join(probeGrams, "_gh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** Remove corpus documents sharing ≥ `minOverlap` distinct n-grams with
+    * the probe set (left_anti against the flagged ids).
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    probe: DataFrame, probeTextCol: String,
+                    n: Int = 3, minOverlap: Int = 1,
+                    hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val flagged = contaminationOverlap(corpus, idCol, textCol,
+        probe, probeTextCol, n, hashFn)
+      .filter(col("n_overlap") >= minOverlap)
+      .select(idCol)
+    corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold via multi-table

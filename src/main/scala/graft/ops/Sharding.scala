@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sharding for training-data export.
+  *
+  * LLM training pipelines export a corpus as fixed-token-budget shards in
+  * a reproducible pseudo-random order (content-shuffled, stable across
+  * re-runs and engines). [[tokenBudgetBins]] assigns each document a bin
+  * so consecutive documents in the deterministic order fill ~`budget`
+  * tokens per bin — a global ordered prefix sum, computed WITHOUT a
+  * single-partition window.
+  */
+object Sharding {
+
+  /** Assign each row a contiguous token-budget bin.
+    *
+    * Rows are ordered globally by (`orderKeyCol`, `idCol`); token counts
+    * are prefix-summed in that order; `bin = exclusivePrefixSum div
+    * budget`. Passing a content hash (e.g.
+    * [[graft.functions.TextHash.charPolyHash]] of the normalized text —
+    * [[TextAnalysis.fingerprint]]) as the order key gives a reproducible
+    * content-shuffle: the same corpus always packs into the same shards,
+    * regardless of input file order or partitioning.
+    *
+    * The prefix sum is DISTRIBUTED: the top `log2(nBuckets)` bits of the
+    * order key split the key space into ranges (monotone in the key), each
+    * range cumsums locally under its own window partition, and the
+    * per-range totals — `nBuckets` rows, driver-safe — are converted to
+    * exclusive offsets and broadcast-joined back. No stage ever sees a
+    * single-partition global window, so the plan holds at any corpus size.
+    *
+    * @param orderKeyCol deterministic sort key; must be non-negative and
+    *                    < 2^keyBits with roughly uniform high bits
+    * @param keyBits     bit-width of the order-key domain (52 for
+    *                    charPolyHash-derived keys)
+    * @param nBuckets    power-of-two range count for the distributed sum
+    * @return (idCol, bin, n_tokens) — one row per input row
+    */
+  def tokenBudgetBins(df: DataFrame, idCol: String, tokensCol: String,
+                      budget: Long, orderKeyCol: Column,
+                      keyBits: Int = 52, nBuckets: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val bucketBits = 31 - Integer.numberOfLeadingZeros(nBuckets)
+    require(nBuckets == (1 << bucketBits), "nBuckets must be a power of two")
+    require(keyBits > bucketBits && keyBits <= 63, "keyBits out of range")
+
+    val keyed = df.select(col(idCol), col(tokensCol).cast("long").as("_tok"),
+        orderKeyCol.cast("long").as("_ok"))
+      .withColumn("_bkt",
+        shiftrightunsigned(col("_ok"), keyBits - bucketBits).cast("int"))
+
+    // local exclusive cumsum within each key range
+    val w = Window.partitionBy("_bkt").orderBy(col("_ok"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = keyed.withColumn("_lex",
+      coalesce(sum(col("_tok")).over(w), lit(0L)))
+
+    // range totals → exclusive running offsets (nBuckets rows on the driver)
+    val totals = keyed.groupBy("_bkt").agg(sum("_tok").as("_bsum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, s) => val o = acc; acc += s; (b, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("_bkt", "_off"))
+
+    local.join(offDf, "_bkt")
+      .withColumn("_gex", col("_off") + col("_lex"))
+      .select(col(idCol), expr(s"_gex div $budget").as("bin"),
+        col("_tok").as("n_tokens"))
+  }
+}

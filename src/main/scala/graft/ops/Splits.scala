@@ -142,4 +142,33 @@ object Splits {
     */
   def sampleFraction(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     if (fraction >= 1.0) df else df.sample(withReplacement = false, fraction, seed)
+
+  /** Deterministic hash-threshold stratified sampling: keep a row of
+    * stratum s iff `hash(id) mod scale < floor(fractions(s) * scale)`.
+    *
+    * Unlike `df.stat.sampleBy` (RNG-driven, order- and partitioning-
+    * dependent), the decision is a pure function of the row — reproducible
+    * across runs, engines, and corpus repartitions, which is what a
+    * training-data pipeline needs for auditable class rebalancing. Pure
+    * per-row filter: zero shuffle, pushes through any downstream plan.
+    * Strata absent from `fractions` are dropped (fraction 0).
+    *
+    * @param hashFn id hash — xxhash64 by default; pass a salted
+    *               [[graft.functions.TextHash.charPolyHash]] for an
+    *               external-SQL-replayable oracle
+    */
+  def stratifiedDeterministic(df: DataFrame, idCol: String, stratumCol: String,
+                              fractions: Map[String, Double],
+                              hashFn: Column => Column = c => xxhash64(c),
+                              scale: Int = 1000000): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val thresholds = fractions.map { case (k, f) =>
+      k -> math.floor(f * scale).toLong
+    }
+    val thr = coalesce(
+      element_at(typedLit(thresholds), col(stratumCol).cast("string")),
+      lit(-1L))
+    df.filter(pmod(hashFn(col(idCol)), lit(scale.toLong)) < thr)
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.{Dedup, Sharding, Splits}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale dedup clustering, decontamination, sharding, and
+  * deterministic sampling.
+  */
+class CorpusShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicateClusters collapses a path graph to one component") {
+    // a 40-node chain is the adversarial case for min-label propagation
+    // (needs 40 rounds); alternating star must converge logarithmically
+    // inside the default maxIter
+    val pairs = (0 until 39).map(i => (i.toLong, i.toLong + 1))
+      .toDF("idA", "idB")
+    val cc = Dedup.duplicateClusters(pairs).collect()
+    assert(cc.length == 40)
+    assert(cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("duplicateClusters separates components and picks min ids") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (100L, 42L)).toDF("idA", "idB")
+    val cc = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 42L -> 42L, 100L -> 42L))
+  }
+
+  test("duplicateClusters drops self-pairs and handles empty input") {
+    val self = Seq((7L, 7L)).toDF("idA", "idB")
+    assert(Dedup.duplicateClusters(self).count() == 0)
+    val empty = Seq.empty[(Long, Long)].toDF("idA", "idB")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
+  test("deduplicateByClusters keeps the component minimum per cluster") {
+    val corpus = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("idA", "idB")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val kept = Dedup.deduplicateByClusters(corpus, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 4L, 5L, 6L, 7L, 9L))
+  }
+
+  test("contaminationOverlap flags probe n-gram overlap; decontaminate drops") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unrelated tail"),
+      (2L, "completely different words here entirely"),
+      (3L, "alpha beta gamma appears here too")).toDF("doc_id", "text")
+    val probe = Seq(Tuple1("the probe has alpha beta gamma inside")).toDF("text")
+    val overlap = Dedup.contaminationOverlap(corpus, "doc_id", "text",
+        probe, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(overlap.contains(1L) && overlap.contains(3L) && !overlap.contains(2L))
+    val clean = Dedup.decontaminate(corpus, "doc_id", "text", probe, "text",
+      n = 3, minOverlap = 1)
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("tokenBudgetBins matches a single-window prefix sum") {
+    val n = 500
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 37 % 113 + 1).toLong)
+    }.toDF("id", "tokens")
+    // pseudo-random but deterministic order key in [0, 2^52)
+    val ok = pmod(xxhash64(col("id")), lit(1L << 52))
+    val got = Sharding.tokenBudgetBins(df, "id", "tokens",
+        budget = 1000L, orderKeyCol = ok, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val keys = df.select(col("id"), col("tokens"), ok.as("ok"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val expected = keys.map { case (_, id, tok) =>
+      val bin = cum / 1000L; cum += tok; id -> bin
+    }.toMap
+    assert(got == expected)
+    assert(got.values.max > 5, "expected multiple bins")
+  }
+
+  test("tokenBudgetBins rejects bad budget and non-power-of-two buckets") {
+    val df = Seq((1L, 10L)).toDF("id", "tokens")
+    intercept[IllegalArgumentException] {
+      Sharding.tokenBudgetBins(df, "id", "tokens", 0L, lit(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.tokenBudgetBins(df, "id", "tokens", 10L, lit(0L), nBuckets = 6)
+    }
+  }
+
+  test("stratifiedDeterministic is reproducible, subset, and on-fraction") {
+    val df = (0 until 4000).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")
+    }.toDF("id", "stratum")
+    val fr = Map("a" -> 0.5, "b" -> 0.1)
+    val s1 = Splits.stratifiedDeterministic(df, "id", "stratum", fr)
+      .select("id").as[Long].collect().sorted.toSeq
+    val s2 = Splits.stratifiedDeterministic(df, "id", "stratum", fr)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2, "same input must sample identically")
+    val byStratum = Splits.stratifiedDeterministic(df, "id", "stratum", fr)
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("a") - 1000.0) < 100,
+      s"a: ${byStratum("a")} not ~1000")
+    assert(math.abs(byStratum("b") - 200.0) < 70,
+      s"b: ${byStratum("b")} not ~200")
+  }
+
+  test("stratifiedDeterministic drops strata absent from fractions") {
+    val df = Seq((1L, "keep"), (2L, "keep"), (3L, "drop"))
+      .toDF("id", "stratum")
+    val out = Splits.stratifiedDeterministic(df, "id", "stratum",
+      Map("keep" -> 1.0))
+    assert(out.select("stratum").distinct().as[String].collect().toSeq
+      == Seq("keep"))
+    assert(out.count() == 2)
+  }
+}
