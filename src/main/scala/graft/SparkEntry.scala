@@ -973,6 +973,31 @@ object SparkEntry {
           Map("en" -> 0.5, "es" -> 0.25, "fr" -> 0.25, "de" -> 0.1),
           hashFn = salted)
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // Leakage-safe split: near-dup clusters (q57's components) are
+    // assigned to train/test/validation as WHOLE groups via a salted
+    // group-key hash — near-identical documents can never straddle
+    // splits. The oracle replays clustering (recursive CTE) + the exact
+    // threshold arithmetic.
+    "q61_leakage_safe_split" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val sub = docs.filter(col("doc_id") < 150)
+      val pairs = graft.ops.Dedup.tokenJaccard(sub, "doc_id", "text",
+        threshold = 0.7)
+      val clusters = graft.ops.Dedup.duplicateClusters(pairs)
+      val grouped = docs
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      val salted = (c: org.apache.spark.sql.Column) =>
+        graft.functions.TextHash.charPolyHash(
+          concat_ws(":", lit("graft-split"), c.cast("string"),
+            reverse(c.cast("string"))))
+      graft.ops.Splits.groupedDeterministic(grouped, "grp",
+          Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1),
+          hashFn = salted)
+        .map { case (n, d) => d.select(col("doc_id"), lit(n).as("split")) }
+        .reduce(_.unionByName(_)).orderBy("doc_id")
     })
   )
 
@@ -1672,6 +1697,50 @@ object SparkEntry {
                  FROM documents))
          WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
                    WHEN 'fr' THEN 250000 WHEN 'de' THEN 100000 ELSE -1 END
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // q57's recursive-CTE clustering + coalesce(component, doc_id) as
+    // the group key + salted char-poly hash against cumulative weight
+    // thresholds (0.7/0.2/0.1 -> 700000/900000; floor arithmetic
+    // verified identical to the Scala side)
+    "q61_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents WHERE doc_id < 150)
+           WHERE len(tok) > 0),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+                   FROM toks a JOIN toks b
+                     ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT idA, idB FROM inter
+                   JOIN sizes sa ON sa.doc_id = idA
+                   JOIN sizes sb ON sb.doc_id = idB
+                   WHERE i / (sa.sz + sb.sz - i) >= 0.7),
+         edges AS (SELECT idA AS u, idB AS v FROM pairs
+                   UNION SELECT idB, idA FROM pairs
+                   UNION SELECT idA, idA FROM pairs
+                   UNION SELECT idB, idB FROM pairs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         cc AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         g AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS grp
+               FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+         h AS (SELECT doc_id,
+                 list_reduce([0::BIGINT] || list_transform(
+                     range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                   (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                   % 1000000 AS u
+               FROM (SELECT doc_id,
+                       'graft-split:' || CAST(grp AS VARCHAR) || ':' ||
+                       reverse(CAST(grp AS VARCHAR)) AS s
+                     FROM g))
+         SELECT doc_id,
+                CASE WHEN u < 700000 THEN 'train'
+                     WHEN u < 900000 THEN 'test'
+                     ELSE 'validation' END AS split
+         FROM h ORDER BY doc_id"""
   )
 }

@@ -60,12 +60,12 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int = 3): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    df.select(col(idCol),
-        explode(transform(idx, i =>
-          xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
-      .distinct()
+    val sh = graft.functions.Exprs.let(split(lower(col(textCol)), "\\s+"),
+      toks => {
+        val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+        transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      })
+    df.select(col(idCol), explode(sh).as("shingle")).distinct()
   }
 
   /** MinHash signatures: k independent permutations approximated by
@@ -86,12 +86,12 @@ object Dedup {
     * row-locally (tokenize → slide → hash → distinct within one
     * expression), so signature derivation needs no shuffle at all.
     */
-  def shingleArray(textCol: Column, n: Int): Column = {
-    val toks = split(lower(textCol), "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i =>
-      xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def shingleArray(textCol: Column, n: Int): Column =
+    graft.functions.Exprs.let(split(lower(textCol), "\\s+"), toks => {
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      array_distinct(transform(idx, i =>
+        xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    })
 
   /** Candidate near-dup pairs by banded LSH + exact Jaccard verification.
     *
@@ -307,11 +307,13 @@ object Dedup {
     * [[shingleArray]] for operators that need the grams themselves (or a
     * caller-chosen hash of them) rather than xxhash64.
     */
-  def shingleStrings(textCol: Column, n: Int): Column = {
-    val toks = array_remove(split(lower(textCol), "\\s+"), "")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  def shingleStrings(textCol: Column, n: Int): Column =
+    graft.functions.Exprs.let(array_remove(split(lower(textCol), "\\s+"), ""),
+      toks => {
+        val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+        array_distinct(transform(idx, i =>
+          concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      })
 
   /** Train/eval contamination check: for each corpus document, the number
     * of distinct word n-grams it shares with the probe (benchmark / test)

@@ -157,6 +157,38 @@ object Splits {
     *               [[graft.functions.TextHash.charPolyHash]] for an
     *               external-SQL-replayable oracle
     */
+  /** Leakage-safe deterministic split: every GROUP (e.g. a near-dup
+    * cluster from [[Dedup.duplicateClusters]]) lands in exactly ONE
+    * split, so near-identical documents can never straddle train/test —
+    * the contamination mode a row-wise random split cannot prevent.
+    *
+    * The split decision is `hash(group) mod scale` against cumulative
+    * weight thresholds: a pure per-row function of the group key — zero
+    * shuffle, reproducible across runs/engines/repartitions, and stable
+    * under corpus growth (existing groups never migrate when new data
+    * arrives, unlike fraction-exact ranking splits).
+    *
+    * @param weights ordered (name, weight); normalized; threshold order
+    *                follows the Seq so results are deterministic
+    * @return one filtered DataFrame per split name, partitioning `df`
+    */
+  def groupedDeterministic(df: DataFrame, groupCol: String,
+                           weights: Seq[(String, Double)],
+                           hashFn: Column => Column = c => xxhash64(c),
+                           scale: Int = 1000000): Map[String, DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cums = weights.scanLeft(0.0)(_ + _._2 / total).tail
+    // floor to integer thresholds; force the last bound to `scale` so
+    // rounding never drops rows
+    val bounds = cums.init.map(c => math.floor(c * scale).toLong) :+ scale.toLong
+    val u = pmod(hashFn(col(groupCol)), lit(scale.toLong))
+    weights.map(_._1).zip(bounds.prepended(0L).zip(bounds)).map {
+      case (name, (lo, hi)) => name -> df.filter(u >= lo && u < hi)
+    }.toMap
+  }
+
   def stratifiedDeterministic(df: DataFrame, idCol: String, stratumCol: String,
                               fractions: Map[String, Double],
                               hashFn: Column => Column = c => xxhash64(c),

@@ -109,6 +109,40 @@ class CorpusShardingSpec extends SparkSpec {
       s"b: ${byStratum("b")} not ~200")
   }
 
+  test("groupedDeterministic partitions rows and never splits a group") {
+    val df = (0 until 3000).map { i =>
+      (i.toLong, (i / 3).toLong)  // groups of 3 rows
+    }.toDF("id", "grp")
+    val splits = Splits.groupedDeterministic(df, "grp",
+      Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1))
+    val counts = splits.map { case (k, v) => k -> v.count() }
+    assert(counts.values.sum == 3000, "splits must partition the input")
+    // group atomicity: each group id appears in exactly one split
+    val grpSets = splits.map { case (_, v) =>
+      v.select("grp").distinct().as[Long].collect().toSet
+    }.toSeq
+    assert(grpSets.combinations(2).forall { case Seq(a, b) =>
+      a.intersect(b).isEmpty
+    }, "a group must never straddle splits")
+    // weights approximately honored (hash-uniform over 1000 groups)
+    assert(math.abs(counts("train") - 2100.0) < 250, counts.toString)
+    assert(math.abs(counts("test") - 600.0) < 200, counts.toString)
+  }
+
+  test("groupedDeterministic assignment is stable under corpus growth") {
+    val small = (0 until 500).map(i => (i.toLong, i.toLong % 100))
+      .toDF("id", "grp")
+    val big = (0 until 1000).map(i => (i.toLong, i.toLong % 100))
+      .toDF("id", "grp")
+    val w = Seq("train" -> 0.8, "test" -> 0.2)
+    val before = Splits.groupedDeterministic(small, "grp", w)("train")
+      .select("id").as[Long].collect().toSet
+    val after = Splits.groupedDeterministic(big, "grp", w)("train")
+      .select("id").as[Long].collect().toSet
+    assert(before.subsetOf(after),
+      "rows must not migrate between splits when new data arrives")
+  }
+
   test("stratifiedDeterministic drops strata absent from fractions") {
     val df = Seq((1L, "keep"), (2L, "keep"), (3L, "drop"))
       .toDF("id", "stratum")
