@@ -42,41 +42,48 @@ object TextAnalysis {
     "is", "it", "that", "for", "on", "with", "as", "at", "this", "by")
 
   /** Fraction of tokens that are (English) stopwords — a fluency signal. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t =>
-        t.isin(stopwords.map(lit(_)): _*))).cast("double") / size(toks))
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column =
+    graft.functions.Exprs.let(
+      filter(split(lower(text), "\\s+"), t => length(t) > 0), toks =>
+        when(size(toks) === 0, 0.0).otherwise(
+          size(filter(toks, t =>
+            t.isin(stopwords.map(lit(_)): _*))).cast("double") / size(toks)))
 
-  def meanWordLength(text: Column): Column = {
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
-    when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-        / size(toks))
-  }
+  def meanWordLength(text: Column): Column =
+    graft.functions.Exprs.let(
+      filter(split(text, "\\s+"), t => length(t) > 0), toks =>
+        when(size(toks) === 0, 0.0).otherwise(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / size(toks)))
 
   /** Composite quality score in [0,1]: length band, punctuation sanity,
     * mean word length band, non-degenerate token count. Heuristic in the
     * Gopher/C4-rule style; each clause is an independent [0,1] signal.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val lenOk = when(length(text).between(50, 20000), 1.0)
-      .when(length(text) < 50, length(text) / 50.0)
-      .otherwise(0.5)
-    val punctOk = when(punctRatio(text) <= 0.2, 1.0)
-      .otherwise(greatest(lit(0.0), lit(1.0) - (punctRatio(text) - 0.2) * 4))
-    val mwl = meanWordLength(text)
-    val wordOk = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
-    val tokOk = when(nTok >= 10, 1.0).otherwise(nTok / 10.0)
-    // fraction of tokens containing at least one letter — catches
-    // symbol/number soup that passes the length and word-length bands
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
-    val alphaOk = when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / size(toks))
-    round((lenOk + punctOk + wordOk + tokOk + alphaOk) / 5.0, 4)
-  }
+  def qualityScore(text: Column): Column =
+    // one tokenize + one punct regex per row: nTok, mean word length and
+    // the alpha ratio all read the same let-bound token array
+    graft.functions.Exprs.let(
+      filter(split(text, "\\s+"), t => length(t) > 0), toks =>
+        graft.functions.Exprs.let(punctRatio(text), p => {
+          val nTok = size(toks)
+          val lenOk = when(length(text).between(50, 20000), 1.0)
+            .when(length(text) < 50, length(text) / 50.0)
+            .otherwise(0.5)
+          val punctOk = when(p <= 0.2, 1.0)
+            .otherwise(greatest(lit(0.0), lit(1.0) - (p - 0.2) * 4))
+          val mwl = when(size(toks) === 0, 0.0).otherwise(
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+              / size(toks))
+          val wordOk = when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
+          val tokOk = when(nTok >= 10, 1.0).otherwise(nTok / 10.0)
+          // fraction of tokens containing at least one letter — catches
+          // symbol/number soup that passes the length and word-length bands
+          val alphaOk = when(size(toks) === 0, 0.0).otherwise(
+            size(filter(toks, t => t.rlike("\\p{L}"))).cast("double")
+              / size(toks))
+          round((lenOk + punctOk + wordOk + tokOk + alphaOk) / 5.0, 4)
+        }))
 
   /** Language-ID heuristic: CJK/Cyrillic/Arabic by script ratio, latin
     * languages by stopword votes. Deterministic, vocabulary-driven;
@@ -93,26 +100,38 @@ object TextAnalysis {
     val ru = ratio("\\u0400-\\u04ff")
     val ar = ratio("\\u0600-\\u06ff")
 
-    val toks = filter(split(lower(text), "[\\s\\p{Punct}]+"), t => length(t) > 0)
-    def votes(words: Seq[String]): Column =
-      size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
-    val en = votes(Seq("the", "and", "of", "to", "in", "is", "that", "for",
-      "it", "with", "a"))
-    val es = votes(Seq("el", "la", "de", "que", "y", "en", "los", "del",
-      "las", "por", "un", "una", "es"))
-    val fr = votes(Seq("le", "la", "les", "des", "est", "dans", "que", "et",
-      "du", "une", "pour", "sur"))
-    val de = votes(Seq("der", "die", "das", "und", "ist", "nicht", "ein",
-      "eine", "mit", "von", "den", "zu"))
+    // tokenize once, count each language's votes once: the when-chain
+    // below reads every vote 2-3 times, and without the let bindings each
+    // read would re-split + re-filter the document
+    val latin = graft.functions.Exprs.let(
+      filter(split(lower(text), "[\\s\\p{Punct}]+"), t => length(t) > 0),
+      toks => {
+        def votes(words: Seq[String]): Column =
+          size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+        graft.functions.Exprs.let(array(
+          votes(Seq("the", "and", "of", "to", "in", "is", "that", "for",
+            "it", "with", "a")),
+          votes(Seq("el", "la", "de", "que", "y", "en", "los", "del",
+            "las", "por", "un", "una", "es")),
+          votes(Seq("le", "la", "les", "des", "est", "dans", "que", "et",
+            "du", "une", "pour", "sur")),
+          votes(Seq("der", "die", "das", "und", "ist", "nicht", "ein",
+            "eine", "mit", "von", "den", "zu"))), v => {
+          val en = element_at(v, 1)
+          val es = element_at(v, 2)
+          val fr = element_at(v, 3)
+          val de = element_at(v, 4)
+          when(greatest(en, es, fr, de) === 0, "und")
+            .when(en >= greatest(es, fr, de), "en")
+            .when(es >= greatest(fr, de), "es")
+            .when(fr >= de, "fr")
+            .otherwise("de")
+        })
+      })
 
     when(zh > 0.2, "zh").when(ja > 0.2, "ja").when(ko > 0.2, "ko")
       .when(ru > 0.2, "ru").when(ar > 0.2, "ar")
-      .otherwise(
-        when(greatest(en, es, fr, de) === 0, "und")
-          .when(en >= greatest(es, fr, de), "en")
-          .when(es >= greatest(fr, de), "es")
-          .when(fr >= de, "fr")
-          .otherwise("de"))
+      .otherwise(latin)
   }
 
   /** Rolling polynomial fingerprint of the normalized token stream

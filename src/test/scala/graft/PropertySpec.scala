@@ -190,6 +190,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: duplicateClusters matches brute-force union-find") {
+    val edgesGen = Gen.listOfN(60, for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+    } yield (a, b))
+    forSamples(edgesGen, n = 6) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.nonEmpty) {
+        val got = graft.ops.Dedup.duplicateClusters(real.toDF("idA", "idB"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-by-min reference: the root of a component is its min id
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = real.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).toMap
+        assert(got == want)
+      }
+    }
+  }
+
   test("exactRandom: exact sizes, disjoint, exhaustive, stable across jobs") {
     // many source partitions + each split collected as its OWN job: the
     // rank assignment must be a pure function of the data, identical on
