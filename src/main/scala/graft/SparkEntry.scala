@@ -998,6 +998,29 @@ object SparkEntry {
           hashFn = salted)
         .map { case (n, d) => d.select(col("doc_id"), lit(n).as("split")) }
         .reduce(_.unionByName(_)).orderBy("doc_id")
+    }),
+
+    // §2.10 ANN scale path C: int8-quantized stage-1 scan (4× smaller
+    // than the float column) + exact re-rank over k·refine candidates.
+    // Same recall-floor oracle construction as q44/q45 vs the
+    // bit-verified exact top-5; with refine=4 the only approximation is
+    // stage-1 candidate recall (measured 1.0 here; floor 0.8 for slack).
+    "q62_quantized_knn" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val ann = graft.ops.Quantization.quantizedKnn(emb, "vec_id",
+          "embedding", queries, "qid", "qe", k = 5, dim = 64, refine = 4)
+        .select(col("qid"), col("vec_id"))
+      val exact = graft.ops.Similarity.bruteForceKnn(
+          emb, "vec_id", "embedding", queries, "qid", "qe", k = 5,
+          metric = graft.functions.VectorFunctions.L2)
+        .select(col("qid"), col("vec_id"))
+      val hits = ann.join(exact, Seq("qid", "vec_id")).groupBy("qid").count()
+      queries.select(col("qid")).join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("count"), lit(0L)) / 5.0 >= 0.8).as("meets_floor"))
+        .orderBy("qid")
     })
   )
 
@@ -1698,6 +1721,9 @@ object SparkEntry {
          WHERE u < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
                    WHEN 'fr' THEN 250000 WHEN 'de' THEN 100000 ELSE -1 END
          ORDER BY doc_id""",
+    "q62_quantized_knn" ->
+      """SELECT vec_id AS qid, true AS meets_floor
+         FROM embeddings WHERE vec_id < 5 ORDER BY qid""",
     // q57's recursive-CTE clustering + coalesce(component, doc_id) as
     // the group key + salted char-poly hash against cumulative weight
     // thresholds (0.7/0.2/0.1 -> 700000/900000; floor arithmetic

@@ -289,6 +289,126 @@ object VectorFunctions {
                       n: Int): Column =
     asCol(NearestCells(ex(v), centroids, n))
 
+  // ---- int8 scalar quantization ------------------------------------------
+  // Affine per-dimension: q_i = clamp(round((x_i - min_i) / scale_i), 0,
+  // 255), stored as byte (q_i - 128). 4× smaller than float32 at rest, in
+  // shuffle, and in the stage-1 distance scan; the offset cancels in
+  // int8L2, so approximate L2 needs only the scales.
+
+  /** Scalar kernels (also called from generated code). */
+  def quantizeArray(av: Array[Float], mins: Array[Float],
+                    scales: Array[Float]): Array[Byte] = {
+    val n = math.min(av.length, mins.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = math.round((av(i) - mins(i)) / scales(i))
+      val c = if (q < 0) 0 else if (q > 255) 255 else q
+      out(i) = (c - 128).toByte
+      i += 1
+    }
+    out
+  }
+
+  def dequantizeArray(a: Array[Byte], mins: Array[Float],
+                      scales: Array[Float]): Array[Float] = {
+    val n = math.min(a.length, mins.length)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = mins(i) + scales(i) * (a(i).toInt + 128)
+      i += 1
+    }
+    out
+  }
+
+  /** L2 of the two DEQUANTIZED vectors: Σ (scale_i · (qa_i − qb_i))² —
+    * exact for the quantized representation, no mins needed.
+    */
+  def int8L2(a: Array[Byte], b: Array[Byte], scales: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) - b(i)).toDouble * scales(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  case class QuantizeVector(child: Expression, mins: Array[Float],
+                            scales: Array[Float])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def prettyName: String = "vec_quantize"
+
+    override protected def nullSafeEval(v: Any): Any =
+      quantizeArray(v.asInstanceOf[ArrayData].toFloatArray(), mins, scales)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val mn = ctx.addReferenceObj("mins", mins, "float[]")
+        val sc = ctx.addReferenceObj("scales", scales, "float[]")
+        val cls = VectorFunctions.getClass.getName.stripSuffix("$") + "$"
+        s"${ev.value} = $cls.MODULE$$.quantizeArray($c.toFloatArray(), $mn, $sc);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class DequantizeVector(child: Expression, mins: Array[Float],
+                              scales: Array[Float])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def prettyName: String = "vec_dequantize"
+
+    override protected def nullSafeEval(v: Any): Any =
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(
+          dequantizeArray(v.asInstanceOf[Array[Byte]], mins, scales))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val mn = ctx.addReferenceObj("mins", mins, "float[]")
+        val sc = ctx.addReferenceObj("scales", scales, "float[]")
+        val cls = VectorFunctions.getClass.getName.stripSuffix("$") + "$"
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($cls.MODULE$$.dequantizeArray($c, $mn, $sc));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class Int8L2Distance(left: Expression, right: Expression,
+                            scales: Array[Float]) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_int8_l2"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      int8L2(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], scales)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val sc = ctx.addReferenceObj("scales", scales, "float[]")
+        val cls = VectorFunctions.getClass.getName.stripSuffix("$") + "$"
+        s"${ev.value} = $cls.MODULE$$.int8L2($l, $r, $sc);"
+      })
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r, scales)
+  }
+
+  def vecQuantize(v: Column, mins: Array[Float], scales: Array[Float]): Column =
+    asCol(QuantizeVector(ex(v), mins, scales))
+  def vecDequantize(v: Column, mins: Array[Float], scales: Array[Float]): Column =
+    asCol(DequantizeVector(ex(v), mins, scales))
+  def vecInt8L2(a: Column, b: Column, scales: Array[Float]): Column =
+    asCol(Int8L2Distance(ex(a), ex(b), scales))
+
   /** Deterministic hyperplane component in [-1, 1): splitmix64 of
     * (seed, bit, dim) scaled. Public so generated code can call it.
     */
