@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.model.FeatureGroup
 import graft.sources.Lake
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -61,6 +61,25 @@ object Streaming {
                 keys: Seq[String]): DataFrame =
     df.withWatermark(eventTimeCol, watermark)
       .dropDuplicates(keys :+ eventTimeCol)
+
+  /** Incremental corpus dedup: drop stream rows whose content fingerprint
+    * already exists in the historical corpus — the streaming counterpart
+    * of [[graft.ops.Dedup.exact]] for continuous ingestion.
+    *
+    * `history` is a STATIC frame of fingerprints (e.g. the persisted
+    * `fingerprint` column of the corpus, or
+    * [[graft.ops.TextAnalysis.fingerprint]] over it). Stream-static
+    * left_anti joins are executed per micro-batch with the static side
+    * planned once; combine with [[withDedup]] (watermarked key dedup) for
+    * in-stream duplicates — this guard is against what is ALREADY stored.
+    */
+  def dedupAgainstHistory(stream: DataFrame, fingerprintCol: Column,
+                          history: DataFrame): DataFrame = {
+    val hist = history.toDF("_hist_fp").dropDuplicates("_hist_fp")
+    stream.withColumn("_fp", fingerprintCol)
+      .join(hist, col("_fp") === col("_hist_fp"), "left_anti")
+      .drop("_fp")
+  }
 
   /** Materialize a stream into a lake-backed feature group:
     * `foreachBatch { batch => Lake.upsert(batch) }` with checkpointing —

@@ -34,6 +34,15 @@ class CorpusShardingSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(empty).count() == 0)
   }
 
+  test("duplicateClusters works on string ids (lexicographic min)") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz", "yy"))
+      .toDF("idA", "idB")
+    val cc = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "yy" -> "yy", "zz" -> "yy"))
+  }
+
   test("deduplicateByClusters keeps the component minimum per cluster") {
     val corpus = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("idA", "idB")

@@ -187,6 +187,33 @@ class ViewServingSpec extends SparkSpec {
     assert(spark.table(name).count() === 2) // one row per (id, ts)
   }
 
+  test("streaming dedup drops rows already fingerprinted in the corpus") {
+    import graft.streaming.Streaming
+    val tmp = Files.createTempDirectory("graft_histdedup").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    val incoming = Seq((10L, "brand new words entirely"),
+      (11L, "Hello   World"), (12L, "another fresh document"))
+      .toDF("doc_id", "text")
+    incoming.write.parquet(s"$src/b1")
+    // history holds the fingerprint of "hello world"; the stream's row 11
+    // normalizes to the same fingerprint and must be dropped
+    val history = Seq(Tuple1("hello world"), Tuple1("old text")).toDF("t")
+      .select(graft.ops.TextAnalysis.fingerprint(col("t")))
+    val stream = Streaming.readStream(spark, "parquet", Some(s"$src/*"),
+      schema = Some(incoming.schema))
+    val cleaned = Streaming.dedupAgainstHistory(stream,
+      graft.ops.TextAnalysis.fingerprint(col("text")), history)
+    val name = "histdedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = cleaned.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(10L, 12L))
+  }
+
   test("sessionization: custom state closes sessions by gap and watermark") {
     import graft.streaming.Streaming
     val tmp = Files.createTempDirectory("graft_sess").toString
