@@ -989,13 +989,8 @@ object SparkEntry {
       val grouped = docs
         .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("grp", coalesce(col("component"), col("doc_id")))
-      val salted = (c: org.apache.spark.sql.Column) =>
-        graft.functions.TextHash.charPolyHash(
-          concat_ws(":", lit("graft-split"), c.cast("string"),
-            reverse(c.cast("string"))))
-      graft.ops.Splits.groupedDeterministic(grouped, "grp",
-          Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1),
-          hashFn = salted)
+      graft.ops.Splits.grouped(grouped, graft.ops.Splits.GroupSplit("grp",
+          Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1)))
         .map { case (n, d) => d.select(col("doc_id"), lit(n).as("split")) }
         .reduce(_.unionByName(_)).orderBy("doc_id")
     }),

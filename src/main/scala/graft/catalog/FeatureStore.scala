@@ -192,11 +192,12 @@ final class FeatureStore(
       randomWeights: Map[String, Double] = Map(),
       timeBounds: Map[String, (Long, Long)] = Map(),
       seed: Long = 42L, exactSizes: Boolean = false,
-      format: String = "parquet", coalesce: Boolean = false)
+      format: String = "parquet", coalesce: Boolean = false,
+      groupSplit: Option[graft.ops.Splits.GroupSplit] = None)
       : TrainingDatasetPersistence.TrainingDatasetMeta = {
     val res = graft.view.TrainingDataset.build(spark, view,
       view.batchQuery(spark), randomWeights, timeBounds, seed,
-      exactSizes = exactSizes)
+      exactSizes = exactSizes, groupSplit = groupSplit)
     val path =
       s"$warehouseDir/training_datasets/${view.name}_${view.version}/$version"
     graft.view.TrainingDataset.write(res, path, format, coalesce = coalesce)
@@ -206,7 +207,8 @@ final class FeatureStore(
     val meta = TrainingDatasetPersistence.TrainingDatasetMeta(
       view.name, view.version, version, format, path,
       randomWeights, timeBounds, seed, exactSizes,
-      createdMillis = System.currentTimeMillis())
+      createdMillis = System.currentTimeMillis(),
+      groupSplit = groupSplit)
     TrainingDatasetPersistence.save(spark, warehouseDir, meta)
     meta
   }

@@ -23,12 +23,14 @@ object TrainingDatasetPersistence {
       randomWeights: Map[String, Double] = Map(),
       timeBounds: Map[String, (Long, Long)] = Map(),
       seed: Long = 42L, exactSizes: Boolean = false,
-      createdMillis: Long = 0L) {
+      createdMillis: Long = 0L,
+      groupSplit: Option[graft.ops.Splits.GroupSplit] = None) {
     /** Split names in their deterministic (sorted) order; a dataset built
       * with no split spec is the single `train` split.
       */
     def splitNames: Seq[String] =
-      if (randomWeights.nonEmpty) randomWeights.keys.toSeq.sorted
+      if (groupSplit.nonEmpty) groupSplit.get.weights.map(_._1)
+      else if (randomWeights.nonEmpty) randomWeights.keys.toSeq.sorted
       else if (timeBounds.nonEmpty) timeBounds.keys.toSeq.sorted
       else Seq("train")
   }
@@ -54,7 +56,12 @@ object TrainingDatasetPersistence {
         k -> List(lo, hi) }) ~
       ("seed" -> meta.seed) ~
       ("exactSizes" -> meta.exactSizes) ~
-      ("createdMillis" -> meta.createdMillis)
+      ("createdMillis" -> meta.createdMillis) ~
+      ("groupSplit" -> meta.groupSplit.map(g =>
+        ("groupCol" -> g.groupCol) ~
+          ("salt" -> g.salt) ~
+          ("weights" -> g.weights.map { case (k, w) =>
+            ("name" -> k) ~ ("w" -> w): JValue })))
     val (fs, _) = fsOf(spark, dir(warehouseDir))
     val out = fs.create(new Path(s"${dir(warehouseDir)}/${fileId(
       meta.viewName, meta.viewVersion, meta.version)}.json"), true)
@@ -101,7 +108,27 @@ object TrainingDatasetPersistence {
         seed = num(j \ "seed"),
         exactSizes = (j \ "exactSizes") match {
           case JBool(b) => b; case _ => false },
-        createdMillis = num(j \ "createdMillis")))
+        createdMillis = num(j \ "createdMillis"),
+        // absent in descriptors written before grouped splits existed
+        groupSplit = (j \ "groupSplit") match {
+          case JObject(_) =>
+            val g = j \ "groupSplit"
+            val ws = (g \ "weights") match {
+              case JArray(items) => items.collect {
+                case item @ JObject(_) =>
+                  val w = (item \ "w") match {
+                    case JDouble(d) => d
+                    case JInt(i)    => i.toDouble
+                    case _          => 0.0
+                  }
+                  str(item \ "name") -> w
+              }
+              case _ => Nil
+            }
+            Some(graft.ops.Splits.GroupSplit(str(g \ "groupCol"), ws,
+              str(g \ "salt")))
+          case _ => None
+        }))
     }
   }
 

@@ -172,6 +172,21 @@ object Splits {
     *                follows the Seq so results are deterministic
     * @return one filtered DataFrame per split name, partitioning `df`
     */
+  /** Persistable grouped-split spec: the split decision is the salted
+    * char-poly hash of the group key — no RNG, reproducible across
+    * sessions and engines, so a training-dataset descriptor can store
+    * (groupCol, weights, salt) and rebuild the identical assignment.
+    */
+  final case class GroupSplit(groupCol: String,
+                              weights: Seq[(String, Double)],
+                              salt: String = "graft-split")
+
+  def grouped(df: DataFrame, spec: GroupSplit): Map[String, DataFrame] =
+    groupedDeterministic(df, spec.groupCol, spec.weights,
+      hashFn = c => graft.functions.TextHash.charPolyHash(
+        concat_ws(":", lit(spec.salt), c.cast("string"),
+          reverse(c.cast("string")))))
+
   def groupedDeterministic(df: DataFrame, groupCol: String,
                            weights: Seq[(String, Double)],
                            hashFn: Column => Column = c => xxhash64(c),

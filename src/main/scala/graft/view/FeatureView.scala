@@ -118,11 +118,16 @@ object TrainingDataset {
             timeBounds: Map[String, (Long, Long)] = Map(),
             seed: Long = 42L,
             statsColumns: Seq[String] = Nil,
-            exactSizes: Boolean = false): Result = {
+            exactSizes: Boolean = false,
+            groupSplit: Option[Splits.GroupSplit] = None): Result = {
     val splits: Map[String, DataFrame] =
       if (timeBounds.nonEmpty) {
         val et = view.query.leftFeatureGroup.eventTime.get
         Splits.timeSeries(frame, et, timeBounds)
+      } else if (groupSplit.nonEmpty) {
+        // leakage-safe: whole groups (e.g. near-dup clusters) land in one
+        // split, assignment reproducible from the persisted spec alone
+        Splits.grouped(frame, groupSplit.get)
       } else if (randomWeights.nonEmpty) {
         // exactSizes = the python engine's exact-proportion variant
         // (weights must sum to 1); default is the Bernoulli randomSplit

@@ -375,4 +375,34 @@ class MetadataSpec extends SparkSpec {
     assert(fs2.trainingDatasets("tdspec") === Nil)
     intercept[NoSuchElementException] { fs2.getTrainingDataset("tdspec") }
   }
+
+  test("grouped training dataset keeps groups atomic and persists the spec") {
+    import graft.ir.Query
+    val wh = Files.createTempDirectory("graft_tdg").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    def fg(t: String) = graft.catalog.TestTables.fg(spark, sfDir, t)
+    val view = graft.view.FeatureView("tdgrouped", 1,
+      Query.select(fg("customer"),
+        Seq("c_custkey", "c_mktsegment", "c_acctbal")))
+    fs.saveFeatureView(view)
+    val spec = graft.ops.Splits.GroupSplit("c_mktsegment",
+      Seq("train" -> 0.6, "test" -> 0.4))
+    fs.createTrainingDataset(view, 1, groupSplit = Some(spec))
+
+    // restart: the grouped spec round-trips and the split files read back
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val back = fs2.getTrainingDataset("tdgrouped", 1, 1)
+    assert(back.groupSplit === Some(spec))
+    assert(back.splitNames === Seq("train", "test"))
+    val splits = fs2.readTrainingDataset("tdgrouped", 1, 1)
+    val segs = splits.map { case (_, df) =>
+      df.select("c_mktsegment").distinct().collect()
+        .map(_.getString(0)).toSet
+    }.toSeq
+    // leakage-safety: no market segment straddles two splits, and the
+    // partition is exhaustive
+    assert(segs.reduce(_ & _).isEmpty)
+    val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(splits.values.map(_.count()).sum === n)
+  }
 }
