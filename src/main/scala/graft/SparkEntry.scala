@@ -1016,6 +1016,43 @@ object SparkEntry {
         .select(col("qid"),
           (coalesce(col("count"), lit(0L)) / 5.0 >= 0.8).as("meets_floor"))
         .orderBy("qid")
+    }),
+
+    // Capstone: the full LLM training-data prep pipeline composed from
+    // the individually-oracled operators — near-dup clustering →
+    // keep-one dedup → decontamination vs an eval probe → quality gate →
+    // leakage-safe grouped split → per-split token-budget shards. The
+    // oracle replays the ENTIRE chain in one SQL statement (recursive
+    // CTE + gram join + salted thresholds + partitioned prefix sum).
+    "q63_corpus_pipeline_v2" -> ((s, dir) => {
+      import graft.ops._
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val sub = docs.filter(col("doc_id") < 150)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.tokenJaccard(sub, "doc_id", "text", threshold = 0.7))
+      val deduped = Dedup.deduplicateByClusters(docs, "doc_id", clusters)
+      val probe = docs.filter(pmod(col("doc_id"), lit(17)) === 3)
+      val corpus = deduped.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      val clean = Dedup.decontaminate(corpus, "doc_id", "text",
+        probe, "text", n = 3, minOverlap = 3,
+        hashFn = graft.functions.TextHash.charPolyHash)
+      val qual = clean
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 5)
+      val grouped = qual
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      val splits = Splits.grouped(grouped, Splits.GroupSplit("grp",
+        Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1)))
+      splits.toSeq.map { case (name, d) =>
+        Sharding.tokenBudgetBins(d, "doc_id", "n_tokens", budget = 500L,
+            orderKeyCol = TextAnalysis.fingerprint(col("text")))
+          .withColumn("split", lit(name))
+      }.reduce(_.unionByName(_))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_c"),
+          countDistinct("bin").as("n_bins"))
+        .orderBy("split")
     })
   )
 
@@ -1719,6 +1756,92 @@ object SparkEntry {
     "q62_quantized_knn" ->
       """SELECT vec_id AS qid, true AS meets_floor
          FROM embeddings WHERE vec_id < 5 ORDER BY qid""",
+    // the whole pipeline in one statement: q57's clustering CTEs, q58's
+    // gram-overlap gate (floor 3), q27's token gate, q61's salted split
+    // thresholds, q59's prefix-sum binning partitioned by split
+    "q63_corpus_pipeline_v2" ->
+      """WITH RECURSIVE toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents WHERE doc_id < 150)
+           WHERE len(tok) > 0),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+                   FROM toks a JOIN toks b
+                     ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT idA, idB FROM inter
+                   JOIN sizes sa ON sa.doc_id = idA
+                   JOIN sizes sb ON sb.doc_id = idB
+                   WHERE i / (sa.sz + sb.sz - i) >= 0.7),
+         edges AS (SELECT idA AS u, idB AS v FROM pairs
+                   UNION SELECT idB, idA FROM pairs
+                   UNION SELECT idA, idA FROM pairs
+                   UNION SELECT idB, idB FROM pairs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         cc AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(tk) - 2, 1) + 1),
+                    i -> array_to_string(tk[i:least(i + 2, len(tk))], ' ')))) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+                 FROM documents)),
+         probe AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 3),
+         contaminated AS (SELECT s.doc_id FROM sh s JOIN probe USING (g)
+                          WHERE s.doc_id % 17 <> 3
+                          GROUP BY s.doc_id HAVING count(*) >= 3),
+         clean AS (
+           SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id % 17 <> 3
+             AND d.doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+             AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         qual AS (
+           SELECT doc_id,
+                  len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> len(x) > 0)) AS n_tokens,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS ok
+           FROM (SELECT doc_id, text,
+                   array_to_string(
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0), ' ') AS s
+                 FROM clean)
+           WHERE len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> len(x) > 0)) >= 5),
+         g AS (SELECT q.doc_id, q.n_tokens, q.ok,
+                 COALESCE(cc.component, q.doc_id) AS grp
+               FROM qual q LEFT JOIN cc ON cc.id = q.doc_id),
+         sp AS (SELECT doc_id, n_tokens, ok,
+                  CASE WHEN u < 700000 THEN 'train'
+                       WHEN u < 900000 THEN 'test'
+                       ELSE 'validation' END AS split
+                FROM (SELECT *,
+                        list_reduce([0::BIGINT] || list_transform(
+                            range(1, length(s2) + 1),
+                            i -> unicode(s2[i])::BIGINT),
+                          (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                          % 1000000 AS u
+                      FROM (SELECT *,
+                              'graft-split:' || CAST(grp AS VARCHAR) || ':' ||
+                              reverse(CAST(grp AS VARCHAR)) AS s2
+                            FROM g))),
+         b AS (SELECT split, doc_id, n_tokens,
+                 CAST(CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY split
+                   ORDER BY ok, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) // 500 AS BIGINT) AS bin
+               FROM sp)
+         SELECT split, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens_c,
+                count(DISTINCT bin) AS n_bins
+         FROM b GROUP BY split ORDER BY split""",
     // q57's recursive-CTE clustering + coalesce(component, doc_id) as
     // the group key + salted char-poly hash against cumulative weight
     // thresholds (0.7/0.2/0.1 -> 700000/900000; floor arithmetic
