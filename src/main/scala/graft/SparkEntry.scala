@@ -1039,9 +1039,13 @@ object SparkEntry {
       val qual = clean
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
         .filter(col("n_tokens") >= 5)
+      // the split map fans out into 3 frames × 2 actions each inside
+      // tokenBudgetBins — persist the cleaned corpus once so the gram
+      // join + clustering lineage is not re-executed per consumer
       val grouped = qual
         .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("grp", coalesce(col("component"), col("doc_id")))
+        .cache()
       val splits = Splits.grouped(grouped, Splits.GroupSplit("grp",
         Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1)))
       splits.toSeq.map { case (name, d) =>
