@@ -1057,6 +1057,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_c"),
           countDistinct("bin").as("n_bins"))
         .orderBy("split")
+    }),
+
+    // Text quality: within-document repetition — fraction of word
+    // 3-grams that repeat an earlier 3-gram (Gopher-style degenerate-
+    // text signal). Full value oracle on the list algebra.
+    "q64_repetition" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      docs.select(col("doc_id"),
+          round(graft.ops.TextAnalysis.duplicateNgramFraction(col("text"), 3), 4)
+            .as("dup_3gram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction over planted emails/phones/IPs (the source docs carry
+    // none, so both engines synthesize identical PII text from doc_id and
+    // must scrub it identically — the regex subset is Java/RE2-shared).
+    "q65_pii_redact" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val pii = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1 (555) 010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.2.3."), pmod(col("doc_id"), lit(200)).cast("string"))
+      docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.redactPii(pii).as("redacted"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1846,6 +1871,36 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens_c,
                 count(DISTINCT bin) AS n_bins
          FROM b GROUP BY split ORDER BY split""",
+    "q64_repetition" ->
+      """SELECT doc_id,
+                round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+                  AS dup_3gram_frac
+         FROM (SELECT doc_id,
+                 list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                   i -> array_to_string(tk[i:least(i + 2, len(tk))], ' '))
+                   AS grams
+               FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> len(x) > 0) AS tk
+                     FROM documents))
+         ORDER BY doc_id""",
+    "q65_pii_redact" ->
+      """SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(pii_text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '[EMAIL]', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                  '[IP]', 'g'),
+                '\+[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+         FROM (SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com or +1 (555) 010-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 ' at 10.2.3.' || CAST(doc_id % 200 AS VARCHAR) AS pii_text
+               FROM documents)
+         ORDER BY doc_id""",
     // q57's recursive-CTE clustering + coalesce(component, doc_id) as
     // the group key + salted char-poly hash against cumulative weight
     // thresholds (0.7/0.2/0.1 -> 700000/900000; floor arithmetic

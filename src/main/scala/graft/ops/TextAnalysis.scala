@@ -146,6 +146,39 @@ object TextAnalysis {
     graft.functions.TextHash.charPolyHash(
       concat_ws(" ", filter(split(lower(text), "\\s+"), t => length(t) > 0)))
 
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same document — the Gopher-style within-document repetition
+    * signal (degenerate generated/boilerplate text scores high; normal
+    * prose near 0). Row-local, one tokenize via the let binding.
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column =
+    graft.functions.Exprs.let(
+      filter(split(lower(text), "\\s+"), t => length(t) > 0), toks =>
+        graft.functions.Exprs.let(
+          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))), grams =>
+            when(size(grams) === 0, 0.0).otherwise(
+              lit(1.0) - size(array_distinct(grams)).cast("double")
+                / size(grams))))
+
+  /** PII redaction: mask emails, IPv4 addresses, and international-format
+    * phone numbers with fixed tokens. The patterns are restricted to the
+    * regex subset shared by Java (Spark codegen) and RE2 (DuckDB/Go
+    * scanners) so the scrub is reproducible across engines — a property a
+    * compliance pipeline should test, not assume. Order matters: emails
+    * first (contain digits), then IPs, then the greedier phone pattern.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]"),
+      PhonePattern, "[PHONE]")
+
   /** One-pass document profile over a documents table. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

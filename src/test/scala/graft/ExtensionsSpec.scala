@@ -244,6 +244,31 @@ class ExtensionsSpec extends SparkSpec {
     got.foreach { case (truth, pred) => assert(truth === pred) }
   }
 
+  test("repetition fraction flags degenerate text, passes normal prose") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 3).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0, "unique prose must score 0")
+    assert(got(2L) > 0.8, s"pure repetition must score high, got ${got(2L)}")
+    assert(got(3L) == 0.0, "empty text must score 0")
+  }
+
+  test("PII redaction masks emails, IPs and phones, preserves prose") {
+    import graft.ops.TextAnalysis
+    val df = Seq(Tuple1(
+      "mail a.b-c_1@sub.example.org or call +44 (0)20 7946-0958, " +
+        "server at 192.168.001.1 stays up")).toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text")))
+      .collect().head.getString(0)
+    assert(out == "mail [EMAIL] or call [PHONE], server at [IP] stays up",
+      out)
+  }
+
   test("quality score separates clean prose from degenerate text") {
     val df = Seq(
       ("clean", "This is a reasonably long and well formed paragraph of " +
