@@ -217,6 +217,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: tokenBudgetBins is exhaustive, contiguous, capacity-bounded") {
+    val g = for {
+      n <- Gen.choose(50, 300)
+      budget <- Gen.choose(200L, 2000L)
+    } yield (n, budget)
+    forSamples(g, n = 4) { case (n, budget) =>
+      val df = (0 until n).map { i =>
+        (i.toLong, (i * 131 % 97 + 1).toLong)
+      }.toDF("id", "tokens")
+      val ok = pmod(xxhash64(col("id")), lit(1L << 52))
+      val rows = graft.ops.Sharding.tokenBudgetBins(df, "id", "tokens",
+          budget, ok, nBuckets = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.length == n, "every row must be assigned a bin")
+      val bins = rows.map(_._2).distinct.sorted
+      assert(bins.head == 0L && bins.last == bins.length - 1,
+        s"bins must be contiguous from 0: ${bins.toSeq}")
+      // a bin holds rows whose exclusive prefix lies in [k·b, (k+1)·b),
+      // so its token sum is < budget + its own largest document
+      rows.groupBy(_._2).foreach { case (b, rs) =>
+        val sum = rs.map(_._3).sum
+        val maxDoc = rs.map(_._3).max
+        assert(sum < budget + maxDoc,
+          s"bin $b holds $sum tokens > budget $budget + maxDoc $maxDoc")
+      }
+    }
+  }
+
   test("exactRandom: exact sizes, disjoint, exhaustive, stable across jobs") {
     // many source partitions + each split collected as its OWN job: the
     // rank assignment must be a pure function of the data, identical on
