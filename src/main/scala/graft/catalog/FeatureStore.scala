@@ -63,6 +63,28 @@ final class FeatureStore(
 
   def featureGroups: Seq[FeatureGroup] = registry.values.toSeq
 
+  /** Every registered version of a named group, ascending
+    * (feature_store.py:168-207 get_feature_groups).
+    */
+  def getFeatureGroups(name: String): Seq[FeatureGroup] =
+    registry.collect { case ((n, _), fg) if n == name => fg }
+      .toSeq.sortBy(_.version)
+
+  /** Get the group if registered, otherwise create it from `df`
+    * (feature_store.py:644-799 get_or_create_feature_group).
+    */
+  def getOrCreateFeatureGroup(
+      name: String,
+      df: => DataFrame,
+      primaryKey: Seq[String],
+      partitionKey: Seq[String] = Nil,
+      eventTime: Option[String] = None,
+      precombineKey: Option[String] = None,
+      version: Int = 1): FeatureGroup =
+    registry.getOrElse((name, version),
+      createFeatureGroup(name, df, primaryKey, partitionKey, eventTime,
+        precombineKey, version))
+
   /** Create a lake-backed (time-travel, upsertable) feature group from an
     * initial DataFrame — the analog of fg.insert on a new group
     * (python/hsfs/engine/spark.py:349-396 offline branch).
@@ -153,17 +175,58 @@ final class FeatureStore(
   def saveFeatureView(view: graft.view.FeatureView): Unit =
     ViewPersistence.save(spark, warehouseDir, view)
 
+  /** Load a persisted view. Transformations resolve from the caller's
+    * registry first, then from the PERSISTED builtin registry
+    * ([[createTransformationFunction]]) — so a view whose transforms were
+    * all registered as builtins round-trips with no caller setup at all.
+    */
   def getFeatureView(name: String, version: Int = 1,
                      transformationRegistry:
                        Map[String, graft.ops.Transformations.Transformation]
-                       = Map()): graft.view.FeatureView =
+                       = Map()): graft.view.FeatureView = {
+    val persisted = TransformPersistence.list(spark, warehouseDir)
+      .flatMap(n => TransformPersistence.load(spark, warehouseDir, n))
+      .map(d => d.name -> d.toTransformation).toMap
     ViewPersistence.load(spark, warehouseDir, name, version,
-        transformationRegistry)
+        persisted ++ transformationRegistry)
       .getOrElse(throw new NoSuchElementException(
         s"feature view $name v$version"))
+  }
 
   def deleteFeatureView(name: String, version: Int = 1): Unit =
     ViewPersistence.delete(spark, warehouseDir, name, version)
+
+  // -- transformation functions (persisted builtin registry) ---------------
+
+  /** Register a PERSISTED builtin transformation function — the analog of
+    * the reference's create_transformation_function
+    * (feature_store.py:1316-1356). Only the declarative builtins
+    * ([[graft.ops.Transformations.Builtins]]) persist; lambdas are
+    * session-scoped and resolve by name via getFeatureView's registry.
+    */
+  def createTransformationFunction(
+      name: String, builtin: String, input: String,
+      outName: Option[String] = None, dropInput: Boolean = false)
+      : graft.ops.Transformations.Transformation = {
+    val d = TransformPersistence.TransformDef(name, builtin, input,
+      outName, dropInput)
+    val t = d.toTransformation // validates the builtin kind up front
+    TransformPersistence.save(spark, warehouseDir, d)
+    t
+  }
+
+  def getTransformationFunction(name: String)
+      : graft.ops.Transformations.Transformation =
+    TransformPersistence.load(spark, warehouseDir, name)
+      .map(_.toTransformation)
+      .getOrElse(throw new NoSuchElementException(
+        s"transformation function $name"))
+
+  def transformationFunctions: Seq[String] =
+    TransformPersistence.list(spark, warehouseDir)
+
+  def deleteTransformationFunction(name: String): Unit =
+    TransformPersistence.delete(spark, warehouseDir, name)
 
   /** Persist a training run's fitted transformation statistics for a
     * view; a serving session loads them to scale/encode online vectors

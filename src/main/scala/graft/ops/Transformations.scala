@@ -147,6 +147,40 @@ object Transformations {
       fn: (Seq[Column], Map[String, FeatureStatistics]) => Seq[Column],
       needsQuantiles: Boolean = false)
 
+  /** The reference's builtin transformation functions
+    * (builtin_transformations.py:26-66) as DECLARATIVE specs: everything
+    * needed to reconstruct the Transformation is (builtin, input, out,
+    * drop), so a catalog can persist and round-trip them — unlike
+    * arbitrary lambdas, which are registered by name only.
+    */
+  val Builtins: Seq[String] = Seq("min_max_scaler", "standard_scaler",
+    "robust_scaler", "label_encoder", "one_hot_encoder")
+
+  def builtin(name: String, builtinKind: String, input: String,
+              outName: Option[String] = None,
+              dropInput: Boolean = false): Transformation = {
+    val out = outName.getOrElse(s"${builtinKind}_$input")
+    val fn: (Seq[Column], Map[String, FeatureStatistics]) => Seq[Column] =
+      builtinKind match {
+        case "min_max_scaler" =>
+          (cs, st) => Seq(minMaxScaler(cs.head, st(input)).as(out))
+        case "standard_scaler" =>
+          (cs, st) => Seq(standardScaler(cs.head, st(input)).as(out))
+        case "robust_scaler" =>
+          (cs, st) => Seq(robustScaler(cs.head, st(input)).as(out))
+        case "label_encoder" =>
+          (cs, st) => Seq(labelEncoder(cs.head, st(input)).as(out))
+        case "one_hot_encoder" =>
+          (cs, st) => oneHotEncoder(cs.head, st(input), out)
+        case other => throw new IllegalArgumentException(
+          s"unknown builtin transformation '$other' " +
+            s"(supported: ${Builtins.mkString(", ")})")
+      }
+    Transformation(name, ModelDependent, Seq(input),
+      drop = if (dropInput) Seq(input) else Nil, fn = fn,
+      needsQuantiles = builtinKind == "robust_scaler")
+  }
+
   /** Apply transformations as ONE wide select (engine/spark.py:1318-1326):
     * untransformed passthrough columns + every transformation output, then
     * drop the consumed inputs marked for dropping.

@@ -376,6 +376,53 @@ class MetadataSpec extends SparkSpec {
     intercept[NoSuchElementException] { fs2.getTrainingDataset("tdspec") }
   }
 
+  test("persisted builtin transformation functions rebuild views unaided") {
+    import graft.ir.Query
+    import graft.ops.Transformations
+    val wh = Files.createTempDirectory("graft_tf").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    def fg(t: String) = graft.catalog.TestTables.fg(spark, sfDir, t)
+    fs.createTransformationFunction("bal_scaled", "min_max_scaler",
+      "c_acctbal", outName = Some("bal_scaled"))
+    val view = graft.view.FeatureView("tfview", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_acctbal")),
+      transformations = Seq(fs.getTransformationFunction("bal_scaled")))
+    fs.saveFeatureView(view)
+
+    // restart with NO caller registry: the persisted builtin resolves
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    assert(fs2.transformationFunctions === Seq("bal_scaled"))
+    val back = fs2.getFeatureView("tfview")
+    assert(back.transformations.map(_.name) === Seq("bal_scaled"))
+    val frame = back.batchQuery(spark)
+    val out = Transformations.fitApply(frame, frame, back.transformations)
+    val vals = out.select("bal_scaled").collect().map(_.getDouble(0))
+    assert(vals.nonEmpty && vals.forall(v => v >= 0.0 && v <= 1.0))
+
+    // unknown builtin kinds are rejected up front
+    intercept[IllegalArgumentException] {
+      fs2.createTransformationFunction("bad", "no_such_scaler", "x")
+    }
+    fs2.deleteTransformationFunction("bal_scaled")
+    assert(fs2.transformationFunctions === Nil)
+  }
+
+  test("getOrCreateFeatureGroup and version listings") {
+    import graft.ir.Query
+    val wh = Files.createTempDirectory("graft_goc").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+      .selectExpr("CAST(n_nationkey AS LONG) AS id", "n_name AS v")
+    val fg1 = fs.getOrCreateFeatureGroup("goc", df, Seq("id"))
+    // second call must NOT recreate (df side effects would double-commit)
+    val fg2 = fs.getOrCreateFeatureGroup("goc",
+      sys.error("must not be evaluated"), Seq("id"))
+    assert(fg1 eq fg2)
+    fs.getOrCreateFeatureGroup("goc", df, Seq("id"), version = 2)
+    assert(fs.getFeatureGroups("goc").map(_.version) === Seq(1, 2))
+    assert(fs.read(Query.selectAll(fg2)).count() === df.count())
+  }
+
   test("grouped training dataset keeps groups atomic and persists the spec") {
     import graft.ir.Query
     val wh = Files.createTempDirectory("graft_tdg").toString
