@@ -196,6 +196,19 @@ final class FeatureStore(
   def deleteFeatureView(name: String, version: Int = 1): Unit =
     ViewPersistence.delete(spark, warehouseDir, name, version)
 
+  /** Load the persisted view if present, else persist and return this one
+    * (feature_view.py get_or_create_feature_view).
+    */
+  def getOrCreateFeatureView(
+      view: graft.view.FeatureView,
+      transformationRegistry:
+        Map[String, graft.ops.Transformations.Transformation] = Map())
+      : graft.view.FeatureView =
+    try getFeatureView(view.name, view.version, transformationRegistry)
+    catch { case _: NoSuchElementException =>
+      saveFeatureView(view); view
+    }
+
   // -- transformation functions (persisted builtin registry) ---------------
 
   /** Register a PERSISTED builtin transformation function — the analog of
@@ -297,6 +310,31 @@ final class FeatureStore(
       val p = if (names.size == 1) meta.path else s"${meta.path}/$n"
       n -> graft.view.TrainingDataset.read(spark, p, meta.format)
     }.toMap
+  }
+
+  /** Rebuild a training-dataset version's FILES from its persisted
+    * descriptor (feature_view.py:2043-2117 recreate_training_dataset):
+    * the view IR, split spec (exact / time / grouped — all
+    * deterministic), seed, and format all come from the catalog, so the
+    * rematerialized artifact reproduces the original partition.
+    */
+  def recreateTrainingDataset(
+      viewName: String, viewVersion: Int = 1, version: Int = 1,
+      transformationRegistry:
+        Map[String, graft.ops.Transformations.Transformation] = Map())
+      : TrainingDatasetPersistence.TrainingDatasetMeta = {
+    val meta = getTrainingDataset(viewName, viewVersion, version)
+    val view = getFeatureView(viewName, viewVersion, transformationRegistry)
+    val res = graft.view.TrainingDataset.build(spark, view,
+      view.batchQuery(spark), meta.randomWeights, meta.timeBounds,
+      meta.seed, exactSizes = meta.exactSizes, groupSplit = meta.groupSplit)
+    graft.view.TrainingDataset.write(res, meta.path, meta.format)
+    if (res.transformationStatistics.nonEmpty)
+      saveTrainingStatistics(viewName, viewVersion,
+        res.transformationStatistics)
+    val updated = meta.copy(createdMillis = System.currentTimeMillis())
+    TrainingDatasetPersistence.save(spark, warehouseDir, updated)
+    updated
   }
 
   /** Persisted training-dataset versions of a view, ascending. */

@@ -423,6 +423,43 @@ class MetadataSpec extends SparkSpec {
     assert(fs.read(Query.selectAll(fg2)).count() === df.count())
   }
 
+  test("recreateTrainingDataset rebuilds purged files from the descriptor") {
+    import graft.ir.Query
+    val wh = Files.createTempDirectory("graft_rtd").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    def fg(t: String) = graft.catalog.TestTables.fg(spark, sfDir, t)
+    val view = graft.view.FeatureView("rtd", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_acctbal")))
+    fs.saveFeatureView(view)
+    val meta = fs.createTrainingDataset(view, 1,
+      randomWeights = Map("train" -> 0.8, "test" -> 0.2), exactSizes = true)
+    val before = fs.readTrainingDataset("rtd").map {
+      case (k, v) => k -> v.count()
+    }
+    // purge the materialized files, keep the descriptor
+    val p = new org.apache.hadoop.fs.Path(meta.path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    fs2.recreateTrainingDataset("rtd")
+    val after = fs2.readTrainingDataset("rtd").map {
+      case (k, v) => k -> v.count()
+    }
+    assert(after === before, "deterministic splits must reproduce exactly")
+
+    // getOrCreateFeatureView: hit returns the persisted view, miss saves
+    val same = fs2.getOrCreateFeatureView(
+      graft.view.FeatureView("rtd", 1,
+        Query.select(fg("customer"), Seq("c_custkey"))))
+    assert(same.query.features.map(_.name).contains("c_acctbal"),
+      "hit must return the PERSISTED definition, not the argument")
+    val fresh = fs2.getOrCreateFeatureView(
+      graft.view.FeatureView("rtd", 9,
+        Query.select(fg("customer"), Seq("c_custkey"))))
+    assert(fresh.version === 9)
+    assert(fs2.getFeatureView("rtd", 9).version === 9)
+  }
+
   test("grouped training dataset keeps groups atomic and persists the spec") {
     import graft.ir.Query
     val wh = Files.createTempDirectory("graft_tdg").toString
