@@ -167,6 +167,73 @@ final class FeatureStore(
   def deleteExpectationSuite(fg: FeatureGroup): Unit =
     SuitePersistence.delete(spark, warehouseDir, fg.id)
 
+  // -- validation report history -------------------------------------------
+
+  private def reportDir(fg: FeatureGroup) =
+    s"$warehouseDir/_validation_reports/${fg.id}"
+
+  /** Append a validation run to the group's persisted report history —
+    * the reference's save_validation_report / get_validation_history
+    * surface (feature_group.py, core/validation_report_engine.py): one
+    * row per expectation result, stamped with the run time, plain
+    * append-mode parquet so history reads are a partition-pruned scan.
+    */
+  def saveValidationReport(fg: FeatureGroup,
+                           report: graft.ops.Validation.ValidationReport,
+                           atMillis: Long = System.currentTimeMillis()): Unit = {
+    import spark.implicits._
+    report.results
+      .map(r => (atMillis, report.success, r.name, r.success,
+        r.unexpectedCount, r.observedRows))
+      .toDF("run_millis", "run_success", "expectation", "success",
+        "unexpected_count", "observed_rows")
+      .write.mode("append").parquet(reportDir(fg))
+  }
+
+  /** Full persisted history, newest first (empty frame if none). */
+  def getValidationHistory(fg: FeatureGroup): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(reportDir(fg))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq()))
+    else spark.read.parquet(reportDir(fg))
+      .orderBy(org.apache.spark.sql.functions.col("run_millis").desc)
+  }
+
+  /** Latest run reconstructed as a ValidationReport (None if no history). */
+  def getLatestValidationReport(fg: FeatureGroup)
+      : Option[graft.ops.Validation.ValidationReport] = {
+    val hist = getValidationHistory(fg)
+    if (hist.schema.isEmpty) None
+    else {
+      val rows = hist.collect()
+      if (rows.isEmpty) None
+      else {
+        val latest = rows.map(_.getLong(0)).max
+        val ofRun = rows.filter(_.getLong(0) == latest)
+        Some(graft.ops.Validation.ValidationReport(
+          ofRun.head.getBoolean(1),
+          ofRun.toSeq.map(r => graft.ops.Validation.ExpectationResult(
+            r.getString(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))))
+      }
+    }
+  }
+
+  /** Run the group's PERSISTED suite against `df`, append the report to
+    * the history, and return it (feature_group.py validate()).
+    */
+  def validate(fg: FeatureGroup, df: DataFrame,
+               atMillis: Long = System.currentTimeMillis())
+      : graft.ops.Validation.ValidationReport = {
+    val suite = getExpectationSuite(fg).getOrElse(
+      throw new NoSuchElementException(
+        s"no expectation suite for ${fg.name} v${fg.version}"))
+    val report = graft.ops.Validation.validate(df, suite.expectations)
+    saveValidationReport(fg, report, atMillis)
+    report
+  }
+
   // -- feature views (persisted query IR) -----------------------------------
 
   /** Persist a feature view's full query IR + labels/helpers; its

@@ -423,6 +423,34 @@ class MetadataSpec extends SparkSpec {
     assert(fs.read(Query.selectAll(fg2)).count() === df.count())
   }
 
+  test("validation reports persist as history and reconstruct the latest") {
+    import graft.ops.Validation
+    val wh = Files.createTempDirectory("graft_valrep").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val good = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val fg = fs.createFeatureGroup("valfg", good, Seq("id"))
+    fs.saveExpectationSuite(fg, Validation.SuiteDef("s",
+      Seq(Validation.NotNullSpec("v"), Validation.UniqueSpec("id"))))
+
+    val r1 = fs.validate(fg, good, atMillis = 1000L)
+    assert(r1.success)
+    val bad = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val r2 = fs.validate(fg, bad, atMillis = 2000L)
+    assert(!r2.success)
+
+    // latest = the failing run, reconstructed result-for-result
+    val latest = fs.getLatestValidationReport(fg).get
+    assert(!latest.success)
+    assert(latest.results.map(r => (r.name, r.success)).toSet ===
+      Set(("not_null(v)", false), ("unique(id)", true)))
+    // history holds both runs, one row per expectation
+    assert(fs.getValidationHistory(fg).count() === 4)
+    // a group with no history reports None
+    val fg2 = fs.createFeatureGroup("valfg2", good, Seq("id"))
+    assert(fs.getLatestValidationReport(fg2).isEmpty)
+  }
+
   test("recreateTrainingDataset rebuilds purged files from the descriptor") {
     import graft.ir.Query
     val wh = Files.createTempDirectory("graft_rtd").toString
