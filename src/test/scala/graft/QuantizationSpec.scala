@@ -59,6 +59,35 @@ class QuantizationSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("quantized IVF index persists and searches with high recall") {
+    import graft.ops.IvfIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qivf").toString
+    val idx = IvfIndex.build(emb, "vec_id", "embedding",
+      nCells = 4, trainSampleFraction = 0.5, maxIter = 8)
+    val qi = IvfIndex.quantize(idx, "vec_id", "embedding")
+    IvfIndex.saveQuantized(qi, tmp)
+    val loaded = IvfIndex.loadQuantized(spark, tmp)
+    assert(loaded.params.mins.toSeq == qi.params.mins.toSeq &&
+      loaded.params.scales.toSeq == qi.params.scales.toSeq)
+
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ann = IvfIndex.searchQuantized(loaded, emb, "vec_id", "embedding",
+        queries, "qid", "qe", k = 5, nProbe = 3, refine = 4)
+      .select("qid", "vec_id")
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+        queries, "qid", "qe", k = 5, metric = VectorFunctions.L2)
+      .select("qid", "vec_id")
+    val recall =
+      ann.join(exact, Seq("qid", "vec_id")).count().toDouble / exact.count()
+    assert(recall >= 0.7, s"recall $recall")
+    // in-memory and loaded indexes must agree row-for-row
+    val annMem = IvfIndex.searchQuantized(qi, emb, "vec_id", "embedding",
+        queries, "qid", "qe", k = 5, nProbe = 3, refine = 4)
+      .select("qid", "vec_id")
+    assert(annMem.except(ann).count() == 0 && ann.except(annMem).count() == 0)
+  }
+
   test("fit round-trips constant dimensions exactly") {
     val df = Seq((1L, Seq(1.5f, -2f)), (2L, Seq(1.5f, 3f))).toDF("id", "v")
     val p = Quantization.fit(df, "v", 2)
