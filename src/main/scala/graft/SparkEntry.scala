@@ -1082,8 +1082,59 @@ object SparkEntry {
       docs.select(col("doc_id"),
           graft.ops.TextAnalysis.redactPii(pii).as("redacted"))
         .orderBy("doc_id")
+    }),
+
+    // IR → SQL generation (query.to_string analog,
+    // constructor/query.py:581-607): Spark executes the GENERATED text
+    // over temp views, and the oracle is the IDENTICAL text under DuckDB
+    // — one statement, two engines, hash-equal results. QuerySqlSpec
+    // additionally proves the text ≡ QueryPlanner.plan on every shape.
+    "q66_sql_generation" -> ((s, dir) => {
+      Seq("orders", "customer", "nation", "lineitem").foreach { t =>
+        s.read.parquet(TestTables.parquet(dir, t)).createOrReplaceTempView(t)
+      }
+      s.sql(q66Sql)
     })
   )
+
+  /** q66's IR, built WITHOUT a session (declared features only) so the
+    * driver query and its oracle entry render the identical SQL text.
+    */
+  private def q66Ir: Query = {
+    import graft.model.{Feature, FeatureGroup, ViewSource}
+    import org.apache.spark.sql.types.StringType
+    def t(name: String, cols: Seq[String], pk: Seq[String]) =
+      FeatureGroup(name = name, features = cols.map(Feature(_, StringType)),
+        primaryKey = pk, source = ViewSource(name))
+    val orders = t("orders",
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+      Seq("o_orderkey"))
+    val customer = t("customer",
+      Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
+      Seq("c_custkey"))
+    val nation = t("nation", Seq("n_nationkey", "n_name"), Seq("n_nationkey"))
+    val lineitem = t("lineitem", Seq("l_orderkey", "l_quantity"),
+      Seq("l_orderkey", "l_linenumber"))
+    val enrichedCustomer = Query.select(customer, Seq("c_name", "c_mktsegment"))
+      .join(Query.select(nation, Seq("n_name")),
+        leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+        joinType = JoinType.Left, prefix = Some("nat_"))
+    Query.select(orders, Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .join(enrichedCustomer,
+        leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"),
+        joinType = JoinType.Inner)
+      .join(Query.select(lineitem, Seq("l_orderkey", "l_quantity"))
+          .where("l_quantity" > 45.0),
+        leftOn = Seq("o_orderkey"), rightOn = Seq("l_orderkey"),
+        joinType = JoinType.LeftSemi)
+      .where(("o_totalprice" > 150000.0) &&
+        (("c_mktsegment" in Seq("BUILDING", "AUTOMOBILE", "MACHINERY")) ||
+         ("nat_n_name" like "A%")))
+  }
+
+  /** The generated statement, deterministically wrapped for a stable sort. */
+  private def q66Sql: String =
+    s"SELECT * FROM (\n${q66Ir.toSql}\n) g ORDER BY o_orderkey"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1944,6 +1995,9 @@ object SparkEntry {
                 CASE WHEN u < 700000 THEN 'train'
                      WHEN u < 900000 THEN 'test'
                      ELSE 'validation' END AS split
-         FROM h ORDER BY doc_id"""
+         FROM h ORDER BY doc_id""",
+    // the oracle IS the generated statement — DuckDB runs the very text
+    // the engine produced and executed under Spark
+    "q66_sql_generation" -> q66Sql
   )
 }

@@ -142,6 +142,13 @@ final case class Query(
     */
   def appendFeature(name: String): Query =
     copy(features = features :+ FeatureRef(name))
+
+  /** The portable SQL this query denotes — the analog of the reference's
+    * `query.to_string()` (python/hsfs/constructor/query.py:581-607), here
+    * generated in-process instead of fetched from the metadata server.
+    * See [[graft.planner.QuerySql]] for dialect guarantees.
+    */
+  def toSql: String = graft.planner.QuerySql.toSql(this)
 }
 
 object Query {
