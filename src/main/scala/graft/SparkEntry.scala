@@ -1094,8 +1094,89 @@ object SparkEntry {
         s.read.parquet(TestTables.parquet(dir, t)).createOrReplaceTempView(t)
       }
       s.sql(q66Sql)
+    }),
+
+    // FG-level statistics lifecycle: per-group StatisticsConfig gates a
+    // PERSISTED statistics engine — compute_statistics / get_statistics
+    // (feature_group.py:1704,3253; statistics_config.py:24-100). Two lake
+    // groups with separate histories; retrieval is latest-run-≤-time
+    // through a RESTARTED store, proving history + config are warehouse
+    // state, not session state. Oracle replays every metric (profile,
+    // exact uniqueness family, correlation) in plain SQL.
+    "q67_fg_statistics" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_q67").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val orders = s.read.parquet(TestTables.parquet(dir, "orders"))
+      val cfg = graft.model.StatisticsConfig(exactUniqueness = true,
+        correlations = true, columns = Seq("o_custkey", "o_totalprice"))
+      val full = fs.createFeatureGroup("orders_stats", orders,
+        primaryKey = Seq("o_orderkey"), statisticsConfig = cfg)
+      val open = fs.createFeatureGroup("open_orders_stats",
+        orders.filter(col("o_orderstatus") === "O"),
+        primaryKey = Seq("o_orderkey"), statisticsConfig = cfg)
+      fs.computeStatistics(full, atMillis = 1000L)
+      fs.computeStatistics(open, atMillis = 2000L)
+      val fs2 = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val a = fs2.getStatistics(fs2.getFeatureGroup("orders_stats"),
+        computationTime = Some(1500L))
+      val b = fs2.getStatistics(fs2.getFeatureGroup("open_orders_stats"))
+      a.withColumn("group_name", lit("orders_stats"))
+        .unionByName(b.withColumn("group_name", lit("open_orders_stats")))
+        .select("group_name", "computed_at", "feature", "metric", "value")
+        .orderBy("group_name", "feature", "metric")
     })
   )
+
+  /** q67 oracle: replay profile + uniqueness family + correlation per
+    * (group, column) in plain SQL with the engine's exact rounding.
+    */
+  private def q67Oracle: String = {
+    def group(g: String, at: Long, where: String): Seq[String] = {
+      def profile(c: String) =
+        s"""SELECT '$g' AS group_name, CAST($at AS BIGINT) AS computed_at,
+              '$c' AS feature, m.metric, m.value
+            FROM (
+              WITH a AS (SELECT CAST(count(v) AS DOUBLE) c1,
+                  CAST(count(*) - count(v) AS DOUBLE) c2,
+                  CAST(min(v) AS DOUBLE) c3, CAST(max(v) AS DOUBLE) c4,
+                  round(avg(v), 4) c5, round(stddev(v), 4) c6
+                FROM (SELECT $c AS v FROM orders $where))
+              SELECT 'cnt' AS metric, c1 AS value FROM a
+              UNION ALL SELECT 'nulls', c2 FROM a
+              UNION ALL SELECT 'min_v', c3 FROM a
+              UNION ALL SELECT 'max_v', c4 FROM a
+              UNION ALL SELECT 'mean_v', c5 FROM a
+              UNION ALL SELECT 'stddev_v', c6 FROM a) m"""
+      def freq(c: String) =
+        s"""SELECT '$g' AS group_name, CAST($at AS BIGINT) AS computed_at,
+              '$c' AS feature, m.metric, m.value
+            FROM (
+              WITH cn AS (SELECT $c AS v, count(*) AS cnt FROM orders
+                          $where GROUP BY 1),
+              a AS (SELECT
+                  round(-sum(cnt * ln(cnt)) / sum(cnt) + ln(sum(cnt)), 6) c1,
+                  round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) c2,
+                  round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                        / CAST(sum(cnt) AS DOUBLE), 6) c3,
+                  CAST(count(*) AS DOUBLE) c4
+                FROM cn)
+              SELECT 'entropy' AS metric, c1 AS value FROM a
+              UNION ALL SELECT 'distinctness', c2 FROM a
+              UNION ALL SELECT 'uniqueness', c3 FROM a
+              UNION ALL SELECT 'exact_distinct', c4 FROM a) m"""
+      val corr =
+        s"""SELECT '$g' AS group_name, CAST($at AS BIGINT) AS computed_at,
+              'o_custkey' AS feature, 'corr:o_totalprice' AS metric,
+              round(corr(o_custkey, o_totalprice), 6) AS value
+            FROM orders $where"""
+      Seq("o_custkey", "o_totalprice").flatMap(c =>
+        Seq(profile(c), freq(c))) :+ corr
+    }
+    (group("orders_stats", 1000L, "") ++
+      group("open_orders_stats", 2000L, "WHERE o_orderstatus = 'O'"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY group_name, feature, metric")
+  }
 
   /** q66's IR, built WITHOUT a session (declared features only) so the
     * driver query and its oracle entry render the identical SQL text.
@@ -1998,6 +2079,7 @@ object SparkEntry {
          FROM h ORDER BY doc_id""",
     // the oracle IS the generated statement — DuckDB runs the very text
     // the engine produced and executed under Spark
-    "q66_sql_generation" -> q66Sql
+    "q66_sql_generation" -> q66Sql,
+    "q67_fg_statistics" -> q67Oracle
   )
 }

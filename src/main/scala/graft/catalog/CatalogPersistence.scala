@@ -100,6 +100,12 @@ object CatalogPersistence {
         ("eventTime" -> fg.eventTime) ~
         ("precombineKey" -> fg.precombineKey) ~
         ("online" -> fg.online) ~
+        ("statisticsConfig" -> (
+          ("enabled" -> fg.statisticsConfig.enabled) ~
+            ("correlations" -> fg.statisticsConfig.correlations) ~
+            ("histograms" -> fg.statisticsConfig.histograms) ~
+            ("exactUniqueness" -> fg.statisticsConfig.exactUniqueness) ~
+            ("columns" -> fg.statisticsConfig.columns))) ~
         ("source" -> src) ~
         ("features" -> fg.features.map { f =>
           ("name" -> f.name) ~
@@ -142,7 +148,15 @@ object CatalogPersistence {
       eventTime = str(j \ "eventTime"),
       precombineKey = str(j \ "precombineKey"),
       source = sourceFromJson(j \ "source"),
-      online = bool(j \ "online", dflt = false))
+      online = bool(j \ "online", dflt = false),
+      // absent in pre-upgrade catalogs → reference defaults
+      statisticsConfig = StatisticsConfig(
+        enabled = bool(j \ "statisticsConfig" \ "enabled", dflt = true),
+        correlations = bool(j \ "statisticsConfig" \ "correlations", dflt = false),
+        histograms = bool(j \ "statisticsConfig" \ "histograms", dflt = false),
+        exactUniqueness =
+          bool(j \ "statisticsConfig" \ "exactUniqueness", dflt = false),
+        columns = strs(j \ "statisticsConfig" \ "columns")))
   }
 
   def save(spark: SparkSession, warehouseDir: String, fg: FeatureGroup): Unit =

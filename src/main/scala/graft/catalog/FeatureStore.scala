@@ -96,7 +96,8 @@ final class FeatureStore(
       partitionKey: Seq[String] = Nil,
       eventTime: Option[String] = None,
       precombineKey: Option[String] = None,
-      version: Int = 1): FeatureGroup = {
+      version: Int = 1,
+      statisticsConfig: StatisticsConfig = StatisticsConfig()): FeatureGroup = {
     val root = s"$warehouseDir/${name}_$version"
     val fg = FeatureGroup(
       name = name,
@@ -108,7 +109,8 @@ final class FeatureStore(
       partitionKey = partitionKey,
       eventTime = eventTime,
       precombineKey = precombineKey,
-      source = LakeSource(root))
+      source = LakeSource(root),
+      statisticsConfig = statisticsConfig)
     Lake.create(spark, root, fg, df)
     register(fg)
   }
@@ -232,6 +234,125 @@ final class FeatureStore(
     val report = graft.ops.Validation.validate(df, suite.expectations)
     saveValidationReport(fg, report, atMillis)
     report
+  }
+
+  // -- feature-group statistics engine ---------------------------------------
+
+  private def fgStatsDir(fg: FeatureGroup) =
+    s"$warehouseDir/_fg_statistics/${fg.id}"
+
+  private val fgStatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("computed_at",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("feature",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("metric",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def emptyFgStats: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fgStatsSchema)
+
+  /** Compute the group's CONFIGURED statistics over its offline state —
+    * optionally as of a commit time for lake-backed groups — and append
+    * them to the persisted statistics history, stamped `computed_at =
+    * atMillis`. The analog of `fg.compute_statistics()` gated by
+    * `statistics_config` (python/hsfs/feature_group.py:3253,
+    * statistics_config.py:24-100, core/statistics_engine.py): descriptive
+    * profile always; correlations / histograms / exact uniqueness opt-in;
+    * `columns` restricts the set. Long format, one row per (feature,
+    * metric): profile metrics carry profileDf's names and rounding;
+    * histogram buckets are `hist:<value>` → count; correlations are
+    * `corr:<other>` on the row of the pair's first feature. Disabled
+    * config → nothing computed or persisted, empty frame returned.
+    */
+  def computeStatistics(fg: FeatureGroup,
+                        atMillis: Long = System.currentTimeMillis(),
+                        asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cfg = fg.statisticsConfig
+    if (!cfg.enabled) return emptyFgStats
+    val frame = QueryPlanner.materialize(spark, fg,
+      asOf.map(t => graft.ir.TimeTravel(Some(t))))
+    val cols =
+      if (cfg.columns.nonEmpty) cfg.columns else frame.columns.toSeq
+    val numericCols = cols.filter(c => frame.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+
+    // descriptive profile: ONE aggregation pass over all requested columns
+    val profile = graft.ops.Statistics.profileDf(frame, cols)
+      .selectExpr("feature",
+        """stack(6,
+             'cnt', CAST(cnt AS DOUBLE), 'nulls', CAST(nulls AS DOUBLE),
+             'min_v', min_v, 'max_v', max_v,
+             'mean_v', mean_v, 'stddev_v', stddev_v) AS (metric, value)""")
+
+    // opt-in passes (each is a per-column groupBy — priced accordingly,
+    // which is exactly why the reference defaults them off)
+    val uniq = if (!cfg.exactUniqueness) Seq.empty else cols.map { c =>
+      graft.ops.Statistics.frequencyMetrics(frame, c)
+        .selectExpr(s"'$c' AS feature",
+          """stack(4, 'entropy', CAST(entropy AS DOUBLE),
+               'distinctness', CAST(distinctness AS DOUBLE),
+               'uniqueness', CAST(uniqueness AS DOUBLE),
+               'exact_distinct', CAST(exact_distinct AS DOUBLE))
+             AS (metric, value)""")
+    }
+    val hists = if (!cfg.histograms) Seq.empty else cols.map { c =>
+      graft.ops.Statistics.histogram(frame, c)
+        .select(lit(c).as("feature"),
+          concat(lit("hist:"), col("value")).as("metric"),
+          col("cnt").cast("double").as("value"))
+    }
+    val corrs =
+      if (!cfg.correlations || numericCols.size < 2) Seq.empty
+      else Seq(graft.ops.Statistics.correlationMatrix(frame, numericCols)
+        .select(col("feature_a").as("feature"),
+          concat(lit("corr:"), col("feature_b")).as("metric"),
+          col("corr_v").as("value")))
+
+    val batch = (Seq(profile) ++ uniq ++ hists ++ corrs)
+      .reduce(_ unionByName _)
+      .select(lit(atMillis).as("computed_at"), col("feature"),
+        col("metric"), col("value"))
+    batch.write.mode("append").parquet(fgStatsDir(fg))
+    spark.read.parquet(fgStatsDir(fg))
+      .filter(col("computed_at") === atMillis)
+  }
+
+  /** Statistics computed at the LATEST run ≤ `computationTime` (or the
+    * most recent run when None), optionally restricted to some features —
+    * `fg.get_statistics` (python/hsfs/feature_group.py:1704-1739).
+    * Empty frame if no matching run.
+    */
+  def getStatistics(fg: FeatureGroup,
+                    computationTime: Option[Long] = None,
+                    featureNames: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hist = getAllStatistics(fg, computationTime)
+    if (hist.isEmpty) emptyFgStats
+    else {
+      val latest = hist.agg(max("computed_at")).head.getLong(0)
+      val run = hist.filter(col("computed_at") === latest)
+      if (featureNames.isEmpty) run
+      else run.filter(col("feature").isin(featureNames: _*))
+    }
+  }
+
+  /** Full persisted statistics history at or before `before` —
+    * `fg.get_all_statistics` (python/hsfs/feature_group.py:1741-1777).
+    */
+  def getAllStatistics(fg: FeatureGroup,
+                       before: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = new org.apache.hadoop.fs.Path(fgStatsDir(fg))
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(p)) emptyFgStats
+    else {
+      val all = spark.read.parquet(fgStatsDir(fg))
+      before.map(t => all.filter(col("computed_at") <= t)).getOrElse(all)
+    }
   }
 
   // -- feature views (persisted query IR) -----------------------------------

@@ -38,6 +38,21 @@ object Feature {
     raw.trim.toLowerCase.replaceAll("[^a-z0-9_]", "_")
 }
 
+/** Per-group statistics configuration — which statistics the store's
+  * statistics engine computes (and persists) for this group: descriptive
+  * profile always (when enabled), plus opt-in correlations, histograms
+  * and exact uniqueness, optionally restricted to a column subset.
+  * Reference: python/hsfs/statistics_config.py:24-100.
+  */
+final case class StatisticsConfig(
+    enabled: Boolean = true,
+    correlations: Boolean = false,
+    histograms: Boolean = false,
+    exactUniqueness: Boolean = false,
+    /** Empty = all features. */
+    columns: Seq[String] = Nil
+)
+
 /** A versioned feature-group table.
   *
   * `source` tells the planner how to materialize the relation:
@@ -55,7 +70,8 @@ final case class FeatureGroup(
     eventTime: Option[String] = None,
     precombineKey: Option[String] = None,
     source: FgSource = UnboundSource,
-    online: Boolean = false
+    online: Boolean = false,
+    statisticsConfig: StatisticsConfig = StatisticsConfig()
 ) {
   def schema: StructType = StructType(features.map(_.toField))
   def featureNames: Seq[String] = features.map(_.name)

@@ -517,4 +517,56 @@ class MetadataSpec extends SparkSpec {
     val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
     assert(splits.values.map(_.count()).sum === n)
   }
+
+  test("statistics engine: config gates, as-of snapshots, persisted history") {
+    import graft.model.StatisticsConfig
+    val wh = Files.createTempDirectory("graft_fgstats").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val cfg = StatisticsConfig(histograms = true, exactUniqueness = true,
+      correlations = true, columns = Seq("x", "y"))
+    val fg = fs.createFeatureGroup("profiled",
+      Seq((1L, 10.0, 1.0), (2L, 20.0, 2.0), (3L, 30.0, 3.0))
+        .toDF("id", "x", "y"),
+      primaryKey = Seq("id"), statisticsConfig = cfg)
+
+    val t1 = graft.sources.Lake
+      .listCommits(spark, s"$wh/profiled_1").max
+    val run1 = fs.computeStatistics(fg, atMillis = 1000L)
+    assert(run1.filter("feature = 'x' AND metric = 'cnt'")
+      .head.getDouble(3) === 3.0)
+    // opt-in passes present: histogram buckets, uniqueness, correlation
+    assert(run1.filter("metric LIKE 'hist:%'").count() > 0)
+    assert(run1.filter("feature = 'y' AND metric = 'exact_distinct'")
+      .head.getDouble(3) === 3.0)
+    assert(run1.filter("feature = 'x' AND metric = 'corr:y'")
+      .head.getDouble(3) === 1.0)
+
+    // second commit changes the data; as-of the first commit must NOT
+    fs.insert(fg, Seq((4L, 100.0, -4.0)).toDF("id", "x", "y"))
+    fs.computeStatistics(fg, atMillis = 2000L)
+    val asOfOld = fs.computeStatistics(fg, atMillis = 3000L, asOf = Some(t1))
+    assert(asOfOld.filter("feature = 'x' AND metric = 'cnt'")
+      .head.getDouble(3) === 3.0)
+    assert(fs.getStatistics(fg, Some(2500L))
+      .filter("feature = 'x' AND metric = 'max_v'").head.getDouble(3) === 100.0)
+
+    // restart: history persists; latest-≤-time and feature filters hold
+    val fs2 = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    val fgBack = fs2.getFeatureGroup("profiled", 1)
+    assert(fgBack.statisticsConfig === cfg, "config survives the catalog")
+    assert(fs2.getAllStatistics(fgBack).select("computed_at").distinct()
+      .count() === 3)
+    assert(fs2.getStatistics(fgBack, Some(1500L))
+      .filter("feature = 'x' AND metric = 'max_v'").head.getDouble(3) === 30.0)
+    assert(fs2.getStatistics(fgBack, featureNames = Seq("y"))
+      .select("feature").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("y"))
+
+    // disabled config computes and persists nothing
+    val off = fs2.createFeatureGroup("silent",
+      Seq((1L, 1.0)).toDF("id", "x"), primaryKey = Seq("id"),
+      statisticsConfig = StatisticsConfig(enabled = false))
+    assert(fs2.computeStatistics(off, atMillis = 1000L).isEmpty)
+    assert(fs2.getAllStatistics(off).isEmpty)
+  }
 }
