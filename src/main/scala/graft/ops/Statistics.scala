@@ -166,27 +166,50 @@ object Statistics {
   def correlations(df: DataFrame, columns: Seq[String]): DataFrame =
     correlationMatrix(df, columns)
 
-  /** Pearson correlation MATRIX in ONE pass over the data (MLlib
-    * `Correlation.corr` on an assembled vector) — at 100 TB the pairwise
-    * [[correlations]] costs one scan per pair (O(p²) scans); this costs one
-    * scan total for up to the Deequ cap of ~100 columns.
+  /** Pearson correlation MATRIX in ONE pass over the data — at 100 TB the
+    * per-pair `df.stat.corr` costs one scan per pair (O(p²) scans); this
+    * costs one scan total for up to the Deequ cap of ~100 columns.
+    *
+    * Two physical strategies behind the same semantics (listwise deletion
+    * over the requested set, enforced by the explicit complete-rows
+    * filter):
+    *  - p ≤ 16: p·(p−1)/2 native `corr` aggregates in one whole-stage-
+    *    codegen'd aggregation — no row→vector conversion, no MLlib job,
+    *    plain partial aggregation (up to ~120 aggs, inside codegen's
+    *    comfort zone);
+    *  - p > 16: MLlib `Correlation.corr` on an assembled vector, whose
+    *    one Pearson pass scales to the wide case where thousands of
+    *    aggregate expressions would fall out of codegen.
     */
   def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.stat.Correlation
     val spark = df.sparkSession
     import spark.implicits._
-    val assembled = new VectorAssembler()
-      .setInputCols(columns.toArray).setOutputCol("_features")
-      .setHandleInvalid("skip")
-      .transform(df.select(columns.map(col): _*))
-    val m = Correlation.corr(assembled, "_features").head
-      .getAs[org.apache.spark.ml.linalg.Matrix](0)
-    val rows = for {
+    val pairs = for {
       i <- columns.indices
       j <- (i + 1) until columns.size
-    } yield (columns(i), columns(j), roundHalfUp(m(i, j), 6))
-    rows.toDF("feature_a", "feature_b", "corr_v")
+    } yield (columns(i), columns(j))
+    // listwise deletion over the REQUESTED set, identical for both paths
+    val complete = df.select(columns.map(col): _*).na.drop(columns)
+    val m: Map[(String, String), Double] =
+      if (columns.size <= 16) {
+        val aggs = pairs.map { case (a, b) =>
+          corr(col(a), col(b)).as(s"${a}__${b}") }
+        val row = complete.agg(aggs.head, aggs.tail: _*).collect().head
+        pairs.zipWithIndex.map { case (p, i) =>
+          p -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i)) }.toMap
+      } else {
+        import org.apache.spark.ml.feature.VectorAssembler
+        import org.apache.spark.ml.stat.Correlation
+        val assembled = new VectorAssembler()
+          .setInputCols(columns.toArray).setOutputCol("_features")
+          .transform(complete)
+        val mat = Correlation.corr(assembled, "_features").head
+          .getAs[org.apache.spark.ml.linalg.Matrix](0)
+        pairs.map { case (a, b) =>
+          (a, b) -> mat(columns.indexOf(a), columns.indexOf(b)) }.toMap
+      }
+    pairs.map { case (a, b) => (a, b, roundHalfUp(m((a, b)), 6)) }
+      .toDF("feature_a", "feature_b", "corr_v")
   }
 
   /** Monitoring-window statistics comparison: absolute or relative
