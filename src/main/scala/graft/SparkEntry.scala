@@ -1124,6 +1124,24 @@ object SparkEntry {
         .unionByName(b.withColumn("group_name", lit("open_orders_stats")))
         .select("group_name", "computed_at", "feature", "metric", "value")
         .orderBy("group_name", "feature", "metric")
+    }),
+
+    // Markup cleanup (C4-style extract-text): the source docs carry no
+    // HTML, so both engines wrap each text in identical doc_id-derived
+    // markup (tags, a script block, entities) and must strip it back to
+    // the same clean text — regexes are in the Java∩RE2 shared subset.
+    "q68_strip_markup" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val wrapped = concat(
+        lit("<html><body class=\"c"), col("doc_id").cast("string"),
+        lit("\"><p>"), col("text"),
+        lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("&amp;&#169;<br/></body></html>"))
+      docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.stripMarkup(wrapped).as("clean_text"),
+          round(graft.ops.TextAnalysis.markupRatio(wrapped), 4)
+            .as("markup_ratio"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2080,6 +2098,26 @@ object SparkEntry {
     // the oracle IS the generated statement — DuckDB runs the very text
     // the engine produced and executed under Spark
     "q66_sql_generation" -> q66Sql,
-    "q67_fg_statistics" -> q67Oracle
+    "q67_fg_statistics" -> q67Oracle,
+    "q68_strip_markup" ->
+      """WITH w AS (SELECT doc_id,
+             '<html><body class="c' || doc_id || '"><p>' || text ||
+             '</p><script type="text/javascript">var x = 1 < 2;</script>' ||
+             '&amp;&#169;<br/></body></html>' AS wrapped
+           FROM documents),
+         s AS (SELECT doc_id, wrapped,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(wrapped,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+                 '&[A-Za-z]{2,8};|&#[0-9]{1,6};', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS clean_text
+           FROM w)
+         SELECT doc_id, clean_text,
+                round(CASE WHEN length(wrapped) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(length(clean_text) AS DOUBLE)
+                                 / length(wrapped) END, 4) AS markup_ratio
+         FROM s ORDER BY doc_id"""
   )
 }

@@ -179,6 +179,40 @@ object TextAnalysis {
         Ipv4Pattern, "[IP]"),
       PhonePattern, "[PHONE]")
 
+  /** Markup-cleanup patterns, like the PII patterns restricted to the
+    * Java∩RE2 regex subset (no backreferences — RE2 has none, so the
+    * script/style blocks are two literal patterns instead of one with
+    * `\1`) so the DuckDB oracle replays them verbatim.
+    */
+  val ScriptPattern = "(?is)<script[^>]*>.*?</script>"
+  val StylePattern = "(?is)<style[^>]*>.*?</style>"
+  val TagPattern = "<[^>]+>"
+  val EntityPattern = "&[A-Za-z]{2,8};|&#[0-9]{1,6};"
+
+  /** C4/RefinedWeb-style markup cleanup: drop script/style blocks, strip
+    * tags, blank character entities, squeeze whitespace, trim. Pure
+    * codegen'd string expressions — row-local, no UDF, safe in any scan.
+    */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, ScriptPattern, " "),
+            StylePattern, " "),
+          TagPattern, " "),
+        EntityPattern, " "),
+      "\\s+", " "))
+
+  /** Fraction of characters removed by [[stripMarkup]] — a cheap
+    * boilerplate gate (a page that is mostly tags scores near 1).
+    */
+  def markupRatio(text: Column): Column = {
+    val kept = length(stripMarkup(text)).cast("double")
+    val total = length(text).cast("double")
+    when(total === 0.0, 0.0).otherwise(lit(1.0) - kept / total)
+  }
+
   /** One-pass document profile over a documents table. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

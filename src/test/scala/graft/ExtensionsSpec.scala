@@ -269,6 +269,20 @@ class ExtensionsSpec extends SparkSpec {
       out)
   }
 
+  test("markup strip removes tags/scripts/entities, keeps the prose") {
+    import graft.ops.TextAnalysis
+    val df = Seq(Tuple1(
+      "<html><head><style>p { color: red }</style></head><body>" +
+        "<p>Hello <b>big</b> world</p>" +
+        "<script>if (1 < 2) { alert(\"x\"); }</script>" +
+        "&amp;&#169; done</body></html>")).toDF("text")
+    val row = df.select(
+      TextAnalysis.stripMarkup(col("text")),
+      TextAnalysis.markupRatio(col("text"))).collect().head
+    assert(row.getString(0) == "Hello big world done", row.getString(0))
+    assert(row.getDouble(1) > 0.8, "mostly-markup page must score high")
+  }
+
   test("quality score separates clean prose from degenerate text") {
     val df = Seq(
       ("clean", "This is a reasonably long and well formed paragraph of " +
