@@ -28,7 +28,15 @@ final class FeatureStore(
       * JSON that this session would auto-materialize).
       */
     val warehouseDir: String =
-      s"${System.getProperty("user.home")}/.graft/warehouse"
+      s"${System.getProperty("user.home")}/.graft/warehouse",
+    /** When true, every lake creation/insert through this store also runs
+      * [[computeStatistics]] for groups whose config enables statistics —
+      * the reference's on-ingestion statistics pass
+      * (engine/spark.py save paths → core/statistics_engine.py). Opt-in
+      * here (like serving materialization): an extra aggregation scan per
+      * ingest is a cost the caller should choose, not inherit.
+      */
+    val autoComputeStatistics: Boolean = false
 ) {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(String, Int), FeatureGroup]
@@ -112,7 +120,10 @@ final class FeatureStore(
       source = LakeSource(root),
       statisticsConfig = statisticsConfig)
     Lake.create(spark, root, fg, df)
-    register(fg)
+    val registered = register(fg)
+    if (autoComputeStatistics && fg.statisticsConfig.enabled)
+      computeStatistics(registered, nextStatsStamp(registered))
+    registered
   }
 
   /** Register an external (connector-backed) feature group as a
@@ -319,6 +330,17 @@ final class FeatureStore(
     batch.write.mode("append").parquet(fgStatsDir(fg))
     spark.read.parquet(fgStatsDir(fg))
       .filter(col("computed_at") === atMillis)
+  }
+
+  /** Wallclock stamp, bumped past the newest persisted run so two
+    * ingests inside one millisecond never merge into one logical run.
+    */
+  private def nextStatsStamp(fg: FeatureGroup): Long = {
+    import org.apache.spark.sql.functions.max
+    val now = System.currentTimeMillis()
+    val hist = getAllStatistics(fg)
+    if (hist.isEmpty) now
+    else math.max(now, hist.agg(max("computed_at")).head.getLong(0) + 1)
   }
 
   /** Statistics computed at the LATEST run ≤ `computationTime` (or the
@@ -617,7 +639,10 @@ final class FeatureStore(
           graft.ops.Validation.validate(df, s.expectations); df
         case None => df
       }
-      Lake.upsert(spark, root, fg, gated)
+      val meta = Lake.upsert(spark, root, fg, gated)
+      if (autoComputeStatistics && fg.statisticsConfig.enabled)
+        computeStatistics(fg, nextStatsStamp(fg))
+      meta
     case other => throw new IllegalArgumentException(
       s"insert requires a lake-backed group, got $other")
   }

@@ -569,4 +569,27 @@ class MetadataSpec extends SparkSpec {
     assert(fs2.computeStatistics(off, atMillis = 1000L).isEmpty)
     assert(fs2.getAllStatistics(off).isEmpty)
   }
+
+  test("auto statistics on ingestion when the store opts in") {
+    import graft.model.StatisticsConfig
+    val wh = Files.createTempDirectory("graft_autostats").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh,
+      autoComputeStatistics = true)
+    val fg = fs.createFeatureGroup("auto",
+      Seq((1L, 5.0), (2L, 7.0)).toDF("id", "x"), primaryKey = Seq("id"))
+    assert(fs.getAllStatistics(fg).select("computed_at").distinct()
+      .count() === 1, "creation ingests -> one statistics run")
+    fs.insert(fg, Seq((3L, 9.0)).toDF("id", "x"))
+    assert(fs.getAllStatistics(fg).select("computed_at").distinct()
+      .count() === 2, "insert -> a second run")
+    assert(fs.getStatistics(fg).filter("feature = 'x' AND metric = 'cnt'")
+      .head.getDouble(3) === 3.0)
+
+    // disabled group config still wins over the store flag
+    val off = fs.createFeatureGroup("auto_off",
+      Seq((1L, 1.0)).toDF("id", "x"), primaryKey = Seq("id"),
+      statisticsConfig = StatisticsConfig(enabled = false))
+    fs.insert(off, Seq((2L, 2.0)).toDF("id", "x"))
+    assert(fs.getAllStatistics(off).isEmpty)
+  }
 }
