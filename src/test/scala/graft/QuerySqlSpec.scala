@@ -102,6 +102,56 @@ class QuerySqlSpec extends SparkSpec {
       .where(("nat_n_name" like "A%") || ("c_custkey" < 100)))
   }
 
+  test("property: random IR shapes — generated SQL ≡ planner") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+      (0 until n).foreach { i =>
+        gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+      }
+    val cust = fg("customer"); val nat = fg("nation")
+    val reg = fg("region"); val ord = fg("orders")
+    val joinTypeGen =
+      Gen.oneOf(JoinType.Inner, JoinType.Left, JoinType.LeftSemi,
+        JoinType.LeftAnti)
+
+    val natQ: Gen[Query] = Gen.oneOf(true, false).map { withReg =>
+      val base = Query.select(nat, Seq("n_name"))
+      if (withReg) base.join(Query.select(reg, Seq("r_name")),
+        leftOn = Seq("n_regionkey"), rightOn = Seq("r_regionkey"),
+        prefix = Some("reg_"))
+      else base
+    }
+    val custQ: Gen[Query] = for {
+      nq <- natQ
+      jt <- joinTypeGen
+      withNation <- Gen.oneOf(true, false)
+      thr <- Gen.option(Gen.choose(0.0, 9000.0))
+    } yield {
+      val base = Query.select(cust, Seq("c_custkey", "c_name"))
+      val joined =
+        if (withNation) base.join(nq, leftOn = Seq("c_nationkey"),
+          rightOn = Seq("n_nationkey"), joinType = jt, prefix = Some("nat_"))
+        else base
+      thr.map(t => joined.where("c_acctbal" > t)).getOrElse(joined)
+    }
+    val ordQ: Gen[Query] = for {
+      cq <- custQ
+      jt <- joinTypeGen
+      thr <- Gen.choose(0.0, 300000.0)
+      useFilter <- Gen.oneOf(true, false)
+    } yield {
+      val joined = Query.select(ord, Seq("o_orderkey", "o_totalprice"))
+        .join(cq, leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"),
+          joinType = jt)
+      if (useFilter)
+        joined.where(("o_totalprice" > thr) ||
+          ("o_orderkey" in Seq(1L, 2L, 3L)))
+      else joined
+    }
+    forSamples(Gen.oneOf(custQ, ordQ), 12)(assertSame)
+  }
+
   test("time travel refuses SQL generation") {
     val q = Query.select(fg("orders"), Seq("o_orderkey")).asOf(1000L)
     intercept[QueryPlanner.PlanError](QuerySql.toSql(q))
