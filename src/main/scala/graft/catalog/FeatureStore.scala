@@ -193,10 +193,15 @@ final class FeatureStore(
     */
   def saveValidationReport(fg: FeatureGroup,
                            report: graft.ops.Validation.ValidationReport,
-                           atMillis: Long = System.currentTimeMillis()): Unit = {
+                           /** < 0 → auto: wallclock bumped past the newest
+                             * persisted run, so two rapid validations can
+                             * never merge into one "latest" report.
+                             */
+                           atMillis: Long = -1L): Unit = {
     import spark.implicits._
+    val stamp = if (atMillis >= 0) atMillis else nextReportStamp(fg)
     report.results
-      .map(r => (atMillis, report.success, r.name, r.success,
+      .map(r => (stamp, report.success, r.name, r.success,
         r.unexpectedCount, r.observedRows))
       .toDF("run_millis", "run_success", "expectation", "success",
         "unexpected_count", "observed_rows")
@@ -237,7 +242,7 @@ final class FeatureStore(
     * the history, and return it (feature_group.py validate()).
     */
   def validate(fg: FeatureGroup, df: DataFrame,
-               atMillis: Long = System.currentTimeMillis())
+               atMillis: Long = -1L)
       : graft.ops.Validation.ValidationReport = {
     val suite = getExpectationSuite(fg).getOrElse(
       throw new NoSuchElementException(
@@ -343,6 +348,15 @@ final class FeatureStore(
     else math.max(now, hist.agg(max("computed_at")).head.getLong(0) + 1)
   }
 
+  /** Same monotonic-bump contract for validation-report run stamps. */
+  private def nextReportStamp(fg: FeatureGroup): Long = {
+    import org.apache.spark.sql.functions.max
+    val now = System.currentTimeMillis()
+    val hist = getValidationHistory(fg)
+    if (hist.schema.isEmpty || hist.isEmpty) now
+    else math.max(now, hist.agg(max("run_millis")).head.getLong(0) + 1)
+  }
+
   /** Statistics computed at the LATEST run ≤ `computationTime` (or the
     * most recent run when None), optionally restricted to some features —
     * `fg.get_statistics` (python/hsfs/feature_group.py:1704-1739).
@@ -394,7 +408,11 @@ final class FeatureStore(
                      transformationRegistry:
                        Map[String, graft.ops.Transformations.Transformation]
                        = Map()): graft.view.FeatureView = {
-    val persisted = TransformPersistence.list(spark, warehouseDir)
+    // resolve ONLY the names this view references — not every persisted
+    // transformation (one FS read per referenced name, not per registered)
+    val persisted = ViewPersistence
+      .transformationNames(spark, warehouseDir, name, version)
+      .filterNot(transformationRegistry.contains)
       .flatMap(n => TransformPersistence.load(spark, warehouseDir, n))
       .map(d => d.name -> d.toTransformation).toMap
     ViewPersistence.load(spark, warehouseDir, name, version,
@@ -494,7 +512,7 @@ final class FeatureStore(
       view.name, view.version, version, format, path,
       randomWeights, timeBounds, seed, exactSizes,
       createdMillis = System.currentTimeMillis(),
-      groupSplit = groupSplit)
+      groupSplit = groupSplit, coalesce = coalesce)
     TrainingDatasetPersistence.save(spark, warehouseDir, meta)
     meta
   }
@@ -538,7 +556,8 @@ final class FeatureStore(
     val res = graft.view.TrainingDataset.build(spark, view,
       view.batchQuery(spark), meta.randomWeights, meta.timeBounds,
       meta.seed, exactSizes = meta.exactSizes, groupSplit = meta.groupSplit)
-    graft.view.TrainingDataset.write(res, meta.path, meta.format)
+    graft.view.TrainingDataset.write(res, meta.path, meta.format,
+      coalesce = meta.coalesce)
     if (res.transformationStatistics.nonEmpty)
       saveTrainingStatistics(viewName, viewVersion,
         res.transformationStatistics)

@@ -24,7 +24,9 @@ object TrainingDatasetPersistence {
       timeBounds: Map[String, (Long, Long)] = Map(),
       seed: Long = 42L, exactSizes: Boolean = false,
       createdMillis: Long = 0L,
-      groupSplit: Option[graft.ops.Splits.GroupSplit] = None) {
+      groupSplit: Option[graft.ops.Splits.GroupSplit] = None,
+      /** Persisted so recreate reproduces the original file layout. */
+      coalesce: Boolean = false) {
     /** Split names in their deterministic (sorted) order; a dataset built
       * with no split spec is the single `train` split.
       */
@@ -56,6 +58,7 @@ object TrainingDatasetPersistence {
         k -> List(lo, hi) }) ~
       ("seed" -> meta.seed) ~
       ("exactSizes" -> meta.exactSizes) ~
+      ("coalesce" -> meta.coalesce) ~
       ("createdMillis" -> meta.createdMillis) ~
       ("groupSplit" -> meta.groupSplit.map(g =>
         ("groupCol" -> g.groupCol) ~
@@ -107,6 +110,8 @@ object TrainingDatasetPersistence {
         },
         seed = num(j \ "seed"),
         exactSizes = (j \ "exactSizes") match {
+          case JBool(b) => b; case _ => false },
+        coalesce = (j \ "coalesce") match {
           case JBool(b) => b; case _ => false },
         createdMillis = num(j \ "createdMillis"),
         // absent in descriptors written before grouped splits existed

@@ -284,6 +284,12 @@ object Dedup {
       fp = nfp
       iter += 1
     }
+    // a non-fixed-point edge set is NOT a star forest — reading it as one
+    // would silently emit wrong components downstream (keep-one dedup,
+    // leakage-safe splits), so refuse instead
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge within $maxIter alternating " +
+        "star rounds — raise maxIter (convergence is O(log n) rounds)")
     // the fixed point is a star forest: every edge is (member, component
     // minimum), so components fall out without another traversal
     edges.select(col("u").as("id"), col("v").as("component"))

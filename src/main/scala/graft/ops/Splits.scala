@@ -143,35 +143,6 @@ object Splits {
   def sampleFraction(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     if (fraction >= 1.0) df else df.sample(withReplacement = false, fraction, seed)
 
-  /** Deterministic hash-threshold stratified sampling: keep a row of
-    * stratum s iff `hash(id) mod scale < floor(fractions(s) * scale)`.
-    *
-    * Unlike `df.stat.sampleBy` (RNG-driven, order- and partitioning-
-    * dependent), the decision is a pure function of the row — reproducible
-    * across runs, engines, and corpus repartitions, which is what a
-    * training-data pipeline needs for auditable class rebalancing. Pure
-    * per-row filter: zero shuffle, pushes through any downstream plan.
-    * Strata absent from `fractions` are dropped (fraction 0).
-    *
-    * @param hashFn id hash — xxhash64 by default; pass a salted
-    *               [[graft.functions.TextHash.charPolyHash]] for an
-    *               external-SQL-replayable oracle
-    */
-  /** Leakage-safe deterministic split: every GROUP (e.g. a near-dup
-    * cluster from [[Dedup.duplicateClusters]]) lands in exactly ONE
-    * split, so near-identical documents can never straddle train/test —
-    * the contamination mode a row-wise random split cannot prevent.
-    *
-    * The split decision is `hash(group) mod scale` against cumulative
-    * weight thresholds: a pure per-row function of the group key — zero
-    * shuffle, reproducible across runs/engines/repartitions, and stable
-    * under corpus growth (existing groups never migrate when new data
-    * arrives, unlike fraction-exact ranking splits).
-    *
-    * @param weights ordered (name, weight); normalized; threshold order
-    *                follows the Seq so results are deterministic
-    * @return one filtered DataFrame per split name, partitioning `df`
-    */
   /** Persistable grouped-split spec: the split decision is the salted
     * char-poly hash of the group key — no RNG, reproducible across
     * sessions and engines, so a training-dataset descriptor can store
@@ -187,6 +158,21 @@ object Splits {
         concat_ws(":", lit(spec.salt), c.cast("string"),
           reverse(c.cast("string")))))
 
+  /** Leakage-safe deterministic split: every GROUP (e.g. a near-dup
+    * cluster from [[Dedup.duplicateClusters]]) lands in exactly ONE
+    * split, so near-identical documents can never straddle train/test —
+    * the contamination mode a row-wise random split cannot prevent.
+    *
+    * The split decision is `hash(group) mod scale` against cumulative
+    * weight thresholds: a pure per-row function of the group key — zero
+    * shuffle, reproducible across runs/engines/repartitions, and stable
+    * under corpus growth (existing groups never migrate when new data
+    * arrives, unlike fraction-exact ranking splits).
+    *
+    * @param weights ordered (name, weight); normalized; threshold order
+    *                follows the Seq so results are deterministic
+    * @return one filtered DataFrame per split name, partitioning `df`
+    */
   def groupedDeterministic(df: DataFrame, groupCol: String,
                            weights: Seq[(String, Double)],
                            hashFn: Column => Column = c => xxhash64(c),
@@ -204,6 +190,20 @@ object Splits {
     }.toMap
   }
 
+  /** Deterministic hash-threshold stratified sampling: keep a row of
+    * stratum s iff `hash(id) mod scale < floor(fractions(s) * scale)`.
+    *
+    * Unlike `df.stat.sampleBy` (RNG-driven, order- and partitioning-
+    * dependent), the decision is a pure function of the row — reproducible
+    * across runs, engines, and corpus repartitions, which is what a
+    * training-data pipeline needs for auditable class rebalancing. Pure
+    * per-row filter: zero shuffle, pushes through any downstream plan.
+    * Strata absent from `fractions` are dropped (fraction 0).
+    *
+    * @param hashFn id hash — xxhash64 by default; pass a salted
+    *               [[graft.functions.TextHash.charPolyHash]] for an
+    *               external-SQL-replayable oracle
+    */
   def stratifiedDeterministic(df: DataFrame, idCol: String, stratumCol: String,
                               fractions: Map[String, Double],
                               hashFn: Column => Column = c => xxhash64(c),

@@ -188,6 +188,9 @@ object Statistics {
       i <- columns.indices
       j <- (i + 1) until columns.size
     } yield (columns(i), columns(j))
+    if (pairs.isEmpty)
+      return Seq.empty[(String, String, Double)]
+        .toDF("feature_a", "feature_b", "corr_v")
     // listwise deletion over the REQUESTED set, identical for both paths
     val complete = df.select(columns.map(col): _*).na.drop(columns)
     val m: Map[(String, String), Double] =

@@ -99,6 +99,13 @@ object Transformations {
     * (builtin_transformations.py:43-49: percentiles[49], [24], [74]).
     */
   def robustScaler(c: Column, s: FeatureStatistics): Column = {
+    // fail at PLAN time if the fit skipped quantiles (a hand-built
+    // Transformation that forgot needsQuantiles=true) — the alternative
+    // is silent NaN in every scaled row
+    require(!s.median.isNaN && !s.p25.isNaN && !s.p75.isNaN,
+      "robust scaler requires quantile statistics — set " +
+        "needsQuantiles=true on the transformation so fitStats computes " +
+        "percentiles for its input")
     val iqr = s.p75 - s.p25
     if (iqr == 0.0) c - lit(s.median) else (c - lit(s.median)) / lit(iqr)
   }

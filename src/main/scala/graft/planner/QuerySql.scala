@@ -111,12 +111,21 @@ object QuerySql {
 
       if (semiLike) {
         sawSemi = true
-        val corr = lks.zip(rks)
-          .map { case (lk, rk) => s"$tr.$rk = ${resolve(lk)}" }
+        // project ONLY the correlation keys, under reserved `_gk<i>`
+        // aliases: a subquery exposing a column with the same name as an
+        // unqualified outer reference (a USING-merged key) would capture
+        // it — inner scope wins in both dialects — and silently correlate
+        // against the wrong column
+        val inner = aliases.next()
+        val keyProj = rks.zipWithIndex
+          .map { case (rk, i) => s"$inner.$rk AS _gk$i" }.mkString(", ")
+        val corr = lks.zipWithIndex
+          .map { case (lk, i) => s"$tr._gk$i = ${resolve(lk)}" }
           .mkString(" AND ")
         val neg = if (j.joinType == JoinType.LeftAnti) "NOT " else ""
         existsConds :+=
-          s"${neg}EXISTS (SELECT 1 FROM (${sub.sql}) AS $tr WHERE $corr)"
+          s"${neg}EXISTS (SELECT 1 FROM (SELECT $keyProj FROM " +
+            s"(${sub.sql}) AS $inner) AS $tr WHERE $corr)"
         // out unchanged: semi/anti keep only left columns
       } else {
         val joinWord = j.joinType match {

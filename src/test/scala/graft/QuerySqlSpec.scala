@@ -152,6 +152,21 @@ class QuerySqlSpec extends SparkSpec {
     forSamples(Gen.oneOf(custQ, ordQ), 12)(assertSame)
   }
 
+  test("EXISTS correlation is immune to column capture after USING join") {
+    // the semi subquery exposes a column with the SAME name as the
+    // USING-merged (unqualified) outer key while correlating on a
+    // different column — without key mangling the inner o_orderkey
+    // captures the outer reference
+    val lo = Query.select(fg("orders"), Seq("o_orderkey", "o_totalprice"))
+    val hi = Query.select(fg("orders"), Seq("o_orderkey", "o_orderstatus"))
+    val probe = Query.select(fg("orders"), Seq("o_orderkey", "o_custkey"))
+      .where("o_totalprice" > 50000.0)
+    assertSame(lo.join(hi, on = Seq("o_orderkey"),
+        joinType = JoinType.Inner, prefix = Some("b_"))
+      .join(probe, leftOn = Seq("o_orderkey"), rightOn = Seq("o_custkey"),
+        joinType = JoinType.LeftSemi))
+  }
+
   test("time travel refuses SQL generation") {
     val q = Query.select(fg("orders"), Seq("o_orderkey")).asOf(1000L)
     intercept[QueryPlanner.PlanError](QuerySql.toSql(q))
