@@ -1,48 +1,84 @@
 package graft
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.SparkSessionExtensions
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Session extension registering the engine's native Catalyst expressions
-  * for SQL use (`SELECT vec_cosine(a, b) ...`):
+/** Session extension registering the engine's native expressions for SQL
+  * use (`SELECT vec_cosine(a, b) ...`, `SELECT graft_strip_markup(text)
+  * ...`):
   *
   * {{{
   * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   * // or: --conf spark.sql.extensions=graft.GraftExtensions
   * }}}
+  *
+  * The vector functions are single custom Catalyst expressions; the text
+  * functions are the engine's Column compositions re-exposed through the
+  * function registry, so `FeatureStore.sql` users get the whole text-
+  * analysis family without leaving SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
-      (args: Seq[Expression]) =>
-        VectorFunctions.DotProduct(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("vec_cosine"),
-      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
-      (args: Seq[Expression]) =>
-        VectorFunctions.CosineSimilarity(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("vec_l2"),
-      info("vec_l2", "vec_l2(a, b) - euclidean distance of two float arrays"),
-      (args: Seq[Expression]) =>
-        VectorFunctions.L2Distance(args(0), args(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
 }
 
 object GraftExtensions {
+
+  /** Adapt a 1-arg Column function to a FunctionRegistry builder (eager
+    * node conversion — see GraftSqlBridge.resolvedExpression).
+    */
+  private def one(f: Column => Column): Seq[Expression] => Expression =
+    args => GraftSqlBridge.resolvedExpression(f(GraftSqlBridge.column(args.head)))
+
+  /** Every SQL-exposed engine function: (name, usage, builder). */
+  private[graft] val functions
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - dot product of two float arrays",
+      (args: Seq[Expression]) => VectorFunctions.DotProduct(args(0), args(1))),
+    ("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays",
+      (args: Seq[Expression]) =>
+        VectorFunctions.CosineSimilarity(args(0), args(1))),
+    ("vec_l2", "vec_l2(a, b) - euclidean distance of two float arrays",
+      (args: Seq[Expression]) => VectorFunctions.L2Distance(args(0), args(1))),
+    ("graft_token_count",
+      "graft_token_count(text) - whitespace token count",
+      one(TextAnalysis.tokenCount)),
+    ("graft_bpeish_token_count",
+      "graft_bpeish_token_count(text) - BPE-ish subword token count",
+      one(TextAnalysis.bpeishTokenCount)),
+    ("graft_quality_score",
+      "graft_quality_score(text) - heuristic document quality in [0, 1]",
+      one(TextAnalysis.qualityScore)),
+    ("graft_lang_id",
+      "graft_lang_id(text) - n-gram/stopword language guess",
+      one(TextAnalysis.languageId)),
+    ("graft_fingerprint",
+      "graft_fingerprint(text) - rolling-hash fingerprint of normalized text",
+      one(TextAnalysis.fingerprint)),
+    ("graft_strip_markup",
+      "graft_strip_markup(text) - drop tags/scripts/entities, squeeze whitespace",
+      one(TextAnalysis.stripMarkup)),
+    ("graft_markup_ratio",
+      "graft_markup_ratio(text) - fraction of characters that are markup",
+      one(TextAnalysis.markupRatio)),
+    ("graft_redact_pii",
+      "graft_redact_pii(text) - mask emails, IPv4s and phone numbers",
+      one(TextAnalysis.redactPii)))
+
   /** Register the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      args => VectorFunctions.DotProduct(args(0), args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_cosine",
-      args => VectorFunctions.CosineSimilarity(args(0), args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_l2",
-      args => VectorFunctions.L2Distance(args(0), args(1)), "scala_udf")
+    functions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

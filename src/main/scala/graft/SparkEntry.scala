@@ -1142,6 +1142,23 @@ object SparkEntry {
           round(graft.ops.TextAnalysis.markupRatio(wrapped), 4)
             .as("markup_ratio"))
         .orderBy("doc_id")
+    }),
+
+    // The SQL function registry end-to-end: the engine's text family
+    // registered on the session (GraftExtensions.register) and invoked
+    // from RAW SQL — the path a FeatureStore.sql user takes. Same
+    // semantics the Column API queries prove (q27/q30/q65), here through
+    // the FunctionRegistry.
+    "q69_sql_text_functions" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      s.read.parquet(TestTables.parquet(dir, "documents"))
+        .createOrReplaceTempView("docs_sql")
+      s.sql(
+        """SELECT doc_id,
+                  graft_token_count(text) AS n_tokens,
+                  graft_fingerprint(text) AS fp,
+                  graft_redact_pii(text || ' at 10.2.3.4') AS safe
+           FROM docs_sql ORDER BY doc_id""")
     })
   )
 
@@ -2099,6 +2116,28 @@ object SparkEntry {
     // the engine produced and executed under Spark
     "q66_sql_generation" -> q66Sql,
     "q67_fg_statistics" -> q67Oracle,
+    "q69_sql_text_functions" ->
+      """SELECT doc_id,
+                len(list_filter(string_split_regex(text, '\s+'),
+                                x -> len(x) > 0)) AS n_tokens,
+                list_reduce(
+                  [0::BIGINT] || list_transform(
+                    range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                  (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS fp,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text || ' at 10.2.3.4',
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '[EMAIL]', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                    '[IP]', 'g'),
+                  '\+[0-9][0-9 ()-]{6,}[0-9]', '[PHONE]', 'g') AS safe
+         FROM (SELECT doc_id, text,
+                 array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0), ' ') AS s
+               FROM documents)
+         ORDER BY doc_id""",
     "q68_strip_markup" ->
       """WITH w AS (SELECT doc_id,
              '<html><body class="c' || doc_id || '"><p>' || text ||

@@ -41,6 +41,10 @@ final class FeatureStore(
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(String, Int), FeatureGroup]
 
+  // the engine's SQL functions (vec_*, graft_*) are part of the store's
+  // SQL surface: register them so `fs.sql` resolves them out of the box
+  graft.GraftExtensions.register(spark)
+
   CatalogPersistence.load(spark, warehouseDir).foreach { fg =>
     registry.put((fg.name, fg.version), fg)
   }

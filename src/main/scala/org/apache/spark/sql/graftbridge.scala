@@ -10,6 +10,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGERLY convert a composed Column into a catalyst expression tree
+    * (UnresolvedFunction / lambda nodes the analyzer then resolves).
+    * `expression` returns a lazy ColumnNodeExpression wrapper, which is
+    * fine inside the Dataset API but never gets converted when returned
+    * from a FunctionRegistry builder — codegen then dies on the
+    * unconverted node. Function builders must use this form.
+    */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Last micro-batch's executed physical plan of a streaming query
     * (`StreamingQueryWrapper` is `private[sql]`) — lets plan-quality specs
     * audit stateful streaming plans with the same walker as batch plans.

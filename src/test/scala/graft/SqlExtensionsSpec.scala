@@ -22,6 +22,22 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(row.getAs[Double]("l") === 0.0)
   }
 
+  test("text-analysis functions usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_token_count('one two  three') AS n,
+                graft_strip_markup('<p>Hello <b>world</b></p>&amp;') AS s,
+                graft_markup_ratio('<p>x</p>') AS r,
+                graft_redact_pii('mail a@b.co now') AS p,
+                graft_fingerprint('abc') = graft_fingerprint(' ABC ') AS f
+      """).collect().head
+    assert(row.getAs[Int]("n") === 3)
+    assert(row.getAs[String]("s") === "Hello world")
+    assert(row.getAs[Double]("r") > 0.5)
+    assert(row.getAs[String]("p") === "mail [EMAIL] now")
+    assert(row.getAs[Boolean]("f"), "fingerprint normalizes case/space")
+  }
+
   test("planner honors per-branch time travel on lake-backed groups") {
     val fs = new graft.catalog.FeatureStore(spark,
       warehouseDir = Files.createTempDirectory("graft_tt").toString)
