@@ -137,6 +137,18 @@ final case class Query(
     stamp(copy(timeTravel = Some(tt)))
   }
 
+  /** String/date form of [[asOf]] — the reference accepts `%Y%m%d…`
+    * wallclock strings, dates and epoch numbers interchangeably
+    * (constructor/query.py:299-392, util.convert_event_time_to_timestamp);
+    * same format sniffing as event-time parsing.
+    */
+  def asOf(wallclock: String): Query =
+    asOf(graft.functions.TimeFunctions.toEpochMillis(wallclock))
+
+  def asOf(wallclock: String, excludeUntil: String): Query =
+    asOf(graft.functions.TimeFunctions.toEpochMillis(wallclock),
+      Some(graft.functions.TimeFunctions.toEpochMillis(excludeUntil)))
+
   /** Add one feature to the projection
     * (python/hsfs/constructor/query.py:636-647).
     */

@@ -63,6 +63,14 @@ class SqlExtensionsSpec extends SparkSpec {
     val latest = QueryPlanner.plan(spark, Query.selectAll(fg))
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(latest.toSeq === Seq((1L, "v2"), (2L, "w1"), (3L, "x1")))
+
+    // string-wallclock form resolves through the same format sniffing
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    val asOfStr = QueryPlanner.plan(spark,
+        Query.selectAll(fg).asOf(fmt.format(java.time.Instant.ofEpochMilli(t1))))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(asOfStr.toSeq === asOf.toSeq)
   }
 
   test("as_of stamps nested join branches unless they carry their own") {
