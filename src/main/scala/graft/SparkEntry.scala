@@ -1159,6 +1159,36 @@ object SparkEntry {
                   graft_fingerprint(text) AS fp,
                   graft_redact_pii(text || ' at 10.2.3.4') AS safe
            FROM docs_sql ORDER BY doc_id""")
+    }),
+
+    // Incremental distinct-count monitoring: one HLL sketch per day of
+    // events (mergeable ~KB binaries — at 100 TB you sketch each new
+    // commit once and NEVER rescan history), distinct users over window
+    // ranges answered by sketch union. Sketches are RNG-free, so the
+    // estimate is deterministic; the oracle gates it against the exact
+    // distinct count at ±5% (HLL lgK=12 σ≈1.6%), q44-recall-floor style.
+    "q70_distinct_sketch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Monitoring
+      val unit = 86400L * 1000L * 1000L * 1000L // one day of nanos
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val sketches = Monitoring.distinctSketches(ev, "ts", "user_id", unit)
+        .localCheckpoint(true)
+      val b = sketches.agg(min("window"), max("window")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val estAll = Monitoring.estimateDistinct(sketches, lo, hi)
+      val estWeek = Monitoring.estimateDistinct(sketches, lo, lo + 6)
+      val days = ev.select(
+        expr(s"CAST(ts AS BIGINT) div $unit").as("w"), col("user_id"))
+      val exactAll = days.agg(countDistinct("user_id")).head.getLong(0)
+      val exactWeek = days.filter(col("w") <= lo + 6)
+        .agg(countDistinct("user_id")).head.getLong(0)
+      def ok(est: Long, exact: Long) =
+        exact > 0 && math.abs(est - exact).toDouble / exact <= 0.05
+      Seq(("all_days", exactAll, ok(estAll, exactAll)),
+          ("first_week", exactWeek, ok(estWeek, exactWeek)))
+        .toDF("span", "exact_distinct", "sketch_within_5pct")
+        .orderBy("span")
     })
   )
 
@@ -2116,6 +2146,19 @@ object SparkEntry {
     // the engine produced and executed under Spark
     "q66_sql_generation" -> q66Sql,
     "q67_fg_statistics" -> q67Oracle,
+    "q70_distinct_sketch" ->
+      """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS w, user_id
+                    FROM events),
+         lo AS (SELECT min(w) AS lo FROM d)
+         SELECT * FROM (
+           SELECT 'all_days' AS span,
+                  count(DISTINCT user_id) AS exact_distinct,
+                  true AS sketch_within_5pct
+           FROM d
+           UNION ALL
+           SELECT 'first_week', count(DISTINCT user_id), true
+           FROM d, lo WHERE d.w <= lo.lo + 6)
+         ORDER BY span""",
     "q69_sql_text_functions" ->
       """SELECT doc_id,
                 len(list_filter(string_split_regex(text, '\s+'),

@@ -259,4 +259,35 @@ object Monitoring {
       fired
     }
   }
+
+  // -------------------------------------------------------------------
+  // Incremental distinct-count monitoring via HLL sketches
+  // -------------------------------------------------------------------
+
+  /** One HLL sketch per time window over `valueCol` — the MERGEABLE form
+    * of a distinct count. At 100 TB the win is incremental maintenance:
+    * sketch each new window (or commit) ONCE as it lands, persist the
+    * ~KB-sized binaries, and answer "distinct users over any window
+    * range" by unioning sketches — never by rescanning history the way a
+    * COUNT(DISTINCT) over a rolling window must. Sketches are
+    * deterministic (no RNG), so estimates are reproducible.
+    *
+    * @param timeCol   epoch time column (any integral unit)
+    * @param unitsPerWindow window width in `timeCol`'s own unit
+    * @return (window, sketch) — one row per occupied window
+    */
+  def distinctSketches(df: DataFrame, timeCol: String, valueCol: String,
+                       unitsPerWindow: Long): DataFrame =
+    df.groupBy((col(timeCol) / lit(unitsPerWindow)).cast("long").as("window"))
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+
+  /** Union the sketches of windows in `[fromWindow, toWindow]` and
+    * estimate the distinct count — one tiny scan over persisted sketch
+    * rows, zero touches of the underlying data.
+    */
+  def estimateDistinct(sketches: DataFrame,
+                       fromWindow: Long, toWindow: Long): Long =
+    sketches.filter(col("window").between(fromWindow, toWindow))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      .head.getLong(0)
 }

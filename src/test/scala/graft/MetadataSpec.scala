@@ -156,6 +156,24 @@ class MetadataSpec extends SparkSpec {
     }
   }
 
+  test("distinct sketches merge to the window union; estimate tracks exact") {
+    import graft.ops.Monitoring
+    // 3 windows x overlapping user sets; union across windows must count
+    // each user once, and per-window estimates must be near-exact at this
+    // cardinality
+    val rows = (0 until 300).map { i =>
+      (i.toLong * 10L, s"user_${i % 100}") // windows of 1000 units -> 3 windows
+    }
+    val df = rows.toDF("t", "uid")
+    val sk = Monitoring.distinctSketches(df, "t", "uid", 1000L)
+    assert(sk.count() === 3)
+    val all = Monitoring.estimateDistinct(sk, 0L, 2L)
+    val first = Monitoring.estimateDistinct(sk, 0L, 0L)
+    // exact: 100 distinct users overall; first window holds users 0..99 too
+    assert(math.abs(all - 100L) <= 3, s"union estimate $all")
+    assert(math.abs(first - 100L) <= 3, s"single-window estimate $first")
+  }
+
   test("monitoring engine: config CRUD, due-schedule, one-pass run, results") {
     import Monitoring._
     val wh = Files.createTempDirectory("graft_mon").toString
