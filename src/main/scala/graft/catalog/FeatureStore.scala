@@ -479,12 +479,22 @@ final class FeatureStore(
     */
   def saveTrainingStatistics(
       viewName: String, version: Int,
-      stats: Map[String, graft.ops.Transformations.FeatureStatistics]): Unit =
-    StatsPersistence.save(spark, warehouseDir, viewName, version, stats)
+      stats: Map[String, graft.ops.Transformations.FeatureStatistics],
+      trainingDatasetVersion: Option[Int] = None): Unit =
+    StatsPersistence.save(spark, warehouseDir, viewName, version, stats,
+      trainingDatasetVersion)
 
-  def getTrainingStatistics(viewName: String, version: Int = 1)
+  /** Fitted statistics to serve with — per training-dataset version when
+    * given (the reference's `init_serving(training_dataset_version)`
+    * contract), falling back to the view-level latest.
+    */
+  def getTrainingStatistics(viewName: String, version: Int = 1,
+                            trainingDatasetVersion: Option[Int] = None)
       : Option[Map[String, graft.ops.Transformations.FeatureStatistics]] =
-    StatsPersistence.load(spark, warehouseDir, viewName, version)
+    trainingDatasetVersion
+      .flatMap(td => StatsPersistence.load(spark, warehouseDir, viewName,
+        version, Some(td)))
+      .orElse(StatsPersistence.load(spark, warehouseDir, viewName, version))
 
   // -- training datasets (materialized, versioned) -------------------------
 
@@ -509,9 +519,14 @@ final class FeatureStore(
     val path =
       s"$warehouseDir/training_datasets/${view.name}_${view.version}/$version"
     graft.view.TrainingDataset.write(res, path, format, coalesce = coalesce)
-    if (res.transformationStatistics.nonEmpty)
+    if (res.transformationStatistics.nonEmpty) {
+      // per-td (serving can pin this dataset's distribution) AND the
+      // view-level latest (the default serving path)
+      saveTrainingStatistics(view.name, view.version,
+        res.transformationStatistics, Some(version))
       saveTrainingStatistics(view.name, view.version,
         res.transformationStatistics)
+    }
     val meta = TrainingDatasetPersistence.TrainingDatasetMeta(
       view.name, view.version, version, format, path,
       randomWeights, timeBounds, seed, exactSizes,
@@ -562,9 +577,11 @@ final class FeatureStore(
       meta.seed, exactSizes = meta.exactSizes, groupSplit = meta.groupSplit)
     graft.view.TrainingDataset.write(res, meta.path, meta.format,
       coalesce = meta.coalesce)
+    // per-td only: rematerializing an OLD version must not clobber the
+    // view-level "latest" another (newer) dataset established
     if (res.transformationStatistics.nonEmpty)
       saveTrainingStatistics(viewName, viewVersion,
-        res.transformationStatistics)
+        res.transformationStatistics, Some(version))
     val updated = meta.copy(createdMillis = System.currentTimeMillis())
     TrainingDatasetPersistence.save(spark, warehouseDir, updated)
     updated

@@ -41,8 +41,19 @@ object StatsPersistence {
     case other      => JsonMethods.compact(JsonMethods.render(other))
   }
 
+  /** File key: view-level latest (no td), or one file per
+    * training-dataset version — the reference binds statistics per
+    * TRAINING DATASET (init_serving(training_dataset_version),
+    * core/vector_server.py:924-978), so two datasets of one view must
+    * not overwrite each other's distributions.
+    */
+  private def fileOf(viewName: String, version: Int,
+                     tdVersion: Option[Int]): String =
+    s"${viewName}_$version${tdVersion.map(td => s"_td$td").getOrElse("")}.json"
+
   def save(spark: SparkSession, warehouseDir: String, viewName: String,
-           version: Int, stats: Map[String, FeatureStatistics]): Unit = {
+           version: Int, stats: Map[String, FeatureStatistics],
+           tdVersion: Option[Int] = None): Unit = {
     val j: JValue = JObject(stats.toList.map { case (feature, s) =>
       feature -> (
         ("min" -> s.min) ~ ("max" -> s.max) ~ ("mean" -> s.mean) ~
@@ -52,17 +63,19 @@ object StatsPersistence {
         : JValue)
     })
     val (fs, _) = fsOf(spark, dir(warehouseDir))
-    val out = fs.create(
-      new Path(s"${dir(warehouseDir)}/${viewName}_$version.json"), true)
+    val out = fs.create(new Path(
+      s"${dir(warehouseDir)}/${fileOf(viewName, version, tdVersion)}"), true)
     try out.write(JsonMethods.compact(JsonMethods.render(j))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   def load(spark: SparkSession, warehouseDir: String, viewName: String,
-           version: Int): Option[Map[String, FeatureStatistics]] = {
+           version: Int,
+           tdVersion: Option[Int] = None): Option[Map[String, FeatureStatistics]] = {
     val (fs, _) = fsOf(spark, dir(warehouseDir))
-    val p = new Path(s"${dir(warehouseDir)}/${viewName}_$version.json")
+    val p = new Path(
+      s"${dir(warehouseDir)}/${fileOf(viewName, version, tdVersion)}")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

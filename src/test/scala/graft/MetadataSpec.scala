@@ -588,6 +588,36 @@ class MetadataSpec extends SparkSpec {
     assert(fs2.getAllStatistics(off).isEmpty)
   }
 
+  test("training statistics are versioned per training dataset") {
+    import graft.ir.Query
+    import graft.ops.Transformations
+    val wh = Files.createTempDirectory("graft_tdstats").toString
+    val fs = new graft.catalog.FeatureStore(spark, warehouseDir = wh)
+    def fg(t: String) = graft.catalog.TestTables.fg(spark, sfDir, t)
+    val view = graft.view.FeatureView("tdvstats", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_acctbal")),
+      transformations = Seq(
+        Transformations.builtin("mm", "min_max_scaler", "c_acctbal")))
+    fs.saveFeatureView(view)
+    // td1 fits on a low-balance subset, td2 on everything: different
+    // training distributions that must BOTH stay retrievable
+    fs.createTrainingDataset(view.copy(query =
+        view.query.where(graft.ir.Dsl.FeatureOps("c_acctbal") < 0.0)), 1)
+    fs.createTrainingDataset(view, 2)
+    val s1 = fs.getTrainingStatistics("tdvstats", 1, Some(1)).get("c_acctbal")
+    val s2 = fs.getTrainingStatistics("tdvstats", 1, Some(2)).get("c_acctbal")
+    assert(s1.max < s2.max, "td1 (negative balances only) has a lower max")
+    // default = view-level latest (the most recent create), td fallback
+    // (compare (min, max, mean): quantile fields are NaN — min-max fits
+    // skip them — and NaN breaks case-class equality)
+    def key(s: Transformations.FeatureStatistics) = (s.min, s.max, s.mean)
+    assert(key(fs.getTrainingStatistics("tdvstats", 1).get("c_acctbal"))
+      === key(s2))
+    assert(key(fs.getTrainingStatistics("tdvstats", 1, Some(99))
+      .get("c_acctbal")) === key(s2),
+      "unknown td falls back to the view-level latest")
+  }
+
   test("auto statistics on ingestion when the store opts in") {
     import graft.model.StatisticsConfig
     val wh = Files.createTempDirectory("graft_autostats").toString
