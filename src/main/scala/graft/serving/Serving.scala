@@ -27,6 +27,32 @@ final class FeatureVectorServer(
 
   private val lf = view.query.leftFeatureGroup
 
+  /** The keys a [[getFeatureVectors]] caller interacts with — the
+    * reference's serving-key surface (serving_key.py:26-47,
+    * feature_view.py serving_keys): the left group's primary-key columns
+    * are REQUIRED (every lookup is driven off them); each join's right
+    * key is derived from the left lookup through `joinOn`, so it is
+    * informational (required=false) — the caller never passes it.
+    */
+  def servingKeys: Seq[FeatureVectorServer.ServingKey] = {
+    val required = lf.primaryKey.map(k =>
+      FeatureVectorServer.ServingKey(k, lf.name, required = true))
+    val derived = view.query.joins.zipWithIndex.flatMap { case (j, i) =>
+      val rfg = j.right.leftFeatureGroup
+      val joinKeys =
+        if (j.on.nonEmpty) j.on
+        else if (j.leftOn.nonEmpty) j.leftOn
+        else lf.primaryKey.filter(rfg.primaryKey.contains)
+      val rightKeys = if (j.rightOn.nonEmpty) j.rightOn else joinKeys
+      rightKeys.zip(joinKeys).map { case (rk, lk) =>
+        FeatureVectorServer.ServingKey(rk, rfg.name, required = false,
+          prefix = j.prefix.getOrElse(""), joinIndex = i + 1,
+          joinOn = Seq(lk))
+      }
+    }
+    required ++ derived
+  }
+
   // The DEFAULT lookup path semi-prunes each snapshot to the requested
   // keys BELOW the latest-per-key window — a 10-key lookup against a
   // 100 TB group touches only matching key partitions and never windows
@@ -231,6 +257,20 @@ final class FeatureVectorServer(
   * log table; read back with time filters
   * (reference core/feature_view_engine.py:971-1107, core/feature_logging.py).
   */
+object FeatureVectorServer {
+  /** One serving-key descriptor (serving_key.py:26-47): which column a
+    * caller passes (or which is derived), from which group, under which
+    * join prefix, and which left-side column feeds it (`joinOn`).
+    */
+  final case class ServingKey(
+      featureName: String,
+      featureGroup: String,
+      required: Boolean,
+      prefix: String = "",
+      joinIndex: Int = 0,
+      joinOn: Seq[String] = Nil)
+}
+
 object FeatureLogging {
   import graft.sources.Lake
 

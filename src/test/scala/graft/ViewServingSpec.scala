@@ -425,4 +425,20 @@ class ViewServingSpec extends SparkSpec {
     assert(row.length === 1)
     assert(row.head.getAs[String]("nat_n_name") != null)
   }
+
+  test("serving: serving keys mark the left PK required, joined keys derived") {
+    val view = graft.view.FeatureView("sk", 1,
+      Query.select(fg("customer"), Seq("c_custkey", "c_name"))
+        .join(Query.select(fg("nation"), Seq("n_name")),
+          leftOn = Seq("c_nationkey"), rightOn = Seq("n_nationkey"),
+          prefix = Some("nat_")))
+    val keys = new graft.serving.FeatureVectorServer(spark, view).servingKeys
+    val required = keys.filter(_.required)
+    assert(required.map(_.featureName) === Seq("c_custkey"))
+    assert(required.head.featureGroup === "customer")
+    val derived = keys.filterNot(_.required)
+    assert(derived.map(k =>
+      (k.featureName, k.featureGroup, k.prefix, k.joinIndex, k.joinOn)) ===
+      Seq(("n_nationkey", "nation", "nat_", 1, Seq("c_nationkey"))))
+  }
 }
