@@ -204,6 +204,7 @@ final class FeatureStore(
                            atMillis: Long = -1L): Unit = {
     import spark.implicits._
     val stamp = if (atMillis >= 0) atMillis else nextReportStamp(fg)
+    noteStamp(s"report:${fg.id}", stamp)
     report.results
       .map(r => (stamp, report.success, r.name, r.success,
         r.unexpectedCount, r.observedRows))
@@ -336,30 +337,53 @@ final class FeatureStore(
       .reduce(_ unionByName _)
       .select(lit(atMillis).as("computed_at"), col("feature"),
         col("metric"), col("value"))
+    noteStamp(s"stats:${fg.id}", atMillis)
     batch.write.mode("append").parquet(fgStatsDir(fg))
     spark.read.parquet(fgStatsDir(fg))
       .filter(col("computed_at") === atMillis)
   }
 
-  /** Wallclock stamp, bumped past the newest persisted run so two
-    * ingests inside one millisecond never merge into one logical run.
+  /** Last issued run stamp per (kind, group): the persisted history is
+    * consulted ONCE per store instance — per-ingest stamping must not
+    * rescan a history that grows with every ingest (O(n²) cumulative I/O
+    * on the hot path).
     */
-  private def nextStatsStamp(fg: FeatureGroup): Long = {
-    import org.apache.spark.sql.functions.max
+  private val stampCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def bumpStamp(key: String, historyMax: => Option[Long]): Long = {
     val now = System.currentTimeMillis()
-    val hist = getAllStatistics(fg)
-    if (hist.isEmpty) now
-    else math.max(now, hist.agg(max("computed_at")).head.getLong(0) + 1)
+    val last = stampCache.get(key).orElse(historyMax)
+    val stamp = last.map(l => math.max(now, l + 1)).getOrElse(now)
+    stampCache.put(key, stamp)
+    stamp
   }
 
+  /** Record an explicitly-chosen stamp so later default-stamped runs stay
+    * monotonic past it.
+    */
+  private def noteStamp(key: String, stamp: Long): Unit =
+    stampCache.put(key, math.max(stampCache.getOrElse(key, 0L), stamp))
+
+  /** Wallclock stamp, bumped past the newest run so two ingests inside
+    * one millisecond never merge into one logical run.
+    */
+  private def nextStatsStamp(fg: FeatureGroup): Long =
+    bumpStamp(s"stats:${fg.id}", {
+      import org.apache.spark.sql.functions.max
+      val hist = getAllStatistics(fg)
+      if (hist.isEmpty) None
+      else Some(hist.agg(max("computed_at")).head.getLong(0))
+    })
+
   /** Same monotonic-bump contract for validation-report run stamps. */
-  private def nextReportStamp(fg: FeatureGroup): Long = {
-    import org.apache.spark.sql.functions.max
-    val now = System.currentTimeMillis()
-    val hist = getValidationHistory(fg)
-    if (hist.schema.isEmpty || hist.isEmpty) now
-    else math.max(now, hist.agg(max("run_millis")).head.getLong(0) + 1)
-  }
+  private def nextReportStamp(fg: FeatureGroup): Long =
+    bumpStamp(s"report:${fg.id}", {
+      import org.apache.spark.sql.functions.max
+      val hist = getValidationHistory(fg)
+      if (hist.schema.isEmpty || hist.isEmpty) None
+      else Some(hist.agg(max("run_millis")).head.getLong(0))
+    })
 
   /** Statistics computed at the LATEST run ≤ `computationTime` (or the
     * most recent run when None), optionally restricted to some features —
@@ -412,15 +436,13 @@ final class FeatureStore(
                      transformationRegistry:
                        Map[String, graft.ops.Transformations.Transformation]
                        = Map()): graft.view.FeatureView = {
-    // resolve ONLY the names this view references — not every persisted
-    // transformation (one FS read per referenced name, not per registered)
-    val persisted = ViewPersistence
-      .transformationNames(spark, warehouseDir, name, version)
-      .filterNot(transformationRegistry.contains)
-      .flatMap(n => TransformPersistence.load(spark, warehouseDir, n))
-      .map(d => d.name -> d.toTransformation).toMap
+    // ONE read of the view file; names missing from the caller's registry
+    // resolve lazily from the persisted transformation store — never a
+    // load of every registered transformation
     ViewPersistence.load(spark, warehouseDir, name, version,
-        persisted ++ transformationRegistry)
+        transformationRegistry,
+        resolve = n => TransformPersistence.load(spark, warehouseDir, n)
+          .map(_.toTransformation))
       .getOrElse(throw new NoSuchElementException(
         s"feature view $name v$version"))
   }

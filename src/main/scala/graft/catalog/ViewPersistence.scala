@@ -186,12 +186,17 @@ object ViewPersistence {
   }
 
   /** Load a view; `transformationRegistry` resolves persisted
-    * transformation names back to their registered implementations.
+    * transformation names back to their registered implementations, and
+    * `resolve` supplies any name missing from the registry (e.g. lazy
+    * lookup in the persisted transformation store — consulted only for
+    * the names THIS view references, in one read of the view file).
     */
   def load(spark: SparkSession, warehouseDir: String, name: String,
            version: Int,
            transformationRegistry: Map[String, Transformations.Transformation]
-             = Map()): Option[FeatureView] = {
+             = Map(),
+           resolve: String => Option[Transformations.Transformation]
+             = _ => None): Option[FeatureView] = {
     val (fs, _) = fsOf(spark, dir(warehouseDir))
     val p = new Path(s"${dir(warehouseDir)}/${name}_$version.json")
     if (!fs.exists(p)) None
@@ -204,7 +209,11 @@ object ViewPersistence {
       def strs(v: JValue): Seq[String] =
         v match { case JArray(xs) => xs.flatMap(str); case _ => Nil }
       val wanted = strs(j \ "transformations")
-      val missing = wanted.filterNot(transformationRegistry.contains)
+      val resolved: Map[String, Transformations.Transformation] =
+        wanted.flatMap { n =>
+          transformationRegistry.get(n).orElse(resolve(n)).map(n -> _)
+        }.toMap
+      val missing = wanted.filterNot(resolved.contains)
       require(missing.isEmpty,
         s"view $name v$version references transformations " +
           s"${missing.mkString(", ")} — pass them in transformationRegistry " +
@@ -218,7 +227,7 @@ object ViewPersistence {
         labels = strs(j \ "labels"),
         inferenceHelperColumns = strs(j \ "inferenceHelperColumns"),
         trainingHelperColumns = strs(j \ "trainingHelperColumns"),
-        transformations = wanted.map(transformationRegistry)))
+        transformations = wanted.map(resolved)))
     }
   }
 

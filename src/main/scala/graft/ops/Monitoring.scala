@@ -278,7 +278,11 @@ object Monitoring {
     */
   def distinctSketches(df: DataFrame, timeCol: String, valueCol: String,
                        unitsPerWindow: Long): DataFrame =
-    df.groupBy((col(timeCol) / lit(unitsPerWindow)).cast("long").as("window"))
+    // integral `div`, NOT double division: epoch nanos (~1.7e18) exceed
+    // a double's 2^53 exact range, so `/` + cast misplaces events within
+    // ~128 ns of a window boundary
+    df.groupBy(expr(s"CAST($timeCol AS BIGINT) div $unitsPerWindow")
+        .as("window"))
       .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
 
   /** Union the sketches of windows in `[fromWindow, toWindow]` and
@@ -286,8 +290,11 @@ object Monitoring {
     * rows, zero touches of the underlying data.
     */
   def estimateDistinct(sketches: DataFrame,
-                       fromWindow: Long, toWindow: Long): Long =
-    sketches.filter(col("window").between(fromWindow, toWindow))
+                       fromWindow: Long, toWindow: Long): Long = {
+    val row = sketches.filter(col("window").between(fromWindow, toWindow))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
-      .head.getLong(0)
+      .head
+    // zero sketch rows in range → NULL union → 0 distinct, not an NPE
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
 }
