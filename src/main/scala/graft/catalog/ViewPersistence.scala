@@ -164,27 +164,6 @@ object ViewPersistence {
     finally out.close()
   }
 
-  /** Just the transformation NAMES a persisted view references (empty if
-    * the view doesn't exist) — callers resolve only those from the
-    * transformation store instead of loading every persisted definition.
-    */
-  def transformationNames(spark: SparkSession, warehouseDir: String,
-                          name: String, version: Int): Seq[String] = {
-    val (fs, _) = fsOf(spark, dir(warehouseDir))
-    val p = new Path(s"${dir(warehouseDir)}/${name}_$version.json")
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      val txt =
-        try new String(in.readAllBytes, java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      (JsonMethods.parse(txt) \ "transformations") match {
-        case JArray(xs) => xs.flatMap(str)
-        case _          => Nil
-      }
-    }
-  }
-
   /** Load a view; `transformationRegistry` resolves persisted
     * transformation names back to their registered implementations, and
     * `resolve` supplies any name missing from the registry (e.g. lazy

@@ -172,6 +172,8 @@ class MetadataSpec extends SparkSpec {
     // exact: 100 distinct users overall; first window holds users 0..99 too
     assert(math.abs(all - 100L) <= 3, s"union estimate $all")
     assert(math.abs(first - 100L) <= 3, s"single-window estimate $first")
+    // a quiet range reports zero distinct, not a crash on the null union
+    assert(Monitoring.estimateDistinct(sk, 50L, 60L) === 0L)
   }
 
   test("monitoring engine: config CRUD, due-schedule, one-pass run, results") {

@@ -36,6 +36,13 @@ class SqlExtensionsSpec extends SparkSpec {
     assert(row.getAs[Double]("r") > 0.5)
     assert(row.getAs[String]("p") === "mail [EMAIL] now")
     assert(row.getAs[Boolean]("f"), "fingerprint normalizes case/space")
+
+    // wrong arity is an analysis error, not silently-dropped arguments
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_token_count('a', 'b')").collect())
+    assert(e.getMessage.contains("graft_token_count"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT vec_dot(array(1.0F))").collect())
   }
 
   test("planner honors per-branch time travel on lake-backed groups") {
