@@ -1189,6 +1189,20 @@ object SparkEntry {
           ("first_week", exactWeek, ok(estWeek, exactWeek)))
         .toDF("span", "exact_distinct", "sketch_within_5pct")
         .orderBy("span")
+    }),
+
+    // Per-group quantile gate: keep the top 30% of documents BY TOKEN
+    // COUNT within each language — threshold from one agg pass, broadcast
+    // back, row-local keep decision (no per-group windows). Exact
+    // percentiles here so DuckDB's quantile_cont replays the thresholds.
+    "q71_top_fraction" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .withColumn("n_tokens",
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long"))
+      graft.ops.Splits.topFractionByGroup(docs, "lang", "n_tokens",
+          fraction = 0.3, exact = true)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
     })
   )
 
@@ -2146,6 +2160,17 @@ object SparkEntry {
     // the engine produced and executed under Spark
     "q66_sql_generation" -> q66Sql,
     "q67_fg_statistics" -> q67Oracle,
+    "q71_top_fraction" ->
+      """WITH t AS (SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0))::BIGINT AS n_tokens
+           FROM documents),
+         thr AS (SELECT lang, quantile_cont(n_tokens, 0.7) AS q
+                 FROM t GROUP BY lang)
+         SELECT doc_id, t.lang, n_tokens
+         FROM t JOIN thr ON t.lang = thr.lang
+         WHERE n_tokens >= q
+         ORDER BY doc_id""",
     "q70_distinct_sketch" ->
       """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS w, user_id
                     FROM events),

@@ -190,6 +190,33 @@ object Splits {
     }.toMap
   }
 
+  /** Keep the top `fraction` of rows by score WITHIN each group — the
+    * corpus-curation gate "best 30% of documents per language". One
+    * aggregation pass computes each group's quantile threshold; the tiny
+    * per-group threshold table broadcasts back and the keep decision is a
+    * row-local comparison — never a global (or per-group) rank/window
+    * over the corpus. Rows tied with the threshold are kept.
+    *
+    * @param exact exact percentiles (oracle-replayable; buffers distinct
+    *              values per partition) vs percentile_approx (the 100 TB
+    *              default)
+    */
+  def topFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                         fraction: Double,
+                         exact: Boolean = false): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, "fraction must be in (0, 1]")
+    if (fraction == 1.0) return df
+    val q = 1.0 - fraction
+    val thrExpr =
+      if (exact) expr(s"percentile($scoreCol, $q)")
+      else percentile_approx(col(scoreCol), lit(q), lit(10000))
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(thrExpr.cast("double").as("_thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol).cast("double") >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** Deterministic hash-threshold stratified sampling: keep a row of
     * stratum s iff `hash(id) mod scale < floor(fractions(s) * scale)`.
     *

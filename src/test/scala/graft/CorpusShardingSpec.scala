@@ -67,6 +67,23 @@ class CorpusShardingSpec extends SparkSpec {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("topFractionByGroup keeps each group's top slice with ties") {
+    // group a: scores 1..10 (top 30% -> exact-percentile threshold 7.3
+    //          -> keep 8, 9, 10); group b: all equal -> everything ties
+    //          at the threshold and survives
+    val df = ((1 to 10).map(i => ("a", i.toLong, s"a$i")) ++
+      (1 to 4).map(i => ("b", 5L, s"b$i"))).toDF("g", "score", "id")
+    val kept = Splits.topFractionByGroup(df, "g", "score", 0.3, exact = true)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("a8", "a9", "a10", "b1", "b2", "b3", "b4"))
+    // fraction 1.0 is the identity
+    assert(Splits.topFractionByGroup(df, "g", "score", 1.0).count() === 14)
+    // approx path agrees on this tiny input
+    val approx = Splits.topFractionByGroup(df, "g", "score", 0.3)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(approx.filter(_.startsWith("b")) === Set("b1", "b2", "b3", "b4"))
+  }
+
   test("tokenBudgetBins matches a single-window prefix sum") {
     val n = 500
     val df = (0 until n).map { i =>
