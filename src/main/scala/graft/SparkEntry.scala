@@ -1106,7 +1106,11 @@ object SparkEntry {
     "q67_fg_statistics" -> ((s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft_q67").toString
       val fs = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      // only the columns the statistics touch ride into the lake — the
+      // lifecycle under test is compute/persist/retrieve, not the cost of
+      // copying five unread columns twice
       val orders = s.read.parquet(TestTables.parquet(dir, "orders"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       val cfg = graft.model.StatisticsConfig(exactUniqueness = true,
         correlations = true, columns = Seq("o_custkey", "o_totalprice"))
       val full = fs.createFeatureGroup("orders_stats", orders,
