@@ -197,6 +197,11 @@ object Splits {
     * row-local comparison — never a global (or per-group) rank/window
     * over the corpus. Rows tied with the threshold are kept.
     *
+    * Null handling: rows with a null score never reach any top slice
+    * (null >= threshold is never true), and rows with a null GROUP are
+    * dropped (no group, no threshold) — both the right default for
+    * corpus curation, where null language/score means unscorable.
+    *
     * @param exact exact percentiles (oracle-replayable; buffers distinct
     *              values per partition) vs percentile_approx (the 100 TB
     *              default)
