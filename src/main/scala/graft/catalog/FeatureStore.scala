@@ -351,19 +351,35 @@ final class FeatureStore(
   private val stampCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** Serializes stamp issuance: a get-then-put on the TrieMap is not
+    * atomic, and two concurrent auto-stamped runs reading the same last
+    * value would issue identical stamps — merging two runs into one
+    * logical "latest", exactly what the monotonic bump exists to prevent.
+    */
+  private val stampLock = new Object
+
   private def bumpStamp(key: String, historyMax: => Option[Long]): Long = {
-    val now = System.currentTimeMillis()
-    val last = stampCache.get(key).orElse(historyMax)
-    val stamp = last.map(l => math.max(now, l + 1)).getOrElse(now)
-    stampCache.put(key, stamp)
-    stamp
+    // The history scan may run a Spark job — evaluate it outside the lock,
+    // and only when the cache has never been primed for this key. A stale
+    // value is harmless: issuance below re-reads the cache under the lock,
+    // so a concurrent bump always wins over the history snapshot.
+    val hist = if (stampCache.contains(key)) None else historyMax
+    stampLock.synchronized {
+      val now = System.currentTimeMillis()
+      val last = stampCache.get(key).orElse(hist)
+      val stamp = last.map(l => math.max(now, l + 1)).getOrElse(now)
+      stampCache.put(key, stamp)
+      stamp
+    }
   }
 
   /** Record an explicitly-chosen stamp so later default-stamped runs stay
     * monotonic past it.
     */
   private def noteStamp(key: String, stamp: Long): Unit =
-    stampCache.put(key, math.max(stampCache.getOrElse(key, 0L), stamp))
+    stampLock.synchronized {
+      stampCache.put(key, math.max(stampCache.getOrElse(key, 0L), stamp))
+    }
 
   /** Wallclock stamp, bumped past the newest run so two ingests inside
     * one millisecond never merge into one logical run.

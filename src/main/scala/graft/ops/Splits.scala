@@ -205,21 +205,38 @@ object Splits {
     * @param exact exact percentiles (oracle-replayable; buffers distinct
     *              values per partition) vs percentile_approx (the 100 TB
     *              default)
+    * @param maxBroadcastGroups broadcast the threshold table only when the
+    *              group cardinality (one cheap column-pruned
+    *              approx_count_distinct probe) stays at or below this —
+    *              right for languages/domains; a per-URL group column
+    *              would OOM the driver, so above the cap the hint is
+    *              dropped and AQE picks the join strategy. Pass
+    *              `Int.MaxValue` to skip the probe and always broadcast,
+    *              `0` to never broadcast.
     */
   def topFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
                          fraction: Double,
-                         exact: Boolean = false): DataFrame = {
+                         exact: Boolean = false,
+                         maxBroadcastGroups: Int = 100000): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, "fraction must be in (0, 1]")
     if (fraction == 1.0) return df
     val q = 1.0 - fraction
+    val score = s"`${scoreCol.replace("`", "``")}`"
     val thrExpr =
-      if (exact) expr(s"percentile($scoreCol, $q)")
+      if (exact) expr(s"percentile($score, $q)")
       else percentile_approx(col(scoreCol), lit(q), lit(10000))
+    val thrCol = Iterator.from(0).map(i => s"_graft_thr$i")
+      .find(n => !df.columns.contains(n)).get
     val thresholds = df.groupBy(col(groupCol))
-      .agg(thrExpr.cast("double").as("_thr"))
-    df.join(broadcast(thresholds), Seq(groupCol))
-      .filter(col(scoreCol).cast("double") >= col("_thr"))
-      .drop("_thr")
+      .agg(thrExpr.cast("double").as(thrCol))
+    val useBroadcast =
+      maxBroadcastGroups == Int.MaxValue || (maxBroadcastGroups > 0 &&
+        df.select(approx_count_distinct(col(groupCol))).head.getLong(0)
+          <= maxBroadcastGroups)
+    val right = if (useBroadcast) broadcast(thresholds) else thresholds
+    df.join(right, Seq(groupCol))
+      .filter(col(scoreCol).cast("double") >= col(thrCol))
+      .drop(thrCol)
   }
 
   /** Deterministic hash-threshold stratified sampling: keep a row of

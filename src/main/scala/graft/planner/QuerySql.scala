@@ -63,7 +63,26 @@ object QuerySql {
 
     val leftSelected: Seq[String] =
       if (q.features.nonEmpty) q.features.map(_.name)
-      else if (fg.featureNames.nonEmpty) fg.featureNames
+      else if (fg.featureNames.nonEmpty) {
+        // Select-all parity guard: QueryPlanner.plan expands an empty
+        // projection to the MATERIALIZED frame's columns, while generated
+        // SQL can only name the DECLARED features. When the physical
+        // schema is statically known (a bound DataFrame source), refuse to
+        // diverge silently — e.g. declared features gone stale after
+        // schema evolution appended columns. For path/view sources the
+        // declared features are authoritative (documented contract).
+        fg.source match {
+          case graft.model.DataFrameSource(df)
+              if df.columns.toSeq != fg.featureNames =>
+            throw new PlanError(s"select-all over ${fg.name}: declared " +
+              s"features (${fg.featureNames.mkString(", ")}) do not match " +
+              s"the bound frame's columns (${df.columns.mkString(", ")}) — " +
+              "generated SQL would silently return a different column set " +
+              "than QueryPlanner.plan; select explicitly or re-declare")
+          case _ => ()
+        }
+        fg.featureNames
+      }
       else throw new PlanError(s"select-all over ${fg.name} needs declared " +
         "features to generate SQL (schema is not inferable from text)")
 
@@ -212,7 +231,17 @@ object QuerySql {
     }
 
   private def literal(v: Any): String = v match {
-    case s: String              => "'" + s.replace("'", "''") + "'"
+    case s: String =>
+      // No portable rendering exists for a backslash: Spark's parser (with
+      // default escapedStringLiterals=false) treats it as an escape
+      // character while DuckDB and the planner's lit() take it literally —
+      // fail loud rather than emit SQL that means different things to the
+      // two engines (same policy as time travel above).
+      if (s.contains("\\"))
+        throw new PlanError("string literal containing a backslash is not " +
+          s"portable across SQL dialects: $s — filter it through " +
+          "QueryPlanner.plan instead")
+      "'" + s.replace("'", "''") + "'"
     case b: Boolean             => if (b) "TRUE" else "FALSE"
     case d: java.sql.Date       => s"DATE '$d'"
     case t: java.sql.Timestamp  => s"TIMESTAMP '$t'"

@@ -84,6 +84,51 @@ class CorpusShardingSpec extends SparkSpec {
     assert(approx.filter(_.startsWith("b")) === Set("b1", "b2", "b3", "b4"))
   }
 
+  test("topFractionByGroup survives hostile column names and _graft_thr0") {
+    // a score column needing backticks AND a pre-existing column named
+    // like the internal threshold must neither break parsing nor collide
+    val df = ((1 to 10).map(i => ("a", i.toLong, 99L)) ++
+      (1 to 4).map(_ => ("b", 5L, 99L)))
+      .toDF("g", "the score", "_graft_thr0")
+    val kept = Splits.topFractionByGroup(df, "g", "the score", 0.3,
+      exact = true)
+    assert(kept.columns.toSeq === Seq("g", "the score", "_graft_thr0"))
+    assert(kept.count() === 7)
+    assert(kept.select("_graft_thr0").distinct().as[Long].collect()
+      .toSeq === Seq(99L), "caller's column must pass through untouched")
+  }
+
+  test("topFractionByGroup drops the broadcast hint above the group cap") {
+    val df = (0 until 2000).map(i => (s"g$i", i.toLong)).toDF("g", "score")
+    // the optimizer folds broadcast() into the Join node's JoinHint
+    def hasBroadcastHint(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if (j.hint.leftHint.toSeq ++ j.hint.rightHint.toSeq)
+              .flatMap(_.strategy)
+              .exists(_.toString.toLowerCase.contains("broadcast")) => j
+      }.nonEmpty
+    // low-cardinality groups (default cap): threshold table broadcasts
+    val few = (0 until 100).map(i => (s"g${i % 3}", i.toLong))
+      .toDF("g", "score")
+    assert(hasBroadcastHint(Splits.topFractionByGroup(few, "g", "score", 0.5)))
+    // per-row group column above the cap: hint dropped, AQE decides
+    assert(!hasBroadcastHint(
+      Splits.topFractionByGroup(df, "g", "score", 0.5,
+        maxBroadcastGroups = 500)))
+    // cap 0 skips the cardinality probe and never broadcasts
+    assert(!hasBroadcastHint(
+      Splits.topFractionByGroup(few, "g", "score", 0.5,
+        maxBroadcastGroups = 0)))
+    // results are identical either way
+    val a = Splits.topFractionByGroup(few, "g", "score", 0.5)
+      .select("score").as[Long].collect().sorted.toSeq
+    val b = Splits.topFractionByGroup(few, "g", "score", 0.5,
+        maxBroadcastGroups = 0)
+      .select("score").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("tokenBudgetBins matches a single-window prefix sum") {
     val n = 500
     val df = (0 until n).map { i =>

@@ -178,4 +178,35 @@ class QuerySqlSpec extends SparkSpec {
         leftOn = Seq("o_custkey"), rightOn = Seq("o_custkey"))
     intercept[QueryPlanner.PlanError](QuerySql.toSql(q))
   }
+
+  test("backslash string literal refuses SQL generation (non-portable)") {
+    // Spark parses \ as an escape character, DuckDB and lit() take it
+    // literally — one text cannot mean the same thing to both engines
+    val q = Query.select(fg("orders"), Seq("o_orderkey"))
+      .where("o_orderpriority" === "a\\b")
+    intercept[QueryPlanner.PlanError](QuerySql.toSql(q))
+    val likeQ = Query.select(fg("orders"), Seq("o_orderkey"))
+      .where("o_orderpriority" like "%\\_%")
+    intercept[QueryPlanner.PlanError](QuerySql.toSql(likeQ))
+  }
+
+  test("select-all refuses generation when declared features went stale") {
+    import graft.model._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the bound frame grew an extra column (schema evolution) that the
+    // declaration doesn't know about: plan() would return 3 columns, the
+    // generated SQL 2 — refuse instead of diverging silently
+    val df = Seq((1L, "x", 2.0)).toDF("k", "v", "appended")
+    val stale = FeatureGroup("stale_fg",
+      features = Seq(Feature("k", LongType), Feature("v", StringType)),
+      primaryKey = Seq("k"), source = DataFrameSource(df))
+    intercept[QueryPlanner.PlanError](QuerySql.toSql(Query.selectAll(stale)))
+    // an explicit projection over the same group still generates
+    QuerySql.toSql(Query.select(stale, Seq("k", "v")))
+    // and a declaration matching the frame generates under select-all
+    val fresh = stale.copy(features = stale.features :+
+      Feature("appended", DoubleType))
+    QuerySql.toSql(Query.selectAll(fresh))
+  }
 }
