@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness must never let a failure masquerade as a time: a
+  * thrown rep becomes an ERR token, a query with zero successes lands in
+  * "errors" (not "queries"), and partial failures stay visible in "runs"
+  * while the min only considers successful reps.
+  */
+class BenchHarnessSpec extends AnyFunSuite {
+
+  test("rep tokens round-trip times and collapse error text") {
+    assert(Bench.parseToken(Bench.repToken(Right(1.25))) === Right(1.25))
+    val e = Bench.repToken(Left("Analysis Exception:\n\"bad\\plan\""))
+    assert(e.startsWith("ERR:"))
+    assert(!e.exists(_.isWhitespace), "marker line is whitespace-split")
+    assert(Bench.parseToken(e).isLeft)
+  }
+
+  test("render excludes failed queries from minima and totals") {
+    val json = Bench.render(Seq(
+      "q_ok"    -> Seq(Right(2.0), Right(1.0), Right(3.0)),
+      "q_part"  -> Seq(Left("boom"), Right(5.0), Right(7.0)),
+      "q_dead"  -> Seq(Left("a"), Left("b"), Left("c"))))
+    assert(json.contains(""""q_ok":1.0"""))
+    assert(json.contains(""""q_part":5.0"""), "partial failure keeps best success")
+    assert(!json.contains(""""q_dead":-"""), "no sentinel times")
+    assert(json.contains(""""errors":{"q_dead":"a; b; c"}"""))
+    assert(json.contains(""""value":6.0"""), "total = 1.0 + 5.0, q_dead excluded")
+    assert(json.contains(""""ERR: boom""""), "failed rep visible in runs")
+    // output must stay one parseable JSON line
+    assert(!json.contains("\n"))
+  }
+
+  test("render of an all-green sweep has an empty errors object") {
+    val json = Bench.render(Seq("q1" -> Seq(Right(0.5), Right(0.4))))
+    assert(json.contains(""""errors":{}"""))
+    assert(json.contains(""""q1":0.4"""))
+  }
+}
