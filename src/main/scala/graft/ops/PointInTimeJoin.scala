@@ -37,11 +37,22 @@ import org.apache.spark.sql.types.StructType
   */
 object PointInTimeJoin {
 
+  /** Sentinel for `saltBuckets`: derive the bucket count from a
+    * key-frequency probe of the spine (see [[deriveSaltBuckets]]).
+    */
+  val AutoSalt: Int = 0
+
   /** @param saltBuckets when > 1, spreads each join key over this many
     *   sub-partitions to break hot-key skew: spine rows are deterministically
     *   salted, right rows replicated to every bucket. Shuffle volume becomes
     *   |spine| + saltBuckets × |right| — buy parallelism on a skewed key
-    *   with bounded replication. Leave at 1 (off) unless a key is hot.
+    *   with bounded replication. Leave at 1 (off) for a known-uniform key,
+    *   or pass [[AutoSalt]] to derive it from a cheap key-frequency probe
+    *   so a skewed spine gets the salted plan without caller tuning.
+    * @param maxKeyRowsPerBucket AutoSalt target: rows of ONE key a single
+    *   window partition may hold before the key is split across buckets
+    *   (a window partition is sorted within one task, so this bounds the
+    *   per-task sort).
     */
   def asOf(
       spine: DataFrame,
@@ -52,9 +63,11 @@ object PointInTimeJoin {
       rightKeys: Seq[String],
       prefix: String = "",
       tieBreak: Option[String] = None,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1,
+      maxKeyRowsPerBucket: Long = 4000000L): DataFrame = {
     require(spineKeys.nonEmpty && spineKeys.size == rightKeys.size,
       "as-of join needs matching non-empty key lists")
+    require(saltBuckets >= 0, "saltBuckets: >1 manual, 1 off, 0 (AutoSalt) derived")
 
     val spineCols = spine.columns.toSeq
     val rightPayloadCols = right.columns.toSeq.filterNot(rightKeys.contains)
@@ -67,9 +80,13 @@ object PointInTimeJoin {
     val payloadType = StructType(rightPayloadCols.map(c => right.schema(c)))
     val spineType = StructType(spine.schema.fields)
 
-    val salted = saltBuckets > 1
+    val buckets =
+      if (saltBuckets == AutoSalt)
+        deriveSaltBuckets(spine, spineKeys, maxKeyRowsPerBucket)
+      else saltBuckets
+    val salted = buckets > 1
     val spineSalt =
-      if (salted) pmod(xxhash64(struct(spineCols.map(col): _*)), lit(saltBuckets))
+      if (salted) pmod(xxhash64(struct(spineCols.map(col): _*)), lit(buckets))
       else lit(0)
     // tie-break ordered on the column's native type (a double cast would
     // collapse long values above 2^53); the spine filler is a typed null
@@ -85,7 +102,7 @@ object PointInTimeJoin {
         lit(null).cast(payloadType).as("_payload")): _*)
 
     val rightSalt =
-      if (salted) explode(sequence(lit(0), lit(saltBuckets - 1))) else lit(0)
+      if (salted) explode(sequence(lit(0), lit(buckets - 1))) else lit(0)
     // a right row with any null key can never equal a spine key (null
     // never equals null) — drop before the shuffle
     val rightNorm = right
@@ -127,4 +144,42 @@ object PointInTimeJoin {
   def asOf(spine: DataFrame, right: DataFrame, keys: Seq[String],
            spineEventTime: String, rightEventTime: String): DataFrame =
     asOf(spine, spineEventTime, right, rightEventTime, keys, keys)
+
+  /** Derive the salt bucket count from a cheap key-frequency probe: a
+    * seeded random sample of the spine's key columns (column-pruned,
+    * bounded at ~`sampleRows` rows) is frequency-counted, the hottest
+    * key's sample count scales back by the sampling fraction, and buckets
+    * = ceil(estimated hottest key / maxKeyRowsPerBucket).
+    *
+    * Cost: one count of the spine (metadata-cheap on parquet) plus one
+    * map-side-combined aggregation over a bounded sample of the key
+    * columns only — negligible next to the join's own shuffle, and worth
+    * paying: an unsplit hot key serializes the whole window sort onto one
+    * task at 100 TB. A key must own roughly > maxKeyRowsPerBucket rows to
+    * trigger salting, which a million-row sample detects reliably (such a
+    * key is ≥ a few percent of any realistically-sized spine partition
+    * load; sub-sample-resolution keys don't need salting by definition).
+    *
+    * Bucket count is capped: the right side replicates `buckets`×, so an
+    * extreme estimate must not turn a skew fix into a replication blowup.
+    */
+  private[graft] def deriveSaltBuckets(spine: DataFrame, spineKeys: Seq[String],
+                                     maxKeyRowsPerBucket: Long,
+                                     sampleRows: Long = 1000000L,
+                                     maxBuckets: Int = 32): Int = {
+    require(maxKeyRowsPerBucket > 0, "maxKeyRowsPerBucket must be positive")
+    val keyOnly = spine.select(spineKeys.map(col): _*)
+    val total = keyOnly.count()
+    if (total == 0) return 1
+    val fraction = math.min(1.0, sampleRows.toDouble / total)
+    val sampled =
+      if (fraction >= 1.0) keyOnly
+      else keyOnly.sample(withReplacement = false, fraction, seed = 42L)
+    val topRow = sampled.groupBy(spineKeys.map(col): _*).count()
+      .agg(max("count").as("m")).head
+    if (topRow.isNullAt(0)) return 1
+    val estTop = (topRow.getLong(0) / fraction).toLong
+    val wanted = math.ceil(estTop.toDouble / maxKeyRowsPerBucket).toInt
+    math.max(1, math.min(maxBuckets, wanted))
+  }
 }

@@ -33,7 +33,13 @@ object Sharding {
     * single-partition global window, so the plan holds at any corpus size.
     *
     * @param orderKeyCol deterministic sort key; must be non-negative and
-    *                    < 2^keyBits with roughly uniform high bits
+    *                    < 2^keyBits with roughly uniform high bits. The
+    *                    domain is ENFORCED (exactly, for free) in the same
+    *                    aggregation pass that computes range totals: a raw
+    *                    signed `xxhash64` would land negative keys in high
+    *                    buckets while sorting them first, silently breaking
+    *                    the range/order monotonicity the distributed sum
+    *                    relies on — wrap it as `pmod(xxhash64(c), 2^52)`
     * @param keyBits     bit-width of the order-key domain (52 for
     *                    charPolyHash-derived keys)
     * @param nBuckets    power-of-two range count for the distributed sum
@@ -58,9 +64,21 @@ object Sharding {
     val local = keyed.withColumn("_lex",
       coalesce(sum(col("_tok")).over(w), lit(0L)))
 
-    // range totals → exclusive running offsets (nBuckets rows on the driver)
-    val totals = keyed.groupBy("_bkt").agg(sum("_tok").as("_bsum"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // range totals → exclusive running offsets (nBuckets rows on the
+    // driver); min/max of the order key ride along to enforce the domain
+    // contract without an extra pass
+    val totalsRows = keyed.groupBy("_bkt")
+      .agg(sum("_tok").as("_bsum"), min("_ok").as("_kmin"), max("_ok").as("_kmax"))
+      .collect()
+    if (totalsRows.nonEmpty) {
+      val kmin = totalsRows.map(_.getLong(2)).min
+      val kmax = totalsRows.map(_.getLong(3)).max
+      require(kmin >= 0L && kmax < (1L << keyBits),
+        s"orderKeyCol out of domain [0, 2^$keyBits): observed [$kmin, $kmax]" +
+          " — a raw xxhash64 is signed 64-bit and would silently skew the" +
+          s" range buckets; wrap it as pmod(xxhash64(...), lit(1L << $keyBits))")
+    }
+    val totals = totalsRows.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (b, s) => val o = acc; acc += s; (b, o) }
     val spark = df.sparkSession

@@ -161,6 +161,27 @@ class CorpusShardingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetBins enforces the order-key domain at runtime") {
+    val df = (0 until 200).map(i => (i.toLong, 10L)).toDF("id", "tokens")
+    // raw xxhash64 is signed 64-bit: negative keys must be rejected, not
+    // silently binned out of range order
+    val e = intercept[IllegalArgumentException] {
+      Sharding.tokenBudgetBins(df, "id", "tokens", budget = 100L,
+        orderKeyCol = xxhash64(col("id"))).collect()
+    }
+    assert(e.getMessage.contains("out of domain"))
+    // the documented wrap passes and bins every row
+    val ok = Sharding.tokenBudgetBins(df, "id", "tokens", budget = 100L,
+      orderKeyCol = pmod(xxhash64(col("id")), lit(1L << 52)))
+    assert(ok.count() === 200)
+    // a key wider than keyBits is rejected too
+    val wide = intercept[IllegalArgumentException] {
+      Sharding.tokenBudgetBins(df, "id", "tokens", budget = 100L,
+        orderKeyCol = lit(1L << 60)).collect()
+    }
+    assert(wide.getMessage.contains("out of domain"))
+  }
+
   test("stratifiedDeterministic is reproducible, subset, and on-fraction") {
     val df = (0 until 4000).map { i =>
       (i.toLong, if (i % 2 == 0) "a" else "b")

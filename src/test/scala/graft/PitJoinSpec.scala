@@ -113,6 +113,39 @@ class PitJoinSpec extends SparkSpec {
     assert(plain.except(salted).isEmpty && salted.except(plain).isEmpty)
   }
 
+  test("AutoSalt picks buckets > 1 for a planted hot key, with value parity") {
+    import org.apache.spark.sql.functions.{when, lit, concat}
+    // 50k spine rows, 90% on one hot user — exactly the shape where an
+    // unsalted window serializes onto one task
+    val spine = spark.range(50000)
+      .select($"id".as("event_id"),
+        when($"id" % 10 < 9, 7L).otherwise($"id" % 100).as("k"),
+        ($"id" * 3 + 1).as("t"))
+    val right = spark.range(500)
+      .select(($"id" % 100).as("k"), ($"id" * 17 % 150000).as("t"),
+        concat(lit("p"), $"id").as("payload"))
+
+    // a ~45k-row hot key against a 1000-row bucket target must split
+    val derived = PointInTimeJoin.deriveSaltBuckets(spine, Seq("k"),
+      maxKeyRowsPerBucket = 1000L)
+    assert(derived > 1, s"hot key must auto-select salting, got $derived")
+    assert(derived <= 32, "replication stays capped")
+
+    // a uniform spine must NOT pay right-side replication
+    val uniform = spark.range(50000)
+      .select(($"id" % 5000).as("k"), $"id".as("t"))
+    assert(PointInTimeJoin.deriveSaltBuckets(uniform, Seq("k"),
+      maxKeyRowsPerBucket = 1000L) === 1)
+
+    def run(buckets: Int) = PointInTimeJoin
+      .asOf(spine, "t", right, "t", Seq("k"), Seq("k"), prefix = "r_",
+        saltBuckets = buckets, maxKeyRowsPerBucket = 1000L)
+      .select("event_id", "r_t", "r_payload")
+    val auto = run(PointInTimeJoin.AutoSalt)
+    val plain = run(1)
+    assert(auto.except(plain).isEmpty && plain.except(auto).isEmpty)
+  }
+
   test("matches a window-based reference implementation on real data") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
