@@ -1207,6 +1207,40 @@ object SparkEntry {
           fraction = 0.3, exact = true)
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // §2.1 time travel, driver-oracled end-to-end: 4 commits (create →
+    // upsert → upsert → delete), then an `as_of` snapshot pinned
+    // mid-history (after commit 2) UNION the incremental changes over
+    // (t1, t3]. Commit times are wallclock, captured from the returned
+    // CommitMeta — the oracle replays WHICH rows each commit wrote, so
+    // expected rows are closed-form while the timestamps stay real. The
+    // trailing delete sits outside both windows and must not leak into
+    // either read.
+    "q72_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q72").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = tmp)
+      val init = s.read.parquet(TestTables.parquet(dir, "nation"))
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("v"))
+      val fgrp = fs.createFeatureGroup("nations_tt", init, Seq("id"))
+      val root = fgrp.source match {
+        case graft.model.LakeSource(r) => r
+        case other => sys.error(s"expected a lake source, got $other")
+      }
+      val t1 = graft.sources.Lake.listCommits(s, root).last
+      val c2 = fs.insert(fgrp,
+        Seq((0L, "V2_0"), (100L, "V2_100")).toDF("id", "v"))
+      val c3 = fs.insert(fgrp,
+        Seq((0L, "V3_0"), (2L, "V3_2"), (101L, "V3_101")).toDF("id", "v"))
+      fs.delete(fgrp, Seq(Tuple1(3L)).toDF("id"))
+      val asOf = fs.read(Query.selectAll(fgrp).asOf(c2.commitTime))
+        .select(lit("as_of").as("src"), col("id"), col("v"))
+      val changes = graft.sources.Lake.readChanges(s, root, fgrp,
+          exclusiveStart = t1, inclusiveEnd = c3.commitTime)
+        .select(lit("changes").as("src"), col("id"), col("v"))
+      asOf.unionByName(changes).orderBy("src", "id")
     })
   )
 
@@ -2229,6 +2263,20 @@ object SparkEntry {
                 round(CASE WHEN length(wrapped) = 0 THEN 0.0
                       ELSE 1.0 - CAST(length(clean_text) AS DOUBLE)
                                  / length(wrapped) END, 4) AS markup_ratio
-         FROM s ORDER BY doc_id"""
+         FROM s ORDER BY doc_id""",
+    // deterministic replay of the 4-commit history: as_of(t2) = nation
+    // with commit-2 writes applied; changes(t1, t3] = latest state of the
+    // records commits 2-3 touched; the trailing delete is outside both
+    "q72_time_travel" ->
+      """SELECT src, id, v FROM (
+           SELECT 'as_of' AS src, CAST(n_nationkey AS BIGINT) AS id,
+                  CASE WHEN n_nationkey = 0 THEN 'V2_0' ELSE n_name END AS v
+           FROM nation
+           UNION ALL SELECT 'as_of', 100, 'V2_100'
+           UNION ALL SELECT 'changes', 0, 'V3_0'
+           UNION ALL SELECT 'changes', 2, 'V3_2'
+           UNION ALL SELECT 'changes', 100, 'V2_100'
+           UNION ALL SELECT 'changes', 101, 'V3_101')
+         ORDER BY src, id"""
   )
 }
