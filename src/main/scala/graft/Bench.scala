@@ -74,7 +74,14 @@ object Bench {
     val fn = queryFn(name)
     (1 to Reps).map { _ =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      // noop sink, not count(): a count lets the optimizer PRUNE unused
+      // deterministic operators — e.g. a PIT window whose payload no one
+      // reads — and silently under-measures; the noop sink computes every
+      // output column and discards the rows (round-5 scale-probe lesson)
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      }
       catch {
         case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
@@ -161,7 +168,7 @@ object Bench {
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = minima.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"isolation":"jvm-per-query","reps":$Reps}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"isolation":"jvm-per-query","action":"noop-write","reps":$Reps}"""
   }
 
   private def orchestrate(): Unit = {

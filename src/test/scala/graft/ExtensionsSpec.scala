@@ -205,6 +205,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.length === rows.distinct.length, "duplicate pairs in output")
   }
 
+  test("auto-tuned embedding near-dup keeps planted recall with derived geometry") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val dups = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        concat(array(element_at($"embedding", 1) + lit(0.25f)),
+          slice($"embedding", 2, 10000)).cast("array<float>").as("embedding"))
+    // derives nBits from the corpus size and nTables from the threshold's
+    // per-bit agreement probability — results must match the explicit
+    // form on the planted pairs at ANY corpus size
+    val rows = Dedup.embeddingNearDupAuto(emb.unionByName(dups), "vec_id",
+        "embedding", dim = 64, threshold = 0.95)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert((0L until 5L).forall(i => rows.contains((i, i + 100000))),
+      s"planted pairs missing: ${rows.toSeq.sorted.take(10)}")
+    assert(rows.length === rows.distinct.length)
+  }
+
   test("minhash lsh finds a planted near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 5
     val nearDup = base + "extra token"
