@@ -90,15 +90,16 @@ object TextAnalysis {
     * returns a 2-letter code or "und".
     */
   def languageId(text: Column): Column = {
-    def ratio(clazz: String): Column =
-      when(length(text) === 0, 0.0).otherwise(
-        length(regexp_replace(text, s"[^$clazz]", "")).cast("double")
-          / length(text))
-    val zh = ratio("\\u4e00-\\u9fff")
-    val ja = ratio("\\u3040-\\u30ff")
-    val ko = ratio("\\uac00-\\ud7af")
-    val ru = ratio("\\u0400-\\u04ff")
-    val ar = ratio("\\u0600-\\u06ff")
+    // one code-point pass for all five script counts (TextScript) — the
+    // regexp_replace-per-range form re-scanned and re-allocated the
+    // document five times; ratios here are array reads over that single
+    // pass, with identical count semantics (code points, same ranges)
+    def ratios(counts: Column): Seq[Column] = {
+      val total = element_at(counts, 1)
+      (2 to 6).map(i =>
+        when(total === 0, 0.0)
+          .otherwise(element_at(counts, i).cast("double") / total))
+    }
 
     // tokenize once, count each language's votes once: the when-chain
     // below reads every vote 2-3 times, and without the let bindings each
@@ -129,9 +130,13 @@ object TextAnalysis {
         })
       })
 
-    when(zh > 0.2, "zh").when(ja > 0.2, "ja").when(ko > 0.2, "ko")
-      .when(ru > 0.2, "ru").when(ar > 0.2, "ar")
-      .otherwise(latin)
+    graft.functions.Exprs.let(
+      graft.functions.TextScript.scriptCounts(text), counts => {
+        val Seq(zh, ja, ko, ru, ar) = ratios(counts)
+        when(zh > 0.2, "zh").when(ja > 0.2, "ja").when(ko > 0.2, "ko")
+          .when(ru > 0.2, "ru").when(ar > 0.2, "ar")
+          .otherwise(latin)
+      })
   }
 
   /** Rolling polynomial fingerprint of the normalized token stream
