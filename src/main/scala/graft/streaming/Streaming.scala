@@ -151,6 +151,25 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Switch the session's streaming state store to RocksDB — the
+    * large-state lever for sessionization/dedup streams whose active-key
+    * state outgrows executor heap. The default HDFS-backed provider keeps
+    * every key's state as JVM objects on-heap (fine for the test-scale
+    * streams here, and faster below ~1 GB of state); RocksDB spills to
+    * local SSD with bounded memory, which is what a 100 TB corpus's
+    * billions of active keys need. Ships in this Spark build
+    * (rocksdbjni); opt-in per session, takes effect for queries started
+    * AFTER the call. StreamingSpec proves result parity with the default
+    * provider on the sessionization oracle path.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Restore the default on-heap state store provider. */
+  def useDefaultStateStore(spark: SparkSession): Unit =
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
   /** Tumbling-window streaming aggregation (extension surface — the
     * reference has no stream windows, SURVEY §2.12): count/sum per
     * (window, key) with watermarking.

@@ -267,6 +267,40 @@ class ViewServingSpec extends SparkSpec {
     assert(!all.exists(_.key == "c"))
   }
 
+  test("sessionization under the RocksDB state store matches the default provider") {
+    import graft.streaming.Streaming
+    val tmp = Files.createTempDirectory("graft_rocks").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    def minutes(m: Long) = new java.sql.Timestamp(m * 60000L)
+    Seq(("a", minutes(1), 1.0), ("a", minutes(2), 2.0),
+        ("a", minutes(30), 3.0), ("b", minutes(5), 5.0), ("b", minutes(6), 7.0))
+      .toDF("k", "et", "v").coalesce(1).write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    def run(tag: String): Seq[graft.streaming.Session] = {
+      val stream = Streaming.readStream(spark, "parquet", Some(s"$src/*"),
+        schema = Some(schema))
+      val sessions = Streaming.sessionizeNative(stream, "k", "et", "v",
+        gapMillis = 10 * 60000L, watermark = "0 seconds")
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$tmp/out_$tag").outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt_$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(s"$tmp/out_$tag")
+        .as[graft.streaming.Session].collect().sortBy(s => (s.key, s.sessionStart)).toSeq
+    }
+    val default = run("default")
+    Streaming.useRocksDbStateStore(spark)
+    try {
+      // the provider must actually be RocksDB for this run, not a no-op
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      val rocks = run("rocks")
+      assert(rocks === default, "state-store provider must not change results")
+    } finally Streaming.useDefaultStateStore(spark)
+  }
+
   test("sessionization: native session_window path matches the custom-state path") {
     import graft.streaming.Streaming
     val tmp = Files.createTempDirectory("graft_sessn").toString
