@@ -1241,6 +1241,62 @@ object SparkEntry {
           exclusiveStart = t1, inclusiveEnd = c3.commitTime)
         .select(lit("changes").as("src"), col("id"), col("v"))
       asOf.unionByName(changes).orderBy("src", "id")
+    }),
+
+    // §2.12 streaming dedup vs the ALREADY-STORED corpus: documents
+    // arrive as a stream, rows whose content fingerprint exists in the
+    // historical fingerprint set (docs < 250 here) are dropped by the
+    // per-micro-batch stream-static anti-join. Oracle replays the same
+    // char-poly fingerprint and a null-safe anti-join in SQL.
+    "q73_stream_dedup_history" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val history = docs.filter(col("doc_id") < 250)
+        .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val stream = graft.streaming.Streaming.readStream(
+        s, "parquet", Some(s"$dir/documents.*"), schema = Some(docs.schema))
+      val fresh = graft.streaming.Streaming.dedupAgainstHistory(
+        stream, graft.ops.TextAnalysis.fingerprint(col("text")), history)
+      graft.streaming.Streaming
+        .runToMemory(fresh.select("doc_id", "lang"), "q73_sink_", "append")
+        .orderBy("doc_id")
+    }),
+
+    // §2.10 persisted IVF: build → save (cell-partitioned parquet, so a
+    // probe's cell filter becomes partition pruning) → load → search.
+    // The reloaded index must return EXACTLY the in-memory index's
+    // neighbors (same centroids, same cells), and those neighbors must
+    // clear the same recall floor as q45 against the bit-verified exact
+    // top-5 — restart-survival of the index as a driver-oracled fact.
+    "q74_ivf_persisted" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val built = graft.ops.IvfIndex.build(emb, "vec_id", "embedding",
+        nCells = 8, trainSampleFraction = 0.25, maxIter = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q74").toString
+      graft.ops.IvfIndex.save(built, tmp)
+      val loaded = graft.ops.IvfIndex.load(s, tmp)
+      def run(ix: graft.ops.IvfIndex.Index) =
+        graft.ops.IvfIndex.search(ix, "vec_id", "embedding",
+            queries, "qid", "qe", k = 5, nProbe = 6)
+          .select(col("qid"), col("vec_id"))
+      val inMem = run(built)
+      val reloaded = run(loaded)
+      val mismatched = inMem.exceptAll(reloaded)
+        .unionByName(reloaded.exceptAll(inMem))
+        .select(col("qid")).distinct().withColumn("_bad", lit(1))
+      val exact = graft.ops.Similarity.bruteForceKnn(
+          emb, "vec_id", "embedding", queries, "qid", "qe", k = 5)
+        .select(col("qid"), col("vec_id"))
+      val hits = reloaded.join(exact, Seq("qid", "vec_id"))
+        .groupBy("qid").count()
+      queries.select(col("qid"))
+        .join(broadcast(mismatched), Seq("qid"), "left")
+        .join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"),
+          col("_bad").isNull.as("identical_after_reload"),
+          (coalesce(col("count"), lit(0L)) / 5.0 >= 0.6).as("meets_floor"))
+        .orderBy("qid")
     })
   )
 
@@ -2277,6 +2333,27 @@ object SparkEntry {
            UNION ALL SELECT 'changes', 2, 'V3_2'
            UNION ALL SELECT 'changes', 100, 'V2_100'
            UNION ALL SELECT 'changes', 101, 'V3_101')
-         ORDER BY src, id"""
+         ORDER BY src, id""",
+    // same char-poly fingerprint as q30; NOT EXISTS (not NOT IN) so a
+    // null fingerprint keeps the row exactly like Spark's left_anti
+    "q73_stream_dedup_history" ->
+      """WITH f AS (SELECT doc_id, lang,
+             list_reduce(
+               [0::BIGINT] || list_transform(
+                 range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+               (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS fp
+           FROM (SELECT doc_id, lang,
+                   array_to_string(
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0), ' ') AS s
+                 FROM documents))
+         SELECT doc_id, lang FROM f
+         WHERE NOT EXISTS (SELECT 1 FROM f h
+                           WHERE h.doc_id < 250 AND h.fp = f.fp)
+         ORDER BY doc_id""",
+    "q74_ivf_persisted" ->
+      """SELECT vec_id AS qid, true AS identical_after_reload,
+                true AS meets_floor
+         FROM embeddings WHERE vec_id < 5 ORDER BY qid"""
   )
 }
