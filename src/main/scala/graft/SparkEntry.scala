@@ -1297,6 +1297,59 @@ object SparkEntry {
           col("_bad").isNull.as("identical_after_reload"),
           (coalesce(col("count"), lit(0L)) / 5.0 >= 0.6).as("meets_floor"))
         .orderBy("qid")
+    }),
+
+    // §2.5 commit metadata: the per-commit insert/update/delete counters
+    // the lake computes with its key-pruned incremental classification
+    // (one semi-join of the BATCH keys against the snapshot — never a
+    // full-table scan per commit). A controlled create → upsert → delete
+    // sequence has closed-form expected counters; the sequence number
+    // comes from the commit-time order.
+    "q75_commit_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q75").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = tmp)
+      val init = s.read.parquet(TestTables.parquet(dir, "nation"))
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("v"))
+      val fgrp = fs.createFeatureGroup("nations_meta", init, Seq("id"))
+      fs.insert(fgrp, Seq((0L, "UPD"), (99L, "NEW")).toDF("id", "v"))
+      fs.delete(fgrp, Seq(Tuple1(1L)).toDF("id"))
+      val root = fgrp.source match {
+        case graft.model.LakeSource(r) => r
+        case other => sys.error(s"expected a lake source, got $other")
+      }
+      // the three operations are distinct, so the op name itself is the
+      // deterministic sort key — no global row_number window needed
+      graft.sources.Lake.commitDetails(s, root)
+        .select(col("operation").as("op"),
+          col("rowsInserted").as("ins"), col("rowsUpdated").as("upd"),
+          col("rowsDeleted").as("del"))
+        .orderBy("op")
+    }),
+
+    // §2.2 training-dataset FILE write, VALUE-level: materialize a view as
+    // a csv training dataset (writer defaults: header, round-trippable
+    // types), then read it back through the persisted descriptor in a
+    // RESTARTED store. The oracle is the projection itself — any
+    // writer/reader default drift (header, quoting, type coercion) breaks
+    // the value hash, which is the parity q55's size-only check can't see.
+    "q76_td_file_roundtrip" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_q76").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val view = graft.view.FeatureView("td_csv_view", 1,
+        Query.select(fg(s, dir, "nation"),
+          Seq("n_nationkey", "n_name", "n_regionkey")))
+      fs.saveFeatureView(view)
+      fs.createTrainingDataset(view, 1, format = "csv", coalesce = true)
+      val fs2 = new graft.catalog.FeatureStore(s, warehouseDir = wh)
+      val splits = fs2.readTrainingDataset("td_csv_view", 1, 1)
+      require(splits.size == 1, s"expected one split, got ${splits.keySet}")
+      splits.head._2
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("name"),
+          col("n_regionkey").cast("long").as("region"))
+        .orderBy("id")
     })
   )
 
@@ -2354,6 +2407,20 @@ object SparkEntry {
     "q74_ivf_persisted" ->
       """SELECT vec_id AS qid, true AS identical_after_reload,
                 true AS meets_floor
-         FROM embeddings WHERE vec_id < 5 ORDER BY qid"""
+         FROM embeddings WHERE vec_id < 5 ORDER BY qid""",
+    // closed-form commit counters: the create inserts |nation|, the
+    // upsert touches one existing + one new key, the delete tombstones one
+    "q75_commit_metadata" ->
+      """SELECT * FROM (
+           SELECT 'bulk_insert' AS op,
+                  (SELECT count(*) FROM nation) AS ins,
+                  0::BIGINT AS upd, 0::BIGINT AS del
+           UNION ALL SELECT 'upsert', 1, 1, 0
+           UNION ALL SELECT 'delete', 0, 0, 1)
+         ORDER BY op""",
+    "q76_td_file_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+                CAST(n_regionkey AS BIGINT) AS region
+         FROM nation ORDER BY id"""
   )
 }
