@@ -1350,6 +1350,18 @@ object SparkEntry {
           col("n_name").as("name"),
           col("n_regionkey").cast("long").as("region"))
         .orderBy("id")
+    }),
+
+    // Corpus-level TF-IDF keywords: idf needs every document's vocabulary
+    // — a two-groupBy + vocabulary-join shape no row-local expression can
+    // express. Top-3 per document, score ties broken by term; the oracle
+    // replays tf·ln(N/df) with the identical tokenization and ranks on
+    // the UNROUNDED score like the engine.
+    "q77_tfidf_keywords" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .filter(col("doc_id") < 200)
+      graft.ops.TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
     })
   )
 
@@ -2421,6 +2433,25 @@ object SparkEntry {
     "q76_td_file_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
                 CAST(n_regionkey AS BIGINT) AS region
-         FROM nation ORDER BY id"""
+         FROM nation ORDER BY id""",
+    "q77_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         toks AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS term
+           FROM d),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n FROM d),
+         scored AS (SELECT doc_id, term, tf * ln(n.n / df) AS s
+                    FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (SELECT doc_id, term, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, term ASC) AS rk
+           FROM scored)
+         SELECT doc_id, term, round(s, 4) AS tfidf, CAST(rk AS INTEGER) AS rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY doc_id, rk"""
   )
 }

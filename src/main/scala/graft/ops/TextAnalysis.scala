@@ -232,4 +232,37 @@ object TextAnalysis {
       languageId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** Top-k TF-IDF keywords per document — the corpus-level term scoring a
+    * per-row expression cannot produce (idf needs every document's
+    * vocabulary). `tfidf = tf · ln(N / df)` with whitespace tokens,
+    * lowercased, ties broken by term.
+    *
+    * Scale shape: explode → two map-side-combined groupBys (per-doc term
+    * counts; document frequencies over the DISTINCT (doc, term) pairs) →
+    * a join on term (document-frequency table is vocabulary-sized — far
+    * smaller than the corpus; AQE broadcasts it when it fits) → a per-doc
+    * top-k window (partitioned by doc, never global). The only driver
+    * action is one count for N.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count().toDouble
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("_s", col("tf") * log(lit(n) / col("df")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_s").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), round(col("_s"), 4).as("tfidf"),
+        col("rk"))
+  }
 }

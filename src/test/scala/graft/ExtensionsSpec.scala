@@ -387,4 +387,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(emb.sum - 1.0f) < 1e-5)
     assert(emb.toSeq === hist42.map(_.toFloat / (w42 * h42)))
   }
+
+  test("tf-idf top terms match a hand-computed corpus, ties break by term") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    val ln3 = math.log(3.0)
+    val ln32 = math.log(1.5)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 1)) === ("apple" -> r4(2 * ln3)))
+    assert(got((1L, 2)) === ("banana" -> r4(ln32)))
+    // doc 2: banana and cherry tie at ln(1.5) — term ascending wins
+    assert(got((2L, 1))._1 === "banana")
+    assert(got((2L, 2))._1 === "cherry")
+    assert(got((3L, 1)) === ("date" -> r4(ln3)))
+    assert(got((3L, 2)) === ("cherry" -> r4(2 * ln32)))
+  }
 }
