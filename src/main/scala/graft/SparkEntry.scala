@@ -1362,6 +1362,22 @@ object SparkEntry {
         .filter(col("doc_id") < 200)
       graft.ops.TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
         .orderBy("doc_id", "rk")
+    }),
+
+    // C4-style boilerplate line removal. The synthetic corpus has no
+    // newlines, so the query derives a deterministic multi-line view
+    // (2-token chunks as "lines" — the tiny vocabulary makes real
+    // cross-document repeats) before stripping lines shared by >20 docs.
+    "q78_line_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val toks = split(col("text"), " ")
+      val lined = docs.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), ceil(size(toks) / lit(2.0)).cast("int") - 1),
+          i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")), "\n").as("text"))
+      graft.ops.Dedup.stripRepeatedLines(lined, "doc_id", "text", maxDocs = 20)
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2452,6 +2468,23 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, term, round(s, 4) AS tfidf, CAST(rk AS INTEGER) AS rk
          FROM ranked WHERE rk <= 3
-         ORDER BY doc_id, rk"""
+         ORDER BY doc_id, rk""",
+    "q78_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         lines AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(toks[2*i+1:2*i+2], ' ') AS line
+           FROM d, unnest(range(0, CAST(ceil(len(toks)/2.0) AS BIGINT))) AS t(i)),
+         banned AS (
+           SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+           GROUP BY line HAVING count(*) > 20),
+         clean AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM lines ANTI JOIN banned USING (line)
+           GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(clean_text, '') AS clean_text
+         FROM d LEFT JOIN clean USING (doc_id)
+         ORDER BY d.doc_id"""
   )
 }

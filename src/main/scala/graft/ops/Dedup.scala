@@ -427,4 +427,41 @@ object Dedup {
       math.ceil(math.log(missTarget) / math.log1p(-pBucket)).toInt))
     embeddingNearDup(df, idCol, vecCol, dim, threshold, nBits, nTables, seed)
   }
+
+  /** C4/RefinedWeb-style boilerplate line removal: a line occurring in
+    * more than `maxDocs` DISTINCT documents is shared chrome (nav menus,
+    * cookie banners, footers), not content — strip it from every document
+    * and reassemble the text with the surviving lines in original order.
+    * Documents whose every line is boilerplate come back with empty text
+    * (the caller decides whether to drop them).
+    *
+    * Scale shape: `posexplode` keeps the line index without a window; the
+    * document-frequency count runs over the DISTINCT (doc, line) pairs so
+    * a line repeated within one document counts once; the banned-line set
+    * is removed with a `left_anti` join (AQE broadcasts it when small —
+    * boilerplate vocabularies usually are); reassembly is one groupBy per
+    * document (a document's lines always fit one executor). Every groupBy
+    * and join keys on (xxhash64(line), line) — the hash short-circuits
+    * comparisons, the value comparison makes collisions harmless, exactly
+    * like [[exact]].
+    */
+  def stripRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
+                         maxDocs: Int, sep: String = "\n"): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be at least 1")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_pos", "_line")))
+      .withColumn("_lh", xxhash64(col("_line")))
+    val banned = lines.select(col(idCol), col("_lh"), col("_line")).distinct()
+      .groupBy("_lh", "_line").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocs)
+      .select("_lh", "_line")
+    val kept = lines.join(banned, Seq("_lh", "_line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        s => s.getField("_line")), sep).as("_clean"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_clean"), lit("")).as(textCol))
+  }
 }

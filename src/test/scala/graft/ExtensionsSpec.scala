@@ -388,6 +388,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(emb.toSeq === hist42.map(_.toFloat / (w42 * h42)))
   }
 
+  test("stripRepeatedLines removes boilerplate, keeps order, counts per doc") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "header\ncontent one\nfooter"),
+      (2L, "header\ncontent two\nfooter"),
+      (3L, "header\ncontent three\nfooter"),
+      (4L, "header\nheader\nunique"), // in-doc repeat counts once
+      (5L, "header")) // all boilerplate -> empty text, row kept
+      .toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedLines(docs, "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // header: 5 distinct docs > 3 -> banned; footer: exactly 3 -> kept
+    assert(got === Map(
+      1L -> "content one\nfooter",
+      2L -> "content two\nfooter",
+      3L -> "content three\nfooter",
+      4L -> "unique",
+      5L -> ""))
+  }
+
   test("tf-idf top terms match a hand-computed corpus, ties break by term") {
     import graft.ops.TextAnalysis
     val docs = Seq(
