@@ -1378,6 +1378,30 @@ object SparkEntry {
       graft.ops.Dedup.stripRepeatedLines(lined, "doc_id", "text", maxDocs = 20)
         .select(col("doc_id"), col("text").as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // CCNet-style fluency filter: bigram LM fit on the first 300 docs,
+    // every document scored by average negative log-likelihood.
+    "q79_lm_perplexity" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.bigramLmScore(
+          docs.filter(col("doc_id") < 300), docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Training-mix rebalancing: downsample to a 50/20/15/15 language mix
+    // (zh excluded), decisions via the SQL-replayable salted char-poly
+    // hash so the oracle replays both the feasibility math and the rows.
+    "q80_mixture_resample" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val salted = (c: org.apache.spark.sql.Column) =>
+        graft.functions.TextHash.charPolyHash(
+          concat_ws(":", lit("graft-mix"), c.cast("string"),
+            reverse(c.cast("string"))))
+      graft.ops.Splits.resampleToMix(docs, "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.15, "de" -> 0.15),
+          hashFn = salted)
+        .select("doc_id", "lang").orderBy("doc_id")
     })
   )
 
@@ -2485,6 +2509,53 @@ object SparkEntry {
            GROUP BY doc_id)
          SELECT d.doc_id, coalesce(clean_text, '') AS clean_text
          FROM d LEFT JOIN clean USING (doc_id)
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "q79_lm_perplexity" ->
+      """WITH tr AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents WHERE doc_id < 300),
+         trb AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                 FROM tr, unnest(range(1, len(toks))) AS t(i)),
+         bi AS (SELECT w1, w2, count(*)::BIGINT AS cbi FROM trb GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(cbi)::BIGINT AS cctx FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok)::DOUBLE AS v
+               FROM (SELECT unnest(toks) AS tok FROM tr)),
+         co AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> len(x) > 0) AS toks
+           FROM documents),
+         cob AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                 FROM co, unnest(range(1, len(toks))) AS t(i)),
+         p AS (SELECT doc_id,
+                 (coalesce(cbi, 0) + 1.0) / (coalesce(cctx, 0) + v.v) AS p
+               FROM cob LEFT JOIN bi USING (w1, w2)
+                        LEFT JOIN ctx USING (w1) CROSS JOIN v)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                round(-avg(ln(p)), 4) AS avg_nll
+         FROM p GROUP BY doc_id ORDER BY doc_id""",
+    "q80_mixture_resample" ->
+      """WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+                      WHERE lang IN ('en', 'es', 'fr', 'de') GROUP BY lang),
+         tgt AS (SELECT * FROM (VALUES ('en', 0.5), ('es', 0.2),
+                                       ('fr', 0.15), ('de', 0.15))
+                 AS t(lang, w)),
+         feas AS (SELECT min(n / w) AS cap FROM cnt JOIN tgt USING (lang)),
+         thr AS (SELECT lang,
+                   CAST(floor(least(1.0, w * cap / n) * 1000000) AS BIGINT)
+                     AS t
+                 FROM cnt JOIN tgt USING (lang) CROSS JOIN feas),
+         hashed AS (
+           SELECT doc_id, lang,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                    % 1000000 AS u
+           FROM (SELECT doc_id, lang,
+                   'graft-mix:' || CAST(doc_id AS VARCHAR) || ':' ||
+                   reverse(CAST(doc_id AS VARCHAR)) AS s
+                 FROM documents))
+         SELECT doc_id, lang FROM hashed JOIN thr USING (lang)
+         WHERE u < t ORDER BY doc_id"""
   )
 }

@@ -62,7 +62,10 @@ object IvfIndex {
       .map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.assigned.write.mode("overwrite")
+    // repartition by cell first: a bare partitionBy write emits
+    // (input-partitions × cells) splinter files — the small-files problem
+    // at corpus scale; one shuffle buys one file per cell
+    index.assigned.repartition(col("_cell")).write.mode("overwrite")
       .partitionBy("_cell").parquet(s"$path/assigned")
   }
 
@@ -112,7 +115,7 @@ object IvfIndex {
       .map { case ((mn, sc), i) => (i, mn, sc) }
       .toDF("dim", "min", "scale")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    qi.assigned.write.mode("overwrite")
+    qi.assigned.repartition(col("_cell")).write.mode("overwrite")
       .partitionBy("_cell").parquet(s"$path/assigned")
   }
 

@@ -267,4 +267,41 @@ object Splits {
       lit(-1L))
     df.filter(pmod(hashFn(col(idCol)), lit(scale.toLong)) < thr)
   }
+
+  /** Rebalance a corpus to a target category mix (domain/language/source
+    * weighting for a training run) by deterministic downsampling only —
+    * no row is ever duplicated. The output is the LARGEST corpus whose
+    * category shares match `targetShares`: feasible size
+    * `cap = min_g n_g / w_g`, per-group keep fraction `w_g·cap / n_g`
+    * (the binding group keeps everything), applied with the same
+    * hash-threshold rule as [[stratifiedDeterministic]] so the decision
+    * is a pure, reproducible function of the row. Categories absent from
+    * `targetShares` are dropped; a target category with no rows would
+    * force an empty output and fails loudly instead.
+    *
+    * Scale shape: one map-side-combined count per category (collected to
+    * the driver — category cardinality, not data, bounded like the
+    * centroid fetches elsewhere), then a zero-shuffle per-row filter.
+    */
+  def resampleToMix(df: DataFrame, idCol: String, stratumCol: String,
+                    targetShares: Map[String, Double],
+                    hashFn: Column => Column = c => xxhash64(c),
+                    scale: Int = 1000000): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "target shares must be positive")
+    val counts = df.filter(col(stratumCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(col(stratumCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targetShares.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"target categories with no rows: ${missing.mkString(", ")}")
+    val cap = targetShares.map { case (g, w) => counts(g) / w }.min
+    // the binding group's w·cap/n is 1.0 up to float error — clamp so the
+    // [0,1] require holds; floor(f·scale) is unaffected at this magnitude
+    val fractions = targetShares.map { case (g, w) =>
+      g -> math.min(1.0, w * cap / counts(g))
+    }
+    stratifiedDeterministic(df, idCol, stratumCol, fractions, hashFn, scale)
+  }
 }

@@ -245,6 +245,58 @@ object TextAnalysis {
     * top-k window (partitioned by doc, never global). The only driver
     * action is one count for N.
     */
+  /** CCNet-style fluency scoring: fit an add-k-smoothed bigram LM on
+    * `train`, score every `corpus` document with the average negative
+    * log-likelihood of its bigrams (lower = more fluent under the
+    * training distribution; threshold on `avg_nll` to filter junk).
+    *
+    * `P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)` where `c(w1,·)` is the
+    * context count (sum of bigram counts starting at w1 — the proper
+    * conditional normalizer) and V the training vocabulary size. Unseen
+    * bigrams and unseen contexts degrade smoothly to `1/V`.
+    *
+    * Scale shape: the model IS two count tables — bigram counts (one
+    * map-side-combined groupBy over the training corpus) and context
+    * counts derived from them (a second groupBy over the already-small
+    * bigram table, never re-scanning the corpus). Scoring is two joins
+    * against those tables (vocabulary-sized; AQE broadcasts them when
+    * they fit) and one per-doc aggregate. The only driver action is the
+    * scalar vocabulary count. Documents with fewer than two tokens have
+    * no bigrams and are omitted.
+    */
+  def bigramLmScore(train: DataFrame, corpus: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    def toks(c: Column) = filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    // sequence(1, 0) DESCENDS in Spark, so guard the <2-token case with a
+    // null array (explode of null emits no rows) instead of an empty stop.
+    def bigrams(c: Column) = {
+      val t = toks(c)
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2"))))
+    }
+    val trainBi = train.select(explode(bigrams(col(textCol))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCnt = trainBi.groupBy("w1", "w2").agg(count(lit(1)).as("_cbi"))
+    val ctxCnt = biCnt.groupBy("w1").agg(sum("_cbi").as("_cctx"))
+    val vocab = train.select(explode(toks(col(textCol))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0).toDouble
+    val scored = corpus
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(biCnt, Seq("w1", "w2"), "left")
+      .join(ctxCnt, Seq("w1"), "left")
+      .withColumn("_p",
+        (coalesce(col("_cbi"), lit(0L)) + lit(k)) /
+          (coalesce(col("_cctx"), lit(0L)) + lit(k) * lit(vocab)))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("_p"))), 4).as("avg_nll"))
+  }
+
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")

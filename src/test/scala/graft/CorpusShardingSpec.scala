@@ -129,6 +129,28 @@ class CorpusShardingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("resampleToMix hits the target mix with an identity hash") {
+    // ids double as the hash value (hash % 1e6 = id), so keep decisions
+    // are exact: a has 6 rows, b has 2; 50/50 target -> cap = min(12, 4)
+    // = 4 -> frac a = 1/3 (thr 333333), b = 1 (thr 1000000)
+    val df = Seq(
+      (0L, "a"), (200000L, "a"), (400000L, "a"),
+      (600000L, "a"), (800000L, "a"), (999999L, "a"),
+      (100L, "b"), (500000L, "b"),
+      (42L, "c")) // not in the target mix -> dropped
+      .toDF("id", "g")
+    val kept = Splits.resampleToMix(df, "id", "g",
+        Map("a" -> 0.5, "b" -> 0.5), hashFn = c => c.cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept === Set((0L, "a"), (200000L, "a"), (100L, "b"),
+      (500000L, "b")))
+    // a target category with zero rows must fail loudly, not emit empty
+    val err = intercept[IllegalArgumentException] {
+      Splits.resampleToMix(df, "id", "g", Map("a" -> 0.5, "zz" -> 0.5))
+    }
+    assert(err.getMessage.contains("zz"))
+  }
+
   test("tokenBudgetBins matches a single-window prefix sum") {
     val n = 500
     val df = (0 until n).map { i =>

@@ -408,6 +408,25 @@ class ExtensionsSpec extends SparkSpec {
       5L -> ""))
   }
 
+  test("bigram LM scoring matches hand-computed smoothed probabilities") {
+    import graft.ops.TextAnalysis
+    val train = Seq(Tuple1("a b a b c")).toDF("text")
+    // biCnt: (a,b)=2 (b,a)=1 (b,c)=1; ctx: a=2 b=2; V=3
+    val corpus = Seq(
+      (1L, "a b c"), // P(b|a)=3/5, P(c|b)=2/5
+      (2L, "z a"),   // unseen context -> 1/V = 1/3
+      (3L, "a"))     // no bigrams -> omitted
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(train, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === (2L, r4(-(math.log(0.6) + math.log(0.4)) / 2)))
+    assert(got(2L) === (1L, r4(math.log(3.0))))
+  }
+
   test("tf-idf top terms match a hand-computed corpus, ties break by term") {
     import graft.ops.TextAnalysis
     val docs = Seq(
