@@ -1370,11 +1370,14 @@ object SparkEntry {
     // cross-document repeats) before stripping lines shared by >20 docs.
     "q78_line_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
-      val toks = split(col("text"), " ")
+      // let-bind the token array: slice inside the transform lambda
+      // would re-split the text per chunk otherwise
       val lined = docs.select(col("doc_id"),
-        array_join(transform(
-          sequence(lit(0), ceil(size(toks) / lit(2.0)).cast("int") - 1),
-          i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")), "\n").as("text"))
+        graft.functions.Exprs.let(split(col("text"), " "), t =>
+          array_join(transform(
+            sequence(lit(0), ceil(size(t) / lit(2.0)).cast("int") - 1),
+            i => array_join(slice(t, i * 2 + 1, lit(2)), " ")),
+            "\n")).as("text"))
       graft.ops.Dedup.stripRepeatedLines(lined, "doc_id", "text", maxDocs = 20)
         .select(col("doc_id"), col("text").as("clean_text"))
         .orderBy("doc_id")

@@ -269,15 +269,16 @@ object TextAnalysis {
                     k: Double = 1.0): DataFrame = {
     require(k > 0, "smoothing k must be positive")
     def toks(c: Column) = filter(split(lower(c), "\\s+"), t => length(t) > 0)
-    // sequence(1, 0) DESCENDS in Spark, so guard the <2-token case with a
-    // null array (explode of null emits no rows) instead of an empty stop.
-    def bigrams(c: Column) = {
-      val t = toks(c)
+    // the let binds the token array ONCE — element_at inside the transform
+    // lambda would otherwise re-tokenize the document per bigram position
+    // (O(tokens²); measured 4× on q79). sequence(1, 0) DESCENDS in Spark,
+    // so the <2-token case yields a null array (explode emits no rows)
+    // instead of an empty stop.
+    def bigrams(c: Column) = graft.functions.Exprs.let(toks(c), t =>
       when(size(t) >= 2,
         transform(sequence(lit(1), size(t) - 1),
           i => struct(element_at(t, i).as("w1"),
-            element_at(t, i + 1).as("w2"))))
-    }
+            element_at(t, i + 1).as("w2")))))
     val trainBi = train.select(explode(bigrams(col(textCol))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val biCnt = trainBi.groupBy("w1", "w2").agg(count(lit(1)).as("_cbi"))
