@@ -1405,6 +1405,25 @@ object SparkEntry {
           Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.15, "de" -> 0.15),
           hashFn = salted)
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // SemDeDup: exact-duplicate groups planted into the embedding corpus
+    // (a copy shares its original's k-means cell — identical vectors give
+    // identical argmins — so the within-cluster compare always sees the
+    // pair); threshold 0.95 sits far above the corpus's max natural pair
+    // cosine (~0.60 at sf0.1), so the oracle can replay keep-one with a
+    // clustering-free brute-force pair scan.
+    "q81_semantic_dedup" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val dup1 = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val dup2 = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(dup1).unionByName(dup2)
+      graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.95, nCells = 8, trainSampleFraction = 0.5)
+        .select("vec_id").orderBy("vec_id")
     })
   )
 
@@ -2559,6 +2578,25 @@ object SparkEntry {
                    reverse(CAST(doc_id AS VARCHAR)) AS s
                  FROM documents))
          SELECT doc_id, lang FROM hashed JOIN thr USING (lang)
-         WHERE u < t ORDER BY doc_id"""
+         WHERE u < t ORDER BY doc_id""",
+    // keep-one over exact-duplicate cliques: a loser is any id with a
+    // SMALLER ≥-threshold partner (identical vectors pair at cosine 1.0
+    // with their original, so the direct pair suffices — no transitive
+    // closure needed for cliques)
+    "q81_semantic_dedup" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 100000, embedding
+             FROM embeddings WHERE vec_id < 50
+           UNION ALL SELECT vec_id + 200000, embedding
+             FROM embeddings WHERE vec_id < 20),
+         losers AS (
+           SELECT DISTINCT b.vec_id
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                 >= 0.95)
+         SELECT vec_id FROM corpus ANTI JOIN losers USING (vec_id)
+         ORDER BY vec_id"""
   )
 }

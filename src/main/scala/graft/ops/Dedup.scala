@@ -428,6 +428,37 @@ object Dedup {
     embeddingNearDup(df, idCol, vecCol, dim, threshold, nBits, nTables, seed)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "Semantic deduplication at web scale"):
+    * k-means cluster the embedding space, compare pairs ONLY within a
+    * cluster, and keep one representative (min id) of each
+    * cosine-≥-threshold group. The clustering bounds the quadratic —
+    * candidate cost is Σ|cell|², never |corpus|², and `nCells` is the
+    * knob trading cross-cluster recall for cost (the paper's design
+    * point: true semantic duplicates land in the same cluster). Reuses
+    * the IVF coarse quantizer ([[IvfIndex.build]] — sampled k-means,
+    * zero-shuffle argmin assignment) and the alternating-star connected
+    * components ([[duplicateClusters]]) for transitive keep-one.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int,
+                    trainSampleFraction: Double = 1.0,
+                    seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "cosine threshold must be in (0, 1]")
+    val assigned = IvfIndex.build(df, idCol, vecCol, nCells,
+      trainSampleFraction, seed, maxIter).assigned
+    val l = assigned.select(col("_cell"), col(idCol).as("idA"),
+      col(vecCol).as("_vA"))
+    val r = assigned.select(col("_cell"), col(idCol).as("idB"),
+      col(vecCol).as("_vB"))
+    val pairs = l.join(r, Seq("_cell"))
+      .filter(col("idA") < col("idB"))
+      .filter(VectorFunctions.vecCosine(col("_vA"), col("_vB"))
+        >= threshold)
+      .select("idA", "idB")
+    deduplicateByClusters(df, idCol, duplicateClusters(pairs))
+  }
+
   /** C4/RefinedWeb-style boilerplate line removal: a line occurring in
     * more than `maxDocs` DISTINCT documents is shared chrome (nav menus,
     * cookie banners, footers), not content — strip it from every document

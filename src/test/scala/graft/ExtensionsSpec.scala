@@ -388,6 +388,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(emb.toSeq === hist42.map(_.toFloat / (w42 * h42)))
   }
 
+  test("semanticDedup keeps one representative per within-cluster group") {
+    import graft.ops.Dedup
+    // two well-separated directions force two k-means cells; ids 1/2/6
+    // are identical (transitive group), 4/5 identical in the other cell
+    def v(x: Float, y: Float, jx: Float = 0f) =
+      Seq(x + jx, y, 0f, 0f)
+    val df = Seq(
+      (1L, v(1f, 0.1f)), (2L, v(1f, 0.1f)), (6L, v(1f, 0.1f)),
+      (3L, v(1f, -0.9f)),
+      (4L, v(0.1f, 1f)), (5L, v(0.1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, nCells = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L))
+  }
+
   test("stripRepeatedLines removes boilerplate, keeps order, counts per doc") {
     import graft.ops.Dedup
     val docs = Seq(
