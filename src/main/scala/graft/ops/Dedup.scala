@@ -459,6 +459,22 @@ object Dedup {
     deduplicateByClusters(df, idCol, duplicateClusters(pairs))
   }
 
+  /** [[semanticDedup]] with corpus-size-derived cluster count — the
+    * paper's scale guidance is constant EXPECTED CELL SIZE, not constant
+    * cell count (fixed cells make the within-cell quadratic grow with
+    * the square of the corpus). Training samples ~256 points per cell,
+    * capped at the corpus.
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, targetCellRows: Int = 512,
+                        seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    require(targetCellRows > 0, "targetCellRows must be positive")
+    val n = math.max(1L, df.count())
+    val nCells = math.max(4, math.ceil(n.toDouble / targetCellRows).toInt)
+    val frac = math.min(1.0, 256.0 * nCells / n)
+    semanticDedup(df, idCol, vecCol, threshold, nCells, frac, seed, maxIter)
+  }
+
   /** C4/RefinedWeb-style boilerplate line removal: a line occurring in
     * more than `maxDocs` DISTINCT documents is shared chrome (nav menus,
     * cookie banners, footers), not content — strip it from every document

@@ -403,6 +403,12 @@ class ExtensionsSpec extends SparkSpec {
         threshold = 0.99, nCells = 2)
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(1L, 3L, 4L))
+    // the auto-celled form must agree (identical vectors co-cluster for
+    // any cell count)
+    val auto = Dedup.semanticDedupAuto(df, "vec_id", "embedding",
+        threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(auto === Seq(1L, 3L, 4L))
   }
 
   test("stripRepeatedLines removes boilerplate, keeps order, counts per doc") {
