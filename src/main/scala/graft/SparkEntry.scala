@@ -1424,6 +1424,38 @@ object SparkEntry {
       graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
           threshold = 0.95, nCells = 8, trainSampleFraction = 0.5)
         .select("vec_id").orderBy("vec_id")
+    }),
+
+    // Round-5 capstone: the new curation operators composed end-to-end —
+    // boilerplate line removal → bigram-LM fluency gate (keep the more
+    // fluent half, exact-percentile threshold) → rebalance to a target
+    // language mix. One SQL statement replays the whole chain.
+    "q82_corpus_pipeline_v3" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val lined = docs.select(col("doc_id"),
+        graft.functions.Exprs.let(split(col("text"), " "), t =>
+          array_join(transform(
+            sequence(lit(0), ceil(size(t) / lit(2.0)).cast("int") - 1),
+            i => array_join(slice(t, i * 2 + 1, lit(2)), " ")),
+            "\n")).as("text"))
+      val cleaned = graft.ops.Dedup
+        .stripRepeatedLines(lined, "doc_id", "text", maxDocs = 20)
+      val scored = graft.ops.TextAnalysis
+        .bigramLmScore(cleaned, cleaned, "doc_id", "text")
+      // threshold via one-row broadcast, not a global window (which would
+      // be a single-partition exchange at scale)
+      val thr = scored.agg(expr("percentile(avg_nll, 0.5)").as("_thr"))
+      val fluent = scored.crossJoin(broadcast(thr))
+        .filter(col("avg_nll") <= col("_thr"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val salted = (c: org.apache.spark.sql.Column) =>
+        graft.functions.TextHash.charPolyHash(
+          concat_ws(":", lit("graft-mix-v3"), c.cast("string"),
+            reverse(c.cast("string"))))
+      graft.ops.Splits.resampleToMix(fluent, "doc_id", "lang",
+          Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.15, "de" -> 0.15),
+          hashFn = salted)
+        .select("doc_id", "lang").orderBy("doc_id")
     })
   )
 
@@ -2597,6 +2629,69 @@ object SparkEntry {
                                         CAST(b.embedding AS DOUBLE[]))
                  >= 0.95)
          SELECT vec_id FROM corpus ANTI JOIN losers USING (vec_id)
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    // q78's line removal + q79's LM scoring (fit on the CLEANED corpus)
+    // + q71-style exact-percentile gate + q80's feasibility resample,
+    // replayed as one statement
+    "q82_corpus_pipeline_v3" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         lines AS (
+           SELECT doc_id, i AS pos,
+                  array_to_string(toks[2*i+1:2*i+2], ' ') AS line
+           FROM d, unnest(range(0, CAST(ceil(len(toks)/2.0) AS BIGINT))) AS t(i)),
+         banned AS (
+           SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+           GROUP BY line HAVING count(*) > 20),
+         clean AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           FROM lines ANTI JOIN banned USING (line)
+           GROUP BY doc_id),
+         ct AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> len(x) > 0) AS toks
+           FROM clean),
+         trb AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                 FROM ct, unnest(range(1, len(toks))) AS t(i)),
+         bi AS (SELECT w1, w2, count(*)::BIGINT AS cbi FROM trb GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(cbi)::BIGINT AS cctx FROM bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok)::DOUBLE AS v
+               FROM (SELECT unnest(toks) AS tok FROM ct)),
+         cob AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                 FROM ct, unnest(range(1, len(toks))) AS t(i)),
+         p AS (SELECT doc_id,
+                 (coalesce(cbi, 0) + 1.0) / (coalesce(cctx, 0) + v.v) AS p
+               FROM cob LEFT JOIN bi USING (w1, w2)
+                        LEFT JOIN ctx USING (w1) CROSS JOIN v),
+         sc AS (SELECT doc_id, round(-avg(ln(p)), 4) AS avg_nll
+                FROM p GROUP BY doc_id),
+         thr AS (SELECT quantile_cont(avg_nll, 0.5) AS t FROM sc),
+         fluent AS (
+           SELECT sc.doc_id, docs.lang
+           FROM sc CROSS JOIN thr
+           JOIN documents docs USING (doc_id)
+           WHERE avg_nll <= thr.t),
+         cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM fluent
+                 WHERE lang IN ('en', 'es', 'fr', 'de') GROUP BY lang),
+         tgt AS (SELECT * FROM (VALUES ('en', 0.5), ('es', 0.2),
+                                       ('fr', 0.15), ('de', 0.15))
+                 AS t(lang, w)),
+         feas AS (SELECT min(n / w) AS cap FROM cnt JOIN tgt USING (lang)),
+         thr2 AS (SELECT lang,
+                    CAST(floor(least(1.0, w * cap / n) * 1000000) AS BIGINT)
+                      AS t
+                  FROM cnt JOIN tgt USING (lang) CROSS JOIN feas),
+         hashed AS (
+           SELECT doc_id, lang,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                    % 1000000 AS u
+           FROM (SELECT doc_id, lang,
+                   'graft-mix-v3:' || CAST(doc_id AS VARCHAR) || ':' ||
+                   reverse(CAST(doc_id AS VARCHAR)) AS s
+                 FROM fluent))
+         SELECT doc_id, lang FROM hashed JOIN thr2 USING (lang)
+         WHERE u < t ORDER BY doc_id"""
   )
 }
