@@ -1422,7 +1422,8 @@ object SparkEntry {
         .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
       val corpus = emb.unionByName(dup1).unionByName(dup2)
       graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
-          threshold = 0.95, nCells = 8, trainSampleFraction = 0.5)
+          threshold = 0.95, nCells = 8, trainSampleFraction = 0.5,
+          maxIter = 8)
         .select("vec_id").orderBy("vec_id")
     }),
 
