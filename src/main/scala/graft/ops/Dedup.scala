@@ -445,6 +445,8 @@ object Dedup {
                     seed: Long = 42L, maxIter: Int = 20): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "cosine threshold must be in (0, 1]")
+    require(!Set("idA", "idB", "_cell", "_vA", "_vB").contains(idCol),
+      s"id column '$idCol' collides with an internal name")
     val assigned = IvfIndex.build(df, idCol, vecCol, nCells,
       trainSampleFraction, seed, maxIter).assigned
     val l = assigned.select(col("_cell"), col(idCol).as("idA"),
@@ -495,6 +497,8 @@ object Dedup {
   def stripRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
                          maxDocs: Int, sep: String = "\n"): DataFrame = {
     require(maxDocs >= 1, "maxDocs must be at least 1")
+    require(!Set("_pos", "_line", "_lh", "_clean").contains(idCol),
+      s"id column '$idCol' collides with an internal name")
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("_pos", "_line")))

@@ -268,6 +268,8 @@ object TextAnalysis {
                     idCol: String, textCol: String,
                     k: Double = 1.0): DataFrame = {
     require(k > 0, "smoothing k must be positive")
+    require(!Set("bg", "w1", "w2", "_cbi", "_cctx", "_p").contains(idCol),
+      s"id column '$idCol' collides with an internal name")
     def toks(c: Column) = filter(split(lower(c), "\\s+"), t => length(t) > 0)
     // the let binds the token array ONCE — element_at inside the transform
     // lambda would otherwise re-tokenize the document per bigram position
@@ -301,6 +303,8 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!Set("term", "tf", "df", "_s", "rk").contains(idCol),
+      s"id column '$idCol' collides with an internal name")
     import org.apache.spark.sql.expressions.Window
     val n = docs.count().toDouble
     val toks = docs.select(col(idCol),

@@ -388,6 +388,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(emb.toSeq === hist42.map(_.toFloat / (w42 * h42)))
   }
 
+  test("corpus operators reject id columns that collide with internals") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val t = Seq((1L, "a b")).toDF("_line", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.stripRepeatedLines(t, "_line", "text", maxDocs = 1)
+    }
+    val e = Seq((1L, Seq(1f, 0f))).toDF("idA", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(e, "idA", "embedding", 0.9, nCells = 2)
+    }
+    val d = Seq((1L, "a b")).toDF("w1", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramLmScore(d, d, "w1", "text")
+    }
+    val f = Seq((1L, "a b")).toDF("term", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tfIdfTopTerms(f, "term", "text", k = 1)
+    }
+  }
+
   test("semanticDedup keeps one representative per within-cluster group") {
     import graft.ops.Dedup
     // two well-separated directions force two k-means cells; ids 1/2/6
