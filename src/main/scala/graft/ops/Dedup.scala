@@ -419,13 +419,42 @@ object Dedup {
     require(threshold > 0.0 && threshold < 1.0,
       "cosine threshold must be in (0, 1) to derive LSH geometry")
     val n = math.max(1L, df.count())
-    val nBits = math.min(24, math.max(8,
-      math.ceil(math.log(n.toDouble / targetBucketRows) / math.log(2.0)).toInt))
-    val pBit = 1.0 - math.acos(threshold) / math.Pi
-    val pBucket = math.pow(pBit, nBits)
-    val nTables = math.min(64, math.max(4,
-      math.ceil(math.log(missTarget) / math.log1p(-pBucket)).toInt))
+    val (nBits, nTables) =
+      deriveLshGeometry(n, threshold, targetBucketRows, missTarget)
     embeddingNearDup(df, idCol, vecCol, dim, threshold, nBits, nTables, seed)
+  }
+
+  /** Hard ceiling on LSH table count: candidate volume (and the explode
+    * width) is linear in tables, so past this point narrower buckets are
+    * the better trade — see [[deriveLshGeometry]]'s bit-reduction loop.
+    */
+  private val MaxTables = 64
+
+  /** Corpus-size → (nBits, nTables) for hyperplane LSH. Occupancy-derived
+    * bits first (`log2(n / targetBucketRows)`); if hitting `missTarget`
+    * would need more than [[MaxTables]] tables at that width, REDUCE bits
+    * until it fits — denser buckets (more candidates) in exchange for
+    * keeping the promised per-pair recall, instead of silently capping
+    * nTables and degrading the miss probability (round-5 ADVICE finding:
+    * threshold 0.95 at nBits=24 needs ~86 tables; a silent 64-cap would
+    * miss ~6e-3 vs the 1e-3 ask). Fails loudly if even nBits=4 can't
+    * reach the target within the cap.
+    */
+  private[graft] def deriveLshGeometry(n: Long, threshold: Double,
+                                       targetBucketRows: Int,
+                                       missTarget: Double): (Int, Int) = {
+    val pBit = 1.0 - math.acos(threshold) / math.Pi
+    def tablesFor(bits: Int): Int = math.max(4,
+      math.ceil(math.log(missTarget) / math.log1p(-math.pow(pBit, bits))).toInt)
+    var nBits = math.min(24, math.max(8,
+      math.ceil(math.log(n.toDouble / targetBucketRows) / math.log(2.0)).toInt))
+    while (tablesFor(nBits) > MaxTables && nBits > 4) nBits -= 1
+    val nTables = tablesFor(nBits)
+    require(nTables <= MaxTables,
+      s"missTarget=$missTarget unreachable within $MaxTables tables even at" +
+        s" nBits=$nBits for threshold=$threshold — relax missTarget or call" +
+        " embeddingNearDup with explicit geometry")
+    (nBits, nTables)
   }
 
   /** SemDeDup (Abbas et al. 2023, "Semantic deduplication at web scale"):
@@ -493,12 +522,20 @@ object Dedup {
     * and join keys on (xxhash64(line), line) — the hash short-circuits
     * comparisons, the value comparison makes collisions harmless, exactly
     * like [[exact]].
+    *
+    * Output contract: every input column survives, in the input order,
+    * with `textCol` replaced by the rebuilt text — payload columns (lang,
+    * source, …) ride through on the id-keyed join instead of forcing the
+    * caller to re-join them (round-5 ADVICE: the old (id, text)-only
+    * output silently dropped them).
     */
   def stripRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
                          maxDocs: Int, sep: String = "\n"): DataFrame = {
     require(maxDocs >= 1, "maxDocs must be at least 1")
-    require(!Set("_pos", "_line", "_lh", "_clean").contains(idCol),
-      s"id column '$idCol' collides with an internal name")
+    val internal = Set("_pos", "_line", "_lh", "_clean")
+    val clash = docs.columns.filter(internal.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} collide with operator internals")
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("_pos", "_line")))
@@ -512,7 +549,10 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("_pos"), col("_line")))),
         s => s.getField("_line")), sep).as("_clean"))
-    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("_clean"), lit("")).as(textCol))
+    val outCols = docs.columns.map {
+      case c if c == textCol => coalesce(col("_clean"), lit("")).as(textCol)
+      case c                 => col(c)
+    }
+    docs.join(rebuilt, Seq(idCol), "left").select(outCols.toSeq: _*)
   }
 }

@@ -68,8 +68,18 @@ object Sharding {
     // driver); min/max of the order key ride along to enforce the domain
     // contract without an extra pass
     val totalsRows = keyed.groupBy("_bkt")
-      .agg(sum("_tok").as("_bsum"), min("_ok").as("_kmin"), max("_ok").as("_kmax"))
+      .agg(sum("_tok").as("_bsum"), min("_ok").as("_kmin"), max("_ok").as("_kmax"),
+        count(lit(1)).as("_rows"))
       .collect()
+    // an all-null order key in a bucket (e.g. a cast failure) makes
+    // min/max null — diagnose it by name instead of NPE-ing on getLong
+    // (null keys all land in the null _bkt group, so per-bucket min/max
+    // are null exactly when that bucket's keys are)
+    val nullKeyRows = totalsRows.filter(r => r.isNullAt(2) || r.isNullAt(3))
+    require(nullKeyRows.isEmpty,
+      s"orderKeyCol evaluates to NULL for ${nullKeyRows.map(_.getLong(4)).sum}" +
+        " rows (a failed cast?) — token-budget sharding needs a total order;" +
+        " coalesce or filter the order key first")
     if (totalsRows.nonEmpty) {
       val kmin = totalsRows.map(_.getLong(2)).min
       val kmax = totalsRows.map(_.getLong(3)).max

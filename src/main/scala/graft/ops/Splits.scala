@@ -297,10 +297,14 @@ object Splits {
     require(missing.isEmpty,
       s"target categories with no rows: ${missing.mkString(", ")}")
     val cap = targetShares.map { case (g, w) => counts(g) / w }.min
-    // the binding group's w·cap/n is 1.0 up to float error — clamp so the
-    // [0,1] require holds; floor(f·scale) is unaffected at this magnitude
+    // the binding group's w·cap/n is 1.0 up to float error, and that error
+    // can land JUST BELOW 1.0 (e.g. w=0.15 → 0.9999999999999998), where
+    // floor(f·scale) would silently drop the hash%scale == scale-1 sliver
+    // from the group documented as "keeps everything" — snap anything
+    // within 1e-9 of 1.0 to exactly 1.0 before thresholding
     val fractions = targetShares.map { case (g, w) =>
-      g -> math.min(1.0, w * cap / counts(g))
+      val f = w * cap / counts(g)
+      g -> (if (f >= 1.0 - 1e-9) 1.0 else f)
     }
     stratifiedDeterministic(df, idCol, stratumCol, fractions, hashFn, scale)
   }

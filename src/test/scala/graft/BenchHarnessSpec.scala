@@ -37,4 +37,23 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(json.contains(""""errors":{}"""))
     assert(json.contains(""""q1":0.4"""))
   }
+
+  test("multi-line error messages stay one parseable JSON line") {
+    // the in-process fallback hands RAW exception messages to render() —
+    // no repToken collapse — so control chars must be escaped in jsonStr
+    val json = Bench.render(Seq(
+      "q_dead" -> Seq(Left("line1\nline2\ttabbed\rctl"))))
+    assert(!json.contains("\n") && !json.contains("\t") && !json.contains("\r"))
+    assert(json.contains("""line1\nline2\ttabbed\rctl"""))
+  }
+
+  test("render reports per-query session startup separately from minima") {
+    val json = Bench.render(
+      Seq("q1" -> Seq(Right(0.5)), "q2" -> Seq(Right(0.7))),
+      startups = Map("q1" -> 0.8, "q2" -> 0.6))
+    assert(json.contains(""""q1":0.5"""), "operator minima unchanged")
+    assert(json.contains(""""startup":{"q1":0.8,"q2":0.6}"""))
+    assert(json.contains(""""startup_total":1.4"""))
+    assert(json.contains(""""value":1.2"""), "value stays pure operator time")
+  }
 }

@@ -151,6 +151,17 @@ class CorpusShardingSpec extends SparkSpec {
     assert(err.getMessage.contains("zz"))
   }
 
+  test("resampleToMix binding group keeps EVERY row despite float error") {
+    // w=0.07 with n=21: w*(n/w)/n = 0.9999999999999998 in IEEE doubles —
+    // without snapping, the threshold floors to scale-1 and rows whose
+    // hash lands exactly on scale-1 are dropped from the group documented
+    // as "keeps everything". Force every row onto that worst-case hash.
+    val df = (0 until 21).map(i => (i.toLong, "g")).toDF("id", "g")
+    val kept = Splits.resampleToMix(df, "id", "g", Map("g" -> 0.07),
+      hashFn = _ => lit(999999L))
+    assert(kept.count() === 21L, "binding group must keep everything")
+  }
+
   test("tokenBudgetBins matches a single-window prefix sum") {
     val n = 500
     val df = (0 until n).map { i =>
@@ -202,6 +213,13 @@ class CorpusShardingSpec extends SparkSpec {
         orderKeyCol = lit(1L << 60)).collect()
     }
     assert(wide.getMessage.contains("out of domain"))
+    // an all-null order key (e.g. a failed cast) must diagnose by name,
+    // not NPE on the min/max getLong
+    val nul = intercept[IllegalArgumentException] {
+      Sharding.tokenBudgetBins(df, "id", "tokens", budget = 100L,
+        orderKeyCol = lit(null).cast("long")).collect()
+    }
+    assert(nul.getMessage.contains("NULL"))
   }
 
   test("stratifiedDeterministic is reproducible, subset, and on-fraction") {

@@ -451,6 +451,45 @@ class ExtensionsSpec extends SparkSpec {
       5L -> ""))
   }
 
+  test("stripRepeatedLines carries payload columns through unchanged") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "header\nbody one", "en", 12),
+      (2L, "header\nbody two", "fr", 34),
+      (3L, "header\nbody three", "de", 56))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = Dedup.stripRepeatedLines(docs, "doc_id", "text", maxDocs = 2)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "lang", "n_chars"),
+      "every input column survives, in input order")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    assert(rows(2L) === (("body two", "fr", 34)))
+    assert(rows(1L)._2 === "en" && rows(3L)._3 === 56)
+  }
+
+  test("deriveLshGeometry trades bits for tables instead of capping recall") {
+    import graft.ops.Dedup
+    // small corpus: occupancy floor 8 bits, modest table count
+    val (b0, t0) = Dedup.deriveLshGeometry(1000L, 0.97, 16, 1e-3)
+    assert(b0 === 8 && t0 <= 64)
+    // the round-5 ADVICE case: 0.95 at a corpus big enough for 24 bits
+    // needs ~86 tables — the derivation must REDUCE bits until the table
+    // count fits 64 rather than silently degrade the miss probability
+    val (b1, t1) = Dedup.deriveLshGeometry(1L << 28, 0.95, 16, 1e-3)
+    assert(t1 <= 64, "table cap must never silently bind")
+    assert(b1 < 24, s"bits must drop to meet missTarget (got nBits=$b1)")
+    // and the promised miss probability actually holds at the result
+    val pBit = 1.0 - math.acos(0.95) / math.Pi
+    val miss = math.pow(1.0 - math.pow(pBit, b1), t1)
+    assert(miss <= 1e-3, s"derived geometry misses at $miss > 1e-3")
+    // an unreachable target fails loudly with the explicit-geometry hint
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deriveLshGeometry(1L << 28, 0.5, 16, 1e-12)
+    }
+    assert(e.getMessage.contains("embeddingNearDup"))
+  }
+
   test("bigram LM scoring matches hand-computed smoothed probabilities") {
     import graft.ops.TextAnalysis
     val train = Seq(Tuple1("a b a b c")).toDF("text")
