@@ -1443,11 +1443,15 @@ object SparkEntry {
         .stripRepeatedLines(lined, "doc_id", "text", maxDocs = 20)
       val scored = graft.ops.TextAnalysis
         .bigramLmScore(cleaned, cleaned, "doc_id", "text")
-      // threshold via one-row broadcast, not a global window (which would
-      // be a single-partition exchange at scale)
-      val thr = scored.agg(expr("percentile(avg_nll, 0.5)").as("_thr"))
-      val fluent = scored.crossJoin(broadcast(thr))
-        .filter(col("avg_nll") <= col("_thr"))
+        .cache() // threshold pass + gated pass read the same scores
+      // scale-safe median gate: avg_nll is rounded to 4 decimals, so its
+      // distinct-value table is bounded and the EXACT lower median comes
+      // from per-value counts — no single-reducer percentile buffer; the
+      // kept set is provably identical to the oracle's quantile_cont gate
+      // (see Splits.lowerMedian)
+      val thr = graft.ops.Splits.lowerMedian(scored, "avg_nll")
+      val fluent = scored
+        .filter(col("avg_nll") <= lit(thr))
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       val salted = (c: org.apache.spark.sql.Column) =>
         graft.functions.TextHash.charPolyHash(

@@ -239,6 +239,49 @@ object Splits {
       .drop(thrCol)
   }
 
+  /** Exact lower median (the ceil(n/2)-th smallest value) of a BOUNDED-
+    * CARDINALITY score column, from per-value counts.
+    *
+    * Why this exists: an exact global `percentile` aggregate buffers every
+    * value on one reducer — the one single-reducer shape left in the
+    * round-5 capstone. For a score that is ROUNDED to fixed decimals over
+    * a bounded numeric range (e.g. an avg-NLL rounded to 4 places), the
+    * DISTINCT-value table is bounded by construction no matter the corpus
+    * size, so the median falls out of a map-side-combined groupBy plus a
+    * driver-side cumsum over that bounded table — the same
+    * bounded-metadata-collect contract as the centroid and stratum
+    * fetches. `maxDistinct` enforces the contract loudly: an unrounded
+    * score fails instead of OOM-ing the driver.
+    *
+    * Gate equivalence: filtering `score <= lowerMedian` keeps EXACTLY the
+    * rows of `score <= quantile_cont(score, 0.5)` (the interpolating
+    * median both Spark's `percentile` and DuckDB's `quantile_cont`
+    * compute): with an odd count the two thresholds coincide; with an
+    * even count the interpolated midpoint sits strictly below the next
+    * distinct value (or ties collapse it), so no row lands between the
+    * two gates. An oracle can therefore replay the gate with the
+    * interpolating form verbatim.
+    */
+  def lowerMedian(df: DataFrame, scoreCol: String,
+                  maxDistinct: Int = 1000000): Double = {
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .limit(maxDistinct + 1)
+      .collect()
+    require(rows.nonEmpty, s"lowerMedian($scoreCol) of an empty frame")
+    require(rows.length <= maxDistinct,
+      s"$scoreCol has more than $maxDistinct distinct values — lowerMedian" +
+        " is for rounded/bucketed scores whose value table is bounded;" +
+        " round the score or raise maxDistinct")
+    val counts = rows.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val k = (n + 1) / 2 // ceil(n/2): lower median position
+    var cum = 0L
+    counts.iterator.map { case (v, c) => cum += c; (v, cum) }
+      .collectFirst { case (v, cm) if cm >= k => v }.get
+  }
+
   /** Deterministic hash-threshold stratified sampling: keep a row of
     * stratum s iff `hash(id) mod scale < floor(fractions(s) * scale)`.
     *

@@ -151,6 +151,40 @@ class CorpusShardingSpec extends SparkSpec {
     assert(err.getMessage.contains("zz"))
   }
 
+  test("lowerMedian gate matches the interpolating percentile gate") {
+    // odd count, even count, and heavy ties: the <= gate on the lower
+    // median must keep exactly the rows the interpolating median keeps
+    for (values <- Seq(
+        Seq(1.0, 2.0, 3.0),                       // odd
+        Seq(1.0, 2.0, 3.0, 4.0),                  // even, distinct middles
+        Seq(1.0, 2.0, 2.0, 4.0),                  // even, tied middles
+        Seq(5.0, 5.0, 5.0, 5.0),                  // all tied
+        Seq(0.1234, 0.1234, 0.5678, 0.9999, 0.9999))) {
+      val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "score")
+      val lm = Splits.lowerMedian(df, "score")
+      val interp = df.selectExpr("percentile(score, 0.5) AS t")
+        .head.getDouble(0)
+      val a = df.filter(col("score") <= lm).select("id")
+        .as[Long].collect().toSet
+      val b = df.filter(col("score") <= interp).select("id")
+        .as[Long].collect().toSet
+      assert(a === b, s"gate sets differ for $values (lm=$lm interp=$interp)")
+    }
+    // nulls are ignored, empty frames fail loudly
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "score")
+    assert(Splits.lowerMedian(withNull, "score") === 1.0)
+    intercept[IllegalArgumentException] {
+      Splits.lowerMedian(withNull.filter(col("id") < 0), "score")
+    }
+    // the bounded-cardinality contract fails loudly, not OOM
+    val wide = (0 until 100).map(i => (i.toLong, i / 1000.0)).toDF("id", "score")
+    intercept[IllegalArgumentException] {
+      Splits.lowerMedian(wide, "score", maxDistinct = 10)
+    }
+  }
+
   test("resampleToMix binding group keeps EVERY row despite float error") {
     // w=0.07 with n=21: w*(n/w)/n = 0.9999999999999998 in IEEE doubles —
     // without snapping, the threshold floors to scale-1 and rows whose
