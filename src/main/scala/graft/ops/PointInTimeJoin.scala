@@ -53,6 +53,11 @@ object PointInTimeJoin {
     *   window partition may hold before the key is split across buckets
     *   (a window partition is sorted within one task, so this bounds the
     *   per-task sort).
+    * @param spineRowsHint optional spine row count for AutoSalt's probe:
+    *   an exact count is metadata-cheap only on a bare parquet spine — a
+    *   COMPUTED spine pays a full job for it, so callers that already
+    *   know (even approximately) how many rows the spine has should pass
+    *   it here; see [[deriveSaltBuckets]].
     */
   def asOf(
       spine: DataFrame,
@@ -64,7 +69,8 @@ object PointInTimeJoin {
       prefix: String = "",
       tieBreak: Option[String] = None,
       saltBuckets: Int = 1,
-      maxKeyRowsPerBucket: Long = 4000000L): DataFrame = {
+      maxKeyRowsPerBucket: Long = 4000000L,
+      spineRowsHint: Option[Long] = None): DataFrame = {
     require(spineKeys.nonEmpty && spineKeys.size == rightKeys.size,
       "as-of join needs matching non-empty key lists")
     require(saltBuckets >= 0, "saltBuckets: >1 manual, 1 off, 0 (AutoSalt) derived")
@@ -82,7 +88,8 @@ object PointInTimeJoin {
 
     val buckets =
       if (saltBuckets == AutoSalt)
-        deriveSaltBuckets(spine, spineKeys, maxKeyRowsPerBucket)
+        deriveSaltBuckets(spine, spineKeys, maxKeyRowsPerBucket,
+          spineRows = spineRowsHint)
       else saltBuckets
     val salted = buckets > 1
     val spineSalt =
@@ -151,8 +158,14 @@ object PointInTimeJoin {
     * key's sample count scales back by the sampling fraction, and buckets
     * = ceil(estimated hottest key / maxKeyRowsPerBucket).
     *
-    * Cost: one count of the spine (metadata-cheap on parquet) plus one
-    * map-side-combined aggregation over a bounded sample of the key
+    * Cost: one count of the spine — metadata-cheap ONLY when the spine is
+    * a bare parquet scan; a computed spine (joins/aggregates upstream)
+    * pays a full job for the count and another for the sample, so such
+    * callers should pass `spineRows` (any upstream count or size estimate
+    * they already have — it only sets the sampling fraction, and the
+    * derived buckets are identical for any hint within ~2× of truth
+    * because the hot-key estimate rescales by the same fraction) — plus
+    * one map-side-combined aggregation over a bounded sample of the key
     * columns only — negligible next to the join's own shuffle, and worth
     * paying: an unsplit hot key serializes the whole window sort onto one
     * task at 100 TB. A key must own roughly > maxKeyRowsPerBucket rows to
@@ -162,14 +175,19 @@ object PointInTimeJoin {
     *
     * Bucket count is capped: the right side replicates `buckets`×, so an
     * extreme estimate must not turn a skew fix into a replication blowup.
+    *
+    * @param spineRows caller-supplied spine row count, skipping the exact
+    *                  count job on computed frames
     */
   private[graft] def deriveSaltBuckets(spine: DataFrame, spineKeys: Seq[String],
                                      maxKeyRowsPerBucket: Long,
                                      sampleRows: Long = 1000000L,
-                                     maxBuckets: Int = 32): Int = {
+                                     maxBuckets: Int = 32,
+                                     spineRows: Option[Long] = None): Int = {
     require(maxKeyRowsPerBucket > 0, "maxKeyRowsPerBucket must be positive")
+    require(spineRows.forall(_ >= 0), "spineRows hint must be non-negative")
     val keyOnly = spine.select(spineKeys.map(col): _*)
-    val total = keyOnly.count()
+    val total = spineRows.getOrElse(keyOnly.count())
     if (total == 0) return 1
     val fraction = math.min(1.0, sampleRows.toDouble / total)
     val sampled =

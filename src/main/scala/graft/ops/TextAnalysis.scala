@@ -264,31 +264,30 @@ object TextAnalysis {
     * scalar vocabulary count. Documents with fewer than two tokens have
     * no bigrams and are omitted.
     */
+  /** @param minCount CCNet-style count pruning: bigrams seen fewer than
+    *                  `minCount` times in the training slice are dropped
+    *                  from the count tables (they then score as unseen).
+    *                  "Vocabulary-bounded" tables are only truly bounded
+    *                  on clean text — web-scale corpora have hapax-heavy
+    *                  vocabularies (typos, URLs, hashes) that grow
+    *                  near-linearly with corpus size, and hapax BIGRAMS
+    *                  dominate the table; `minCount = 2` typically shrinks
+    *                  it by an order of magnitude, keeping both tables
+    *                  genuinely broadcastable. Default 1 = no pruning
+    *                  (byte-identical scores to the unpruned form).
+    */
   def bigramLmScore(train: DataFrame, corpus: DataFrame,
                     idCol: String, textCol: String,
-                    k: Double = 1.0): DataFrame = {
+                    k: Double = 1.0, minCount: Long = 1L): DataFrame = {
     require(k > 0, "smoothing k must be positive")
     require(!Set("bg", "w1", "w2", "_cbi", "_cctx", "_p").contains(idCol),
       s"id column '$idCol' collides with an internal name")
-    def toks(c: Column) = filter(split(lower(c), "\\s+"), t => length(t) > 0)
-    // the let binds the token array ONCE — element_at inside the transform
-    // lambda would otherwise re-tokenize the document per bigram position
-    // (O(tokens²); measured 4× on q79). sequence(1, 0) DESCENDS in Spark,
-    // so the <2-token case yields a null array (explode emits no rows)
-    // instead of an empty stop.
-    def bigrams(c: Column) = graft.functions.Exprs.let(toks(c), t =>
-      when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("w1"),
-            element_at(t, i + 1).as("w2")))))
-    val trainBi = train.select(explode(bigrams(col(textCol))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val biCnt = trainBi.groupBy("w1", "w2").agg(count(lit(1)).as("_cbi"))
-    val ctxCnt = biCnt.groupBy("w1").agg(sum("_cbi").as("_cctx"))
-    val vocab = train.select(explode(toks(col(textCol))).as("w"))
+    val (biCnt, ctxCnt) = bigramCounts(train, textCol, minCount)
+    val vocab = train
+      .select(explode(tokenized(col(textCol))).as("w"))
       .agg(countDistinct(col("w"))).head().getLong(0).toDouble
     val scored = corpus
-      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .select(col(idCol), explode(bigramsOf(col(textCol))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .join(biCnt, Seq("w1", "w2"), "left")
       .join(ctxCnt, Seq("w1"), "left")
@@ -298,6 +297,38 @@ object TextAnalysis {
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(log(col("_p"))), 4).as("avg_nll"))
+  }
+
+  private def tokenized(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  // the let binds the token array ONCE — element_at inside the transform
+  // lambda would otherwise re-tokenize the document per bigram position
+  // (O(tokens²); measured 4× on q79). sequence(1, 0) DESCENDS in Spark,
+  // so the <2-token case yields a null array (explode emits no rows)
+  // instead of an empty stop.
+  private def bigramsOf(c: Column): Column =
+    graft.functions.Exprs.let(tokenized(c), t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2")))))
+
+  /** The LM's (bigram, context) count tables, with optional min-count
+    * pruning — exposed for table-size inspection in specs. Context counts
+    * are summed over the PRUNED bigram table so the two stay consistent
+    * (a pruned bigram is fully unseen, in both numerator and denominator).
+    */
+  private[graft] def bigramCounts(train: DataFrame, textCol: String,
+                                  minCount: Long): (DataFrame, DataFrame) = {
+    require(minCount >= 1, "minCount must be at least 1")
+    val trainBi = train.select(explode(bigramsOf(col(textCol))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counted = trainBi.groupBy("w1", "w2").agg(count(lit(1)).as("_cbi"))
+    val biCnt =
+      if (minCount > 1) counted.filter(col("_cbi") >= minCount) else counted
+    val ctxCnt = biCnt.groupBy("w1").agg(sum("_cbi").as("_cctx"))
+    (biCnt, ctxCnt)
   }
 
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,

@@ -509,6 +509,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2L) === (1L, r4(math.log(3.0))))
   }
 
+  test("bigram LM minCount pruning bounds hapax-heavy count tables") {
+    import graft.ops.TextAnalysis
+    // typo-heavy web text: a small fluent core repeated, plus one-off
+    // junk bigrams (urls/hashes) that each appear exactly once
+    val core = Seq.fill(10)("the cat sat on the mat")
+    val junk = (0 until 200).map(i => s"xq$i zz$i")
+    val train = (core ++ junk).map(Tuple1(_)).toDF("text")
+    val (biAll, _) = TextAnalysis.bigramCounts(train, "text", minCount = 1L)
+    val (biPruned, ctxPruned) =
+      TextAnalysis.bigramCounts(train, "text", minCount = 2L)
+    val (nAll, nPruned) = (biAll.count(), biPruned.count())
+    assert(nAll >= 200 + 5, s"hapax bigrams dominate the unpruned table ($nAll)")
+    assert(nPruned === 5L, s"pruning drops every hapax (got $nPruned)")
+    // context table shrinks with it, and stays consistent: contexts sum
+    // over the PRUNED bigrams only
+    assert(ctxPruned.count() === 4L) // the, cat, sat, on ("mat" ends lines)
+    // default minCount=1 keeps scoring byte-identical to the unpruned form
+    val corpus = Seq((1L, "the cat sat"), (2L, "xq1 zz1")).toDF("doc_id", "text")
+    val a = TextAnalysis.bigramLmScore(train, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextAnalysis.bigramLmScore(train, corpus, "doc_id", "text",
+        minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // fluent doc: same score (its bigrams survive pruning); junk doc
+    // scores as fully unseen under pruning
+    assert(a(1L) === b(1L))
+    assert(b(2L) > a(2L), "pruned hapax bigram must score as unseen")
+  }
+
   test("tf-idf top terms match a hand-computed corpus, ties break by term") {
     import graft.ops.TextAnalysis
     val docs = Seq(

@@ -137,6 +137,17 @@ class PitJoinSpec extends SparkSpec {
     assert(PointInTimeJoin.deriveSaltBuckets(uniform, Seq("k"),
       maxKeyRowsPerBucket = 1000L) === 1)
 
+    // a caller-supplied row count (computed-frame path: skip the exact
+    // count job) derives the same buckets as the counted path — the hint
+    // only sets the sampling fraction, and the hot-key estimate rescales
+    // by the same fraction
+    val spineN = spine.count()
+    assert(PointInTimeJoin.deriveSaltBuckets(spine, Seq("k"),
+      maxKeyRowsPerBucket = 1000L, spineRows = Some(spineN)) === derived)
+    // and a hint within 2x of truth still lands on the same decision
+    assert(PointInTimeJoin.deriveSaltBuckets(uniform, Seq("k"),
+      maxKeyRowsPerBucket = 1000L, spineRows = Some(100000L)) === 1)
+
     def run(buckets: Int) = PointInTimeJoin
       .asOf(spine, "t", right, "t", Seq("k"), Seq("k"), prefix = "r_",
         saltBuckets = buckets, maxKeyRowsPerBucket = 1000L)
