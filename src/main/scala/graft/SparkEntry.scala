@@ -1461,6 +1461,47 @@ object SparkEntry {
           Map("en" -> 0.5, "es" -> 0.2, "fr" -> 0.15, "de" -> 0.15),
           hashFn = salted)
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // The scale path under oracle: semanticDedupAuto derives the cell
+    // count from the corpus (constant expected CELL SIZE — the form whose
+    // 10× curve is 1.21× in SCALE.md). Identical planted vectors produce
+    // identical argmin cells under ANY derived geometry, and the corpus's
+    // max natural pair cosine (~0.60) sits far below the 0.95 threshold,
+    // so the AUTO survivor set equals the clustering-free brute-force
+    // oracle exactly.
+    "q84_semantic_dedup_auto" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val dup1 = emb.filter(col("vec_id") < 60)
+        .select((col("vec_id") + 300000).as("vec_id"), col("embedding"))
+      val dup2 = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 400000).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(dup1).unionByName(dup2)
+      graft.ops.Dedup.semanticDedupAuto(corpus, "vec_id", "embedding",
+          threshold = 0.95, targetCellRows = 256, maxIter = 8)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
+    // Same idea for the LSH form: embeddingNearDupAuto derives
+    // (nBits, nTables) from the corpus count (the fix that turned the
+    // measured 8.1× blow-up at 10× into 2.16×). Identical vectors share
+    // every table's signature DETERMINISTICALLY — candidate recall on the
+    // planted pairs is 1 regardless of derived geometry — and every
+    // candidate is verified by exact cosine, so the pair set matches the
+    // all-pairs oracle exactly.
+    "q85_embedding_neardup_auto" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val dup1 = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val dup2 = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(dup1).unionByName(dup2)
+      graft.ops.Dedup.embeddingNearDupAuto(corpus, "vec_id", "embedding",
+          dim = 64, threshold = 0.95)
+        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("idA", "idB")
     })
   )
 
@@ -2600,8 +2641,12 @@ object SparkEntry {
                                        ('fr', 0.15), ('de', 0.15))
                  AS t(lang, w)),
          feas AS (SELECT min(n / w) AS cap FROM cnt JOIN tgt USING (lang)),
+         -- mirror the engine's snap: fractions within 1e-9 of 1.0 become
+         -- exactly 1.0 (binding-group float error must not drop the
+         -- hash == scale-1 sliver)
          thr AS (SELECT lang,
-                   CAST(floor(least(1.0, w * cap / n) * 1000000) AS BIGINT)
+                   CAST(floor((CASE WHEN w * cap / n >= 1.0 - 1e-9 THEN 1.0
+                               ELSE w * cap / n END) * 1000000) AS BIGINT)
                      AS t
                  FROM cnt JOIN tgt USING (lang) CROSS JOIN feas),
          hashed AS (
@@ -2682,8 +2727,11 @@ object SparkEntry {
                                        ('fr', 0.15), ('de', 0.15))
                  AS t(lang, w)),
          feas AS (SELECT min(n / w) AS cap FROM cnt JOIN tgt USING (lang)),
+         -- mirror the engine's snap: fractions within 1e-9 of 1.0 become
+         -- exactly 1.0 (see q80)
          thr2 AS (SELECT lang,
-                    CAST(floor(least(1.0, w * cap / n) * 1000000) AS BIGINT)
+                    CAST(floor((CASE WHEN w * cap / n >= 1.0 - 1e-9 THEN 1.0
+                                ELSE w * cap / n END) * 1000000) AS BIGINT)
                       AS t
                   FROM cnt JOIN tgt USING (lang) CROSS JOIN feas),
          hashed AS (
@@ -2697,6 +2745,42 @@ object SparkEntry {
                    reverse(CAST(doc_id AS VARCHAR)) AS s
                  FROM fluent))
          SELECT doc_id, lang FROM hashed JOIN thr2 USING (lang)
-         WHERE u < t ORDER BY doc_id"""
+         WHERE u < t ORDER BY doc_id""",
+    // clustering-free replay of the AUTO-celled SemDeDup: brute-force
+    // every pair, drop the larger id of any >=-threshold pair (identical
+    // planted vectors are complete cliques, so losers = all non-min ids)
+    "q84_semantic_dedup_auto" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 300000, embedding
+             FROM embeddings WHERE vec_id < 60
+           UNION ALL SELECT vec_id + 400000, embedding
+             FROM embeddings WHERE vec_id < 25),
+         losers AS (
+           SELECT DISTINCT b.vec_id
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                 >= 0.95)
+         SELECT vec_id FROM corpus ANTI JOIN losers USING (vec_id)
+         ORDER BY vec_id""",
+    // all-pairs replay of the AUTO-geometry LSH near-dup: identical
+    // planted vectors collide in every derived table, so candidate
+    // recall on the true pairs is deterministic and the verified pair
+    // set equals the brute-force scan
+    "q85_embedding_neardup_auto" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 100000, embedding
+             FROM embeddings WHERE vec_id < 40
+           UNION ALL SELECT vec_id + 200000, embedding
+             FROM embeddings WHERE vec_id < 10),
+         pairs AS (
+           SELECT a.vec_id AS idA, b.vec_id AS idB,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) AS c
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         SELECT idA, idB, round(c, 4) AS cosine
+         FROM pairs WHERE c >= 0.95 ORDER BY idA, idB"""
   )
 }
