@@ -1502,6 +1502,57 @@ object SparkEntry {
           dim = 64, threshold = 0.95)
         .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
         .orderBy("idA", "idB")
+    }),
+
+    // §2.12 stream→lake materialization job (DeltaStreamer analog) under
+    // oracle: a checkpointed file-source stream materializes into a lake
+    // FG via foreachBatch upserts, STOPPED and RESTARTED from the
+    // checkpoint twice, with already-processed chunks still in the source
+    // dir; chunk 3 updates keys committed before the first restart.
+    // Exactly-once across the restarts is the load-bearing claim, proven
+    // two ways: (1) n_commits counts upsert commits — reprocessing an old
+    // chunk adds one; (2) the snapshot itself — the lake resolves record
+    // winners by COMMIT TIME first, so a replayed version-1 chunk would
+    // land after chunk 3's commit and overwrite the version-2 updates
+    // (the batch-replay oracle would catch it even if the ledger didn't).
+    "q83_stream_materialize" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q83").toString
+      val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+      val store = new graft.catalog.FeatureStore(s, warehouseDir = s"$tmp/wh")
+      val orders = s.read.parquet(TestTables.parquet(dir, "orders"))
+        .select(col("o_orderkey").cast("long").as("id"),
+          col("o_custkey").cast("long").as("cust"),
+          col("o_totalprice").cast("double").as("price"))
+      val c1 = orders.filter(col("id") % 3 === 0).withColumn("version", lit(1L))
+      val c2 = orders.filter(col("id") % 3 === 1).withColumn("version", lit(1L))
+      val c3 = orders.filter(col("id") % 3 === 2).withColumn("version", lit(1L))
+        .unionByName(orders.filter(col("id") % 9 === 0)
+          .withColumn("price", col("price") + 1000.0)
+          .withColumn("version", lit(2L)))
+      val fgrp = store.createFeatureGroup("stream_mat", c1.limit(0),
+        primaryKey = Seq("id"), precombineKey = Some("version"))
+      def drive(chunk: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        chunk.coalesce(1).write.parquet(s"$src/$name")
+        val stream = graft.streaming.Streaming.readStream(s, "parquet",
+          Some(s"$src/*"), schema = Some(c1.schema))
+        // a FRESH query per chunk, same checkpoint: each call restarts
+        // from the committed source offsets and must see only new files
+        val q = graft.streaming.Streaming.materialize(stream, fgrp,
+          s"$tmp/ckpt")
+        q.processAllAvailable(); q.stop()
+      }
+      drive(c1, "f1"); drive(c2, "f2"); drive(c3, "f3")
+      val root = fgrp.source match {
+        case graft.model.LakeSource(r) => r
+        case other => sys.error(s"expected a lake source, got $other")
+      }
+      val nUpserts = graft.sources.Lake.commitDetails(s, root)
+        .filter(col("operation") === "upsert").count()
+      store.read(Query.selectAll(fgrp))
+        .select(col("id"), col("cust"), round(col("price"), 2).as("price"),
+          col("version"))
+        .withColumn("n_commits", lit(nUpserts))
+        .orderBy("id")
     })
   )
 
@@ -2781,6 +2832,29 @@ object SparkEntry {
                                          CAST(b.embedding AS DOUBLE[])) AS c
            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
          SELECT idA, idB, round(c, 4) AS cosine
-         FROM pairs WHERE c >= 0.95 ORDER BY idA, idB"""
+         FROM pairs WHERE c >= 0.95 ORDER BY idA, idB""",
+    // batch replay of the streamed chunks: base rows at version 1, the
+    // %9 keys updated to version 2 by the post-restart chunk; the higher
+    // version (committed last) wins. n_commits = 3 is the exactly-once
+    // ledger claim: one upsert per chunk, none re-processed across the
+    // two checkpoint restarts.
+    "q83_stream_materialize" ->
+      """WITH base AS (
+           SELECT o_orderkey AS id, o_custkey AS cust,
+                  o_totalprice AS price, 1 AS version
+           FROM orders),
+         upd AS (
+           SELECT o_orderkey AS id, o_custkey AS cust,
+                  o_totalprice + 1000.0 AS price, 2 AS version
+           FROM orders WHERE o_orderkey % 9 = 0),
+         merged AS (
+           SELECT id, cust, price, version,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY version DESC) AS rk
+           FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+         SELECT CAST(id AS BIGINT) AS id, CAST(cust AS BIGINT) AS cust,
+                round(price, 2) AS price, CAST(version AS BIGINT) AS version,
+                CAST(3 AS BIGINT) AS n_commits
+         FROM merged WHERE rk = 1 ORDER BY id"""
   )
 }
