@@ -1553,6 +1553,66 @@ object SparkEntry {
           col("version"))
         .withColumn("n_commits", lit(nUpserts))
         .orderBy("id")
+    }),
+
+    // Gopher-style rule battery (Rae et al. 2021 MassiveText filters):
+    // every rule a NAMED boolean beside the signal it gates on, so the
+    // oracle checks per-rule kill decisions, not just a blended score.
+    // Bounds chosen to split this corpus (words 10-99, mwl 3.7-5.3).
+    "q86_gopher_rules" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 30, maxWords = 90, minMeanWordLen = 3.0,
+          maxMeanWordLen = 4.5, maxSymbolRatio = 0.1, minAlphaRatio = 0.8,
+          minStopwords = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Substring-level duplication (Lee et al. 2021): planted full copies
+    // of the first 50 docs — every 8-token span of an original/copy pair
+    // is cross-document-repeated, so both sides report dup_fraction 1.0
+    // while untouched docs stay at whatever the corpus naturally shares
+    // (the oracle recomputes ground truth either way).
+    "q87_repeated_spans" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val plants = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      graft.ops.Dedup.repeatedSpans(docs.unionByName(plants),
+          "doc_id", "text", k = 8, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance scores (Xie et al. 2023): target = the English
+    // slice of the first 100 docs, raw = the whole corpus; hashed-unigram
+    // log-likelihood ratios, bucketed by the SQL-replayable char-poly
+    // hash so the oracle replays both models and every per-doc score.
+    "q88_dsir_score" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.dsirScore(
+          docs.filter(col("lang") === "en" && col("doc_id") < 100),
+          docs, "doc_id", "text", nBuckets = 1024)
+        .orderBy("doc_id")
+    }),
+
+    // History dedup with the Bloom pre-filter on the hot path: history =
+    // docs < 200; batch = docs ≥ 150 (50 true dups) + re-keyed copies of
+    // docs < 30 (dups under new ids) + ' zzqx'-suffixed variants (novel
+    // texts that must survive). The bloom changes cost, never the
+    // answer — the oracle is the plain fingerprint anti-join.
+    "q89_history_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val history = docs.filter(col("doc_id") < 200)
+      val batch = docs.filter(col("doc_id") >= 150)
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" zzqx")).as("text")))
+      graft.ops.Dedup.dedupAgainstHistory(batch, history, "text",
+          expectedItems = 1000L)
+        .select(col("doc_id")).orderBy("doc_id")
     })
   )
 
@@ -2855,6 +2915,137 @@ object SparkEntry {
          SELECT CAST(id AS BIGINT) AS id, CAST(cust AS BIGINT) AS cust,
                 round(price, 2) AS price, CAST(version AS BIGINT) AS version,
                 CAST(3 AS BIGINT) AS n_commits
-         FROM merged WHERE rk = 1 ORDER BY id"""
+         FROM merged WHERE rk = 1 ORDER BY id""",
+    // every rule recomputed from the raw signals; gate flags compare the
+    // UNROUNDED values exactly as the engine does
+    "q86_gopher_rules" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks)::BIGINT AS n_words,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform(toks, x -> len(x)),
+                         'sum')::DOUBLE / len(toks) END AS mwl,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE ((length(text) - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)::DOUBLE
+                       / len(toks) END AS sym,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks,
+                         x -> regexp_matches(x, '\p{L}')))::DOUBLE
+                       / len(toks) END AS alpha,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it','that',
+                'for','on','with','as','at','this','by'], lower(x))))::BIGINT
+               AS n_stop
+           FROM d)
+         SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+                round(sym, 4) AS symbol_ratio, round(alpha, 4) AS alpha_ratio,
+                n_stop AS n_stopwords,
+                n_words BETWEEN 30 AND 90 AS ok_words,
+                mwl BETWEEN 3.0 AND 4.5 AS ok_word_len,
+                sym <= 0.1 AS ok_symbol,
+                alpha >= 0.8 AS ok_alpha,
+                n_stop >= 2 AS ok_stopwords,
+                (n_words BETWEEN 30 AND 90) AND (mwl BETWEEN 3.0 AND 4.5)
+                  AND sym <= 0.1 AND alpha >= 0.8 AND n_stop >= 2 AS pass
+         FROM m ORDER BY doc_id""",
+    // ground-truth spans via list slicing; SEMI JOIN mirrors the
+    // engine's left_semi against the cross-document-repeated set
+    "q87_repeated_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents
+             WHERE doc_id < 50),
+         d AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) AS toks
+               FROM corpus),
+         sp AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+                FROM d, unnest(range(1, len(toks) - 6)) AS t(i)
+                WHERE len(toks) >= 8),
+         rep AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+                 GROUP BY span HAVING count(*) >= 2),
+         dup AS (SELECT doc_id, count(*)::BIGINT AS dup_spans
+                 FROM sp SEMI JOIN rep USING (span) GROUP BY doc_id)
+         SELECT d.doc_id, greatest(len(toks) - 7, 0)::BIGINT AS n_spans,
+                coalesce(dup_spans, 0::BIGINT) AS dup_spans,
+                CASE WHEN len(toks) < 8 THEN 0.0
+                     ELSE round(coalesce(dup_spans, 0)::DOUBLE
+                                / (len(toks) - 7), 4) END AS dup_fraction
+         FROM d LEFT JOIN dup USING (doc_id) ORDER BY doc_id""",
+    // both hashed-unigram multinomials replayed bucket-for-bucket with
+    // the char-poly hash, then the per-token log-likelihood ratios
+    "q88_dsir_score" ->
+      """WITH tgt AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents WHERE lang = 'en' AND doc_id < 100),
+         raw AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         tcnt AS (
+           SELECT list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(tok) + 1), i -> unicode(tok[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                  % 1024 AS b, count(*)::BIGINT AS ct
+           FROM (SELECT unnest(toks) AS tok FROM tgt) GROUP BY b),
+         rcnt AS (
+           SELECT list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(tok) + 1), i -> unicode(tok[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                  % 1024 AS b, count(*)::BIGINT AS cr
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM raw) GROUP BY b),
+         nt AS (SELECT sum(ct)::DOUBLE AS n FROM tcnt),
+         nr AS (SELECT sum(cr)::DOUBLE AS n FROM rcnt),
+         scored AS (
+           SELECT doc_id,
+                  ln((coalesce(ct, 0) + 1.0) / (nt.n + 1024))
+                  - ln((coalesce(cr, 0) + 1.0) / (nr.n + 1024)) AS llr
+           FROM (SELECT doc_id,
+                   list_reduce([0::BIGINT] || list_transform(
+                       range(1, length(tok) + 1),
+                       i -> unicode(tok[i])::BIGINT),
+                     (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                   % 1024 AS b
+                 FROM (SELECT doc_id, unnest(toks) AS tok FROM raw)) x
+           LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b)
+           CROSS JOIN nt CROSS JOIN nr)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                round(avg(llr), 4) AS dsir_score
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // the bloom never changes the answer, so the oracle is the plain
+    // whitespace-normalized-fingerprint anti-join (same hash as q30)
+    "q89_history_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id, text,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS f
+           FROM (SELECT doc_id, text,
+                   array_to_string(
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0), ' ') AS s
+                 FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 150
+                       UNION ALL SELECT doc_id + 10000, text FROM documents
+                         WHERE doc_id < 30
+                       UNION ALL SELECT doc_id + 20000, text || ' zzqx'
+                         FROM documents WHERE doc_id < 30))),
+         hist AS (
+           SELECT DISTINCT list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS f
+           FROM (SELECT array_to_string(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0), ' ') AS s
+                 FROM documents WHERE doc_id < 200))
+         SELECT doc_id FROM fp ANTI JOIN hist USING (f)
+         ORDER BY doc_id"""
   )
 }

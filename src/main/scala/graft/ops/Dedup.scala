@@ -555,4 +555,113 @@ object Dedup {
     }
     docs.join(rebuilt, Seq(idCol), "left").select(outCols.toSeq: _*)
   }
+
+  /** Substring-level duplication report in the style of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"): for
+    * every document, the fraction of its k-token spans (sliding windows,
+    * stride 1) that also occur in at least `minDocs - 1` OTHER documents.
+    * Catches long verbatim passages shared across documents — licence
+    * blocks, syndicated paragraphs, templated intros — that document- or
+    * line-level dedup both miss. A high `dup_fraction` marks a document
+    * as substantially non-original; the removal decision (drop, or strip
+    * the spans) composes downstream.
+    *
+    * Scale shape (the suffix-array of the paper is replaced by span
+    * hashing, which Spark can distribute): spans are built row-locally
+    * from ONE let-bound token array; the per-span document count runs
+    * over `array_distinct` spans — deduplicated INSIDE the row, so no
+    * distinct-shuffle precedes the count; grouping keys on
+    * (charPolyHash(span), span) — hash short-circuits comparison, value
+    * comparison makes collisions harmless, and the SQL-replayable hash
+    * gives the operator a value-level oracle. The repeated-span set is
+    * corpus-boilerplate-sized, so AQE broadcasts the position-count join.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "span length k must be at least 2")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val internal = Set("_span", "_h", "_dup", "n_spans")
+    require(!internal.contains(idCol),
+      s"id column '$idCol' collides with an internal name")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val spansOf = graft.functions.Exprs.let(toks, t =>
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)),
+          i => concat_ws(" ", slice(t, i, lit(k))))))
+    val spanPositions = docs
+      .select(col(idCol), explode(spansOf).as("_span"))
+      .withColumn("_h", graft.functions.TextHash.charPolyHash(col("_span")))
+    val repeated = docs
+      .select(col(idCol), explode(array_distinct(spansOf)).as("_span"))
+      .withColumn("_h", graft.functions.TextHash.charPolyHash(col("_span")))
+      .groupBy("_h", "_span").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_h", "_span")
+    val dupPerDoc = spanPositions
+      .join(repeated, Seq("_h", "_span"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_dup"))
+    docs
+      .select(col(idCol), graft.functions.Exprs.let(toks, t =>
+        greatest(lit(0), size(t) - (k - 1)).cast("long")).as("n_spans"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("_dup"), lit(0L)).as("dup_spans"),
+        when(col("n_spans") === 0, 0.0).otherwise(
+          round(coalesce(col("_dup"), lit(0L)).cast("double") / col("n_spans"),
+            4)).as("dup_fraction"))
+  }
+
+  /** Exact dedup of a new batch against an arbitrarily large HISTORY of
+    * already-ingested content, with a Bloom pre-filter so the exact check
+    * only pays for rows that might be duplicates. The steady-state shape
+    * at 100 TB: most of each incoming batch is genuinely new, and a plain
+    * anti-join would shuffle the ENTIRE batch against the entire history
+    * every time. Instead the history's content fingerprints are folded
+    * into one Bloom filter (a distributed aggregate; only the filter's
+    * bytes reach the driver), broadcast into a codegen'd
+    * `BloomFilterMightContain` scan predicate, and:
+    *  - bloom-NEGATIVE rows are DEFINITELY new (no false negatives) —
+    *    they pass through with zero shuffle;
+    *  - bloom-POSITIVE rows (true duplicates + an `fpp` sliver of false
+    *    positives) are verified with an exact anti-join on the
+    *    fingerprint, so the result is EXACTLY `batch minus history` —
+    *    the Bloom changes the cost, never the answer.
+    *
+    * Semantics: dedups against history only (within-batch duplicates are
+    * [[exact]]'s job); "duplicate" means equal whitespace-normalized text
+    * fingerprint ([[TextAnalysis.fingerprint]]). Size the filter with
+    * `expectedItems ≈ |history|`: 10^9 fingerprints at fpp 0.03 is a
+    * ~0.9 GiB broadcast — beyond that, shard history by fingerprint range
+    * and run one pass per shard.
+    *
+    * Reference analog: the streaming dedup-vs-history path
+    * (python/hsfs/core/feature_group_engine.py insert-overwrite guards);
+    * the Bloom pre-filter is the scale path the reference lacks.
+    */
+  def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
+                          textCol: String,
+                          expectedItems: Long = 10000000L,
+                          fpp: Double = 0.03): DataFrame = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val fpCol = "_graft_fp"
+    require(!batch.columns.contains(fpCol),
+      s"batch column '$fpCol' collides with an operator internal")
+    val histFp = history
+      .select(graft.ops.TextAnalysis.fingerprint(col(textCol)).as(fpCol))
+      .distinct()
+    val bloom = histFp.stat.bloomFilter(fpCol, expectedItems, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val withFp = batch.withColumn(fpCol,
+      graft.ops.TextAnalysis.fingerprint(col(textCol)))
+    val might = graft.functions.BloomFunctions.mightContain(col(fpCol), bloomBytes)
+    val definitelyNew = withFp.filter(!might)
+    val verifiedNew = withFp.filter(might)
+      .join(histFp, Seq(fpCol), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop(fpCol)
+  }
 }

@@ -331,6 +331,123 @@ object TextAnalysis {
     (biCnt, ctxCnt)
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021, Appendix A —
+    * the "MassiveText" document filters; the same family C4 and
+    * RefinedWeb apply). Unlike [[qualityScore]], which blends its
+    * signals into one number, every rule here is a NAMED boolean next to
+    * the measured signal it gates on, so a curation pipeline can report
+    * per-rule kill counts and a curator can retune one gate without
+    * touching the others. Reference analog: the expectation-suite gate
+    * over feature frames (python/hsfs/core/great_expectation_engine.py),
+    * whose per-expectation results this mirrors for text.
+    *
+    * Row-local and codegen'd end-to-end: ONE let-bound tokenize feeds
+    * every word-level rule, and the symbol counts are length-difference
+    * arithmetic rather than extra regex scans. Nothing shuffles — at
+    * 100 TB the whole battery rides the parquet scan.
+    *
+    * Gate flags are computed on the UNROUNDED signals; the reported
+    * signal columns are rounded to 4 decimals for stable comparison.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0,
+                  maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minAlphaRatio: Double = 0.8,
+                  minStopwords: Int = 2,
+                  stopwords: Seq[String] = enStop): DataFrame = {
+    require(!Set("_b").contains(idCol),
+      s"id column '$idCol' collides with an internal name")
+    val text = col(textCol)
+    val battery = graft.functions.Exprs.let(
+      filter(split(text, "\\s+"), t => length(t) > 0), toks => {
+        val nWords = size(toks).cast("long")
+        val mwl = when(nWords === 0, 0.0).otherwise(
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+            / nWords)
+        // '#' and '…'-as-'...' are the Gopher symbol set; counting by
+        // length difference keeps this in one codegen'd projection
+        val nHash = (length(text) - length(translate(text, "#", "")))
+          .cast("double")
+        val nEllipsis =
+          ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+            .cast("double")
+        val symbolRatio = when(nWords === 0, 0.0)
+          .otherwise((nHash + nEllipsis) / nWords)
+        val alphaRatio = when(nWords === 0, 0.0).otherwise(
+          size(filter(toks, t => t.rlike("\\p{L}"))).cast("double") / nWords)
+        val nStop = size(filter(toks, t =>
+          lower(t).isin(stopwords.map(lit(_)): _*))).cast("long")
+        val okWords = nWords.between(minWords, maxWords)
+        val okWordLen = mwl.between(minMeanWordLen, maxMeanWordLen)
+        val okSymbol = symbolRatio <= maxSymbolRatio
+        val okAlpha = alphaRatio >= minAlphaRatio
+        val okStop = nStop >= minStopwords
+        struct(
+          nWords.as("n_words"),
+          round(mwl, 4).as("mean_word_len"),
+          round(symbolRatio, 4).as("symbol_ratio"),
+          round(alphaRatio, 4).as("alpha_ratio"),
+          nStop.as("n_stopwords"),
+          okWords.as("ok_words"),
+          okWordLen.as("ok_word_len"),
+          okSymbol.as("ok_symbol"),
+          okAlpha.as("ok_alpha"),
+          okStop.as("ok_stopwords"),
+          (okWords && okWordLen && okSymbol && okAlpha && okStop).as("pass"))
+      })
+    df.select(col(idCol), battery.as("_b")).select(col(idCol), col("_b.*"))
+  }
+
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit two hashed-unigram
+    * multinomial models — one on a small TARGET corpus (the distribution
+    * you want more of), one on the raw corpus — and score every raw
+    * document by its average per-token log-likelihood ratio
+    * `ln p_target(bucket) / ln p_raw(bucket)` (add-1 smoothed). Selecting
+    * the top fraction by score resamples the corpus toward the target
+    * distribution; composes with [[graft.ops.Splits.topFractionByGroup]]
+    * or a threshold filter for the selection step.
+    *
+    * Scale shape: both models are `nBuckets`-row count tables regardless
+    * of corpus size — explicitly broadcast — so scoring is a map-side
+    * pipeline over the exploded tokens plus one per-doc aggregate; the
+    * only driver actions are the two scalar total counts. The hash is
+    * the SQL-replayable char-poly hash, so the whole score has a
+    * value-level oracle.
+    */
+  def dsirScore(target: DataFrame, corpus: DataFrame, idCol: String,
+                textCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(!Set("_bkt", "_ct", "_cr", "_llr", "_tok").contains(idCol),
+      s"id column '$idCol' collides with an internal name")
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(explode(tokenized(col(textCol))).as("_tok"))
+      .select(pmod(graft.functions.TextHash.charPolyHash(col("_tok")),
+        lit(nBuckets.toLong)).as("_bkt"))
+    val tCnt = bucketed(target).groupBy("_bkt").agg(count(lit(1)).as("_ct"))
+    val rCnt = bucketed(corpus).groupBy("_bkt").agg(count(lit(1)).as("_cr"))
+    val nT = tCnt.agg(coalesce(sum("_ct"), lit(0L))).head().getLong(0)
+    val nR = rCnt.agg(coalesce(sum("_cr"), lit(0L))).head().getLong(0)
+    require(nT > 0, "target corpus has no tokens")
+    require(nR > 0, "raw corpus has no tokens")
+    corpus
+      .select(col(idCol), explode(tokenized(col(textCol))).as("_tok"))
+      .select(col(idCol), pmod(graft.functions.TextHash.charPolyHash(col("_tok")),
+        lit(nBuckets.toLong)).as("_bkt"))
+      .join(broadcast(tCnt), Seq("_bkt"), "left")
+      .join(broadcast(rCnt), Seq("_bkt"), "left")
+      .withColumn("_llr",
+        log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) /
+          lit(nT.toDouble + nBuckets)) -
+        log((coalesce(col("_cr"), lit(0L)) + lit(1.0)) /
+          lit(nR.toDouble + nBuckets)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("_llr")), 4).as("dsir_score"))
+  }
+
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, "k must be positive")

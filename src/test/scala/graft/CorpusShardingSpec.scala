@@ -318,4 +318,47 @@ class CorpusShardingSpec extends SparkSpec {
       == Seq("keep"))
     assert(out.count() == 2)
   }
+
+  test("repeatedSpans flags cross-document k-token spans only") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // spans: "a b c" "b c d" "c d e"
+      (2L, "x a b c d y"),    // shares "a b c" and "b c d" with doc 1
+      (3L, "q w"),            // shorter than k -> zero spans
+      (4L, "z z z z"))        // within-doc repeat only -> NOT cross-doc
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === (3L, 2L, 0.6667))
+    assert(got(2L) === (4L, 2L, 0.5))
+    assert(got(3L) === (0L, 0L, 0.0))
+    assert(got(4L) === (2L, 0L, 0.0),
+      "a span repeated only within one document must not count")
+  }
+
+  test("dedupAgainstHistory = exact batch-minus-history, bloom is cost-only") {
+    val history = Seq("a b", "c d").map(Tuple1(_)).toDF("text")
+    val batch = Seq(
+      (1L, "a b"),      // verbatim duplicate
+      (2L, "A  B"),     // case/whitespace variant -> same fingerprint
+      (3L, "new doc"),
+      (4L, "c d"),
+      (5L, "e f"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstHistory(batch, history, "text",
+      expectedItems = 100L)
+    assert(got.columns.toSeq === Seq("doc_id", "text"))
+    assert(got.select("doc_id").as[Long].collect().toSet === Set(3L, 5L))
+    // the bloom side never false-negatives: every history fingerprint
+    // must probe true through the same expression the pre-filter uses
+    val fps = history
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val bloom = fps.stat.bloomFilter("fp", 100L, 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val hits = fps.filter(
+      graft.functions.BloomFunctions.mightContain(col("fp"), bos.toByteArray))
+    assert(hits.count() === 2L)
+  }
 }

@@ -561,4 +561,60 @@ class ExtensionsSpec extends SparkSpec {
     assert(got((3L, 1)) === ("date" -> r4(ln3)))
     assert(got((3L, 2)) === ("cherry" -> r4(2 * ln32)))
   }
+
+  test("gopher rule battery: named flags match hand-computed signals") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),        // mwl 17/6 < 3 -> word_len fails
+      (2L, "### ### ... ..."),               // symbol soup, zero alpha, no stops
+      (3L, "this is a fine doc with seven word"), // passes everything
+      (4L, ""))                              // empty
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 5, maxWords = 10, minMeanWordLen = 3.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minAlphaRatio = 0.8,
+        minStopwords = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = got(1L)
+    assert(d1.getLong(1) === 6L)                  // n_words
+    assert(d1.getDouble(2) === r4(17.0 / 6))      // mean_word_len
+    assert(d1.getLong(5) === 3L)                  // the, on, the
+    assert(d1.getBoolean(6) && !d1.getBoolean(7)) // ok_words, !ok_word_len
+    assert(!d1.getBoolean(11))                    // pass
+    val d2 = got(2L)
+    assert(d2.getDouble(3) === 2.0)               // (6 hashes + 2 '...') / 4
+    assert(d2.getDouble(4) === 0.0)               // alpha_ratio
+    assert(!d2.getBoolean(8) && !d2.getBoolean(9) && !d2.getBoolean(10))
+    val d3 = got(3L)
+    assert(d3.getLong(1) === 8L && d3.getLong(5) === 4L)
+    assert(d3.getBoolean(11), "the clean doc must pass the full battery")
+    val d4 = got(4L)
+    assert(d4.getLong(1) === 0L && d4.getDouble(2) === 0.0 &&
+      !d4.getBoolean(11))
+  }
+
+  test("DSIR score ranks target-like documents above off-target ones") {
+    import graft.ops.TextAnalysis
+    val target = Seq(Tuple1("aa aa bb")).toDF("text")
+    val corpus = Seq((1L, "aa bb"), (2L, "zz yy")).toDF("doc_id", "text")
+    val nB = 4096
+    val got = TextAnalysis.dsirScore(target, corpus, "doc_id", "text",
+        nBuckets = nB)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // add-1 smoothed multinomials: target counts aa=2 bb=1 (N=3), raw
+    // counts aa=bb=zz=yy=1 (N=4); assumes the four tokens land in
+    // distinct hash buckets mod 4096 (deterministic — verified by the
+    // exact assertions below)
+    def llr(ct: Long, cr: Long) =
+      math.log((ct + 1.0) / (3.0 + nB)) - math.log((cr + 1.0) / (4.0 + nB))
+    assert(got(1L) === (2L, r4((llr(2, 1) + llr(1, 1)) / 2)))
+    assert(got(2L) === (2L, r4(llr(0, 1))))
+    assert(got(1L)._2 > got(2L)._2,
+      "target-like doc must outscore the off-target doc")
+  }
 }
