@@ -1613,6 +1613,41 @@ object SparkEntry {
       graft.ops.Dedup.dedupAgainstHistory(batch, history, "text",
           expectedItems = 1000L)
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // Round-6 capstone: the new curation operators composed end-to-end —
+    // Gopher rule battery (keep `pass`) → substring-level dup gate (drop
+    // docs whose 8-token spans are >50% cross-document-repeated; the
+    // planted copies and their originals both die here) → DSIR selection
+    // (fixed literal threshold — with a deliberately SMALL target slice,
+    // add-1 smoothing over nBuckets ≫ target tokens centers scores near
+    // -1.23 here, so the gate is a corpus-derived constant written
+    // identically in both engines, the q82 lesson; target = the English
+    // survivors among the first 100). One SQL statement replays the
+    // whole chain.
+    "q90_corpus_pipeline_v4" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text"), col("lang"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang")))
+      val gated = corpus.join(
+        graft.ops.TextAnalysis.gopherRules(corpus, "doc_id", "text",
+            minWords = 30, maxWords = 90, minMeanWordLen = 3.0,
+            maxMeanWordLen = 4.5, maxSymbolRatio = 0.1,
+            minAlphaRatio = 0.8, minStopwords = 2)
+          .filter(col("pass")).select("doc_id"),
+        Seq("doc_id"))
+      val original = gated.join(
+        graft.ops.Dedup.repeatedSpans(gated, "doc_id", "text",
+            k = 8, minDocs = 2)
+          .filter(col("dup_fraction") <= 0.5).select("doc_id"),
+        Seq("doc_id"))
+      val target = original.filter(col("lang") === "en" && col("doc_id") < 100)
+      graft.ops.TextAnalysis.dsirScore(target, original, "doc_id", "text",
+          nBuckets = 1024)
+        .filter(col("dsir_score") >= -1.2)
+        .orderBy("doc_id")
     })
   )
 
@@ -3046,6 +3081,82 @@ object SparkEntry {
                                x -> len(x) > 0), ' ') AS s
                  FROM documents WHERE doc_id < 200))
          SELECT doc_id FROM fp ANTI JOIN hist USING (f)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // q86's gate + q87's span dup + q88's DSIR models, chained over the
+    // surviving corpus at each stage, in one statement
+    "q90_corpus_pipeline_v4" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, lang FROM documents
+           UNION ALL SELECT doc_id + 10000, text, lang FROM documents
+             WHERE doc_id < 50),
+         tk AS (SELECT doc_id, text, lang,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> len(x) > 0) AS toks
+                FROM corpus),
+         gate AS (
+           SELECT doc_id, text, lang, toks FROM tk
+           WHERE len(toks) BETWEEN 30 AND 90
+             AND (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform(toks, x -> len(x)),
+                         'sum')::DOUBLE / len(toks) END) BETWEEN 3.0 AND 4.5
+             AND (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE ((length(text) - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)::DOUBLE
+                       / len(toks) END) <= 0.1
+             AND (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks,
+                         x -> regexp_matches(x, '\p{L}')))::DOUBLE
+                       / len(toks) END) >= 0.8
+             AND len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it','that',
+                'for','on','with','as','at','this','by'], lower(x)))) >= 2),
+         sp AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+                FROM gate, unnest(range(1, len(toks) - 6)) AS t(i)
+                WHERE len(toks) >= 8),
+         rep AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+                 GROUP BY span HAVING count(*) >= 2),
+         dup AS (SELECT doc_id, count(*)::BIGINT AS dup_spans
+                 FROM sp SEMI JOIN rep USING (span) GROUP BY doc_id),
+         surv AS (
+           SELECT gate.doc_id, lang,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS ltoks
+           FROM gate LEFT JOIN dup USING (doc_id)
+           WHERE (CASE WHEN len(toks) < 8 THEN 0.0
+                  ELSE round(coalesce(dup_spans, 0)::DOUBLE
+                             / (len(toks) - 7), 4) END) <= 0.5),
+         tcnt AS (
+           SELECT list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(tok) + 1), i -> unicode(tok[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                  % 1024 AS b, count(*)::BIGINT AS ct
+           FROM (SELECT unnest(ltoks) AS tok FROM surv
+                 WHERE lang = 'en' AND doc_id < 100) GROUP BY b),
+         rcnt AS (
+           SELECT list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(tok) + 1), i -> unicode(tok[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                  % 1024 AS b, count(*)::BIGINT AS cr
+           FROM (SELECT unnest(ltoks) AS tok FROM surv) GROUP BY b),
+         nt AS (SELECT sum(ct)::DOUBLE AS n FROM tcnt),
+         nr AS (SELECT sum(cr)::DOUBLE AS n FROM rcnt),
+         scored AS (
+           SELECT doc_id,
+                  ln((coalesce(ct, 0) + 1.0) / (nt.n + 1024))
+                  - ln((coalesce(cr, 0) + 1.0) / (nr.n + 1024)) AS llr
+           FROM (SELECT doc_id,
+                   list_reduce([0::BIGINT] || list_transform(
+                       range(1, length(tok) + 1),
+                       i -> unicode(tok[i])::BIGINT),
+                     (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                   % 1024 AS b
+                 FROM (SELECT doc_id, unnest(ltoks) AS tok FROM surv)) x
+           LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b)
+           CROSS JOIN nt CROSS JOIN nr)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                round(avg(llr), 4) AS dsir_score
+         FROM scored GROUP BY doc_id
+         HAVING round(avg(llr), 4) >= -1.2 ORDER BY doc_id"""
   )
 }
