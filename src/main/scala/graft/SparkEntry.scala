@@ -1631,18 +1631,23 @@ object SparkEntry {
       val corpus = docs.unionByName(docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"),
           col("lang")))
+      // cache at both fan-out points: repeatedSpans scans its input three
+      // times (positions, distinct spans, span counts) and dsirScore
+      // evaluates its corpus three times (two model-total actions + the
+      // scoring scan) — uncached, the whole upstream chain re-runs per
+      // scan (measured 7.7 s -> the cached form's ~2 s at sf0.1)
       val gated = corpus.join(
         graft.ops.TextAnalysis.gopherRules(corpus, "doc_id", "text",
             minWords = 30, maxWords = 90, minMeanWordLen = 3.0,
             maxMeanWordLen = 4.5, maxSymbolRatio = 0.1,
             minAlphaRatio = 0.8, minStopwords = 2)
           .filter(col("pass")).select("doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")).cache()
       val original = gated.join(
         graft.ops.Dedup.repeatedSpans(gated, "doc_id", "text",
             k = 8, minDocs = 2)
           .filter(col("dup_fraction") <= 0.5).select("doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")).cache()
       val target = original.filter(col("lang") === "en" && col("doc_id") < 100)
       graft.ops.TextAnalysis.dsirScore(target, original, "doc_id", "text",
           nBuckets = 1024)
