@@ -580,9 +580,13 @@ object Dedup {
                     k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 2, "span length k must be at least 2")
     require(minDocs >= 2, "minDocs must be at least 2")
-    val internal = Set("_span", "_h", "_dup", "n_spans")
+    // every internal AND output name this operator generates — an idCol
+    // named e.g. dup_spans would otherwise yield duplicate output columns
+    // instead of the loud failure this guard promises
+    val internal = Set("_span", "_h", "_dup", "_docs",
+                       "n_spans", "dup_spans", "dup_fraction")
     require(!internal.contains(idCol),
-      s"id column '$idCol' collides with an internal name")
+      s"id column '$idCol' collides with an internal or output name")
     val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
     val spansOf = graft.functions.Exprs.let(toks, t =>
       when(size(t) >= k,

@@ -185,7 +185,11 @@ object PointInTimeJoin {
                                      maxBuckets: Int = 32,
                                      spineRows: Option[Long] = None): Int = {
     require(maxKeyRowsPerBucket > 0, "maxKeyRowsPerBucket must be positive")
-    require(spineRows.forall(_ >= 0), "spineRows hint must be non-negative")
+    // strictly positive: Some(0) would short-circuit to 1 bucket and
+    // silently disable skew salting on a non-empty spine — a caller with
+    // a genuinely empty spine has no join to salt, so fail loudly
+    require(spineRows.forall(_ > 0),
+      "spineRows hint must be strictly positive (omit it to count)")
     val keyOnly = spine.select(spineKeys.map(col): _*)
     val total = spineRows.getOrElse(keyOnly.count())
     if (total == 0) return 1

@@ -47,6 +47,29 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(json.contains("""line1\nline2\ttabbed\rctl"""))
   }
 
+  test("adaptive reps: a still-descending sequence does not converge") {
+    // q63's round-6 sequence: 25.9 -> 20.7 -> 10.5, still falling at the
+    // old fixed-3 cap — the min must keep improving until it stalls
+    assert(!Bench.converged(Seq(25.9, 20.7, 10.5)))
+    assert(Bench.converged(Seq(25.9, 20.7, 10.5, 10.1)), "improvement stalled")
+    assert(Bench.converged(Seq(1.0, 0.98, 0.97)), "stable from the start")
+    assert(Bench.converged(Seq(1.0, 0.5, 3.0)),
+      "a noisy spike above the min converges — the min is stable relative to it")
+    assert(!Bench.converged(Seq(1.0, 0.9)), "fewer than MinReps never converges")
+  }
+
+  test("calibration is reported separately and never counts in value") {
+    val json = Bench.render(Seq(
+      "q1" -> Seq(Right(0.5)),
+      Bench.CalibName -> Seq(Right(2.0), Right(1.8))))
+    assert(json.contains(""""calibration":1.8"""))
+    assert(json.contains(""""value":0.5"""), "calibration excluded from total")
+    assert(!json.contains(s""""${Bench.CalibName}":1.8"""),
+      "calibration not listed as a query minimum")
+    assert(json.contains(""""calibration_fixed":[2.0,1.8]"""),
+      "calibration reps stay visible in runs")
+  }
+
   test("render reports per-query session startup separately from minima") {
     val json = Bench.render(
       Seq("q1" -> Seq(Right(0.5)), "q2" -> Seq(Right(0.7))),
