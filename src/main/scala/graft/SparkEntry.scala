@@ -1,6 +1,7 @@
 package graft
 
 import graft.catalog.TestTables
+import graft.functions.TimeFunctions
 import graft.ir._
 import graft.ir.Dsl._
 import graft.model.FeatureGroup
@@ -92,19 +93,23 @@ object SparkEntry {
     }),
 
     // §2.4 point-in-time join: for each click, the user's latest view ≤ t.
-    // events.ts arrives as Long nanos (nanosAsLong); emitted as epoch micros.
+    // events.ts is whatever the writer emitted (int64-nanos in one testdata
+    // generation, timestamp[us] in the next) — the join orders it natively
+    // and the output normalizes through the type-dispatching converter, so
+    // the query survives schema regenerations; emitted as epoch micros to
+    // match the oracle's epoch_us.
     "q07_pit_join" -> ((s, dir) => {
       val ev = s.read.parquet(TestTables.parquet(dir, "events"))
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       val views = ev.filter(col("event_type") === "view")
         .select("user_id", "ts", "event_id", "value")
-      graft.ops.PointInTimeJoin
+      val joined = graft.ops.PointInTimeJoin
         .asOf(clicks, "ts", views, "ts", Seq("user_id"), Seq("user_id"),
           prefix = "view_")
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"),
-          expr("view_ts div 1000").as("view_ts_us"),
+      joined.select(col("event_id"), col("user_id"),
+          TimeFunctions.eventTimeToMicros(joined, "ts").as("ts_us"),
+          TimeFunctions.eventTimeToMicros(joined, "view_ts").as("view_ts_us"),
           col("view_event_id"), col("view_value"))
         .orderBy("event_id")
     }),
@@ -420,10 +425,11 @@ object SparkEntry {
     "q34_stream_agg" -> ((s, dir) => {
       val batch = s.read.parquet(TestTables.parquet(dir, "events"))
       // glob path: the file streaming source needs a directory or glob
-      val stream = graft.streaming.Streaming.readStream(
+      val stream0 = graft.streaming.Streaming.readStream(
           s, "parquet", Some(s"$dir/events.*"),
           schema = Some(batch.schema))
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      val stream = stream0
+        .withColumn("ts2", TimeFunctions.eventTimeToTimestamp(stream0, "ts"))
       val agg = graft.streaming.Streaming.windowedAgg(
         stream, "ts2", "1 day", "1 hour", "event_type", "value")
       graft.streaming.Streaming.runToMemory(agg, "q34_sink_", "complete")
@@ -671,12 +677,12 @@ object SparkEntry {
         .select("event_id", "user_id", "ts")
       val views = ev.filter(col("event_type") === "view")
         .select("user_id", "ts", "event_id", "value")
-      graft.ops.PointInTimeJoin
+      val joined = graft.ops.PointInTimeJoin
         .asOf(clicks, "ts", views, "ts", Seq("user_id"), Seq("user_id"),
           prefix = "view_", saltBuckets = 4)
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"),
-          expr("view_ts div 1000").as("view_ts_us"),
+      joined.select(col("event_id"), col("user_id"),
+          TimeFunctions.eventTimeToMicros(joined, "ts").as("ts_us"),
+          TimeFunctions.eventTimeToMicros(joined, "view_ts").as("view_ts_us"),
           col("view_event_id"), col("view_value"))
         .orderBy("event_id")
     }),
@@ -688,10 +694,11 @@ object SparkEntry {
     // key's trailing session under the same rule.
     "q48_sessionization" -> ((s, dir) => {
       val batch = s.read.parquet(TestTables.parquet(dir, "events"))
-      val stream = graft.streaming.Streaming.readStream(
+      val stream0 = graft.streaming.Streaming.readStream(
           s, "parquet", Some(s"$dir/events.*"),
           schema = Some(batch.schema))
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      val stream = stream0
+        .withColumn("ts2", TimeFunctions.eventTimeToTimestamp(stream0, "ts"))
       val sessions = graft.streaming.Streaming.sessionize(
         stream, "user_id", "ts2", "value",
         gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
@@ -771,10 +778,11 @@ object SparkEntry {
     // SAME SQL oracle.
     "q52_session_window" -> ((s, dir) => {
       val batch = s.read.parquet(TestTables.parquet(dir, "events"))
-      val stream = graft.streaming.Streaming.readStream(
+      val stream0 = graft.streaming.Streaming.readStream(
           s, "parquet", Some(s"$dir/events.*"),
           schema = Some(batch.schema))
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      val stream = stream0
+        .withColumn("ts2", TimeFunctions.eventTimeToTimestamp(stream0, "ts"))
       val sessions = graft.streaming.Streaming.sessionizeNative(
         stream, "user_id", "ts2", "value",
         gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
@@ -1174,16 +1182,20 @@ object SparkEntry {
     "q70_distinct_sketch" -> ((s, dir) => {
       import s.implicits._
       import graft.ops.Monitoring
-      val unit = 86400L * 1000L * 1000L * 1000L // one day of nanos
-      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
-      val sketches = Monitoring.distinctSketches(ev, "ts", "user_id", unit)
+      val unit = 86400L * 1000L * 1000L // one day of micros
+      val ev0 = s.read.parquet(TestTables.parquet(dir, "events"))
+      // normalize the event-time column to epoch micros up front — the
+      // sketch windows and the exact-count replay then share one unit
+      // regardless of the parquet writer's ts representation
+      val ev = ev0.withColumn("ts_us", TimeFunctions.eventTimeToMicros(ev0, "ts"))
+      val sketches = Monitoring.distinctSketches(ev, "ts_us", "user_id", unit)
         .localCheckpoint(true)
       val b = sketches.agg(min("window"), max("window")).head
       val (lo, hi) = (b.getLong(0), b.getLong(1))
       val estAll = Monitoring.estimateDistinct(sketches, lo, hi)
       val estWeek = Monitoring.estimateDistinct(sketches, lo, lo + 6)
       val days = ev.select(
-        expr(s"CAST(ts AS BIGINT) div $unit").as("w"), col("user_id"))
+        expr(s"ts_us div $unit").as("w"), col("user_id"))
       val exactAll = days.agg(countDistinct("user_id")).head.getLong(0)
       val exactWeek = days.filter(col("w") <= lo + 6)
         .agg(countDistinct("user_id")).head.getLong(0)

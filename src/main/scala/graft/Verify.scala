@@ -18,6 +18,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a silent absence reads as "smaller suite, all green" in the
+        // driver's correctness JSON — leave an explicit error artifact so
+        // a failed query surfaces as an `err` row, never as an omission
+        try {
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          // clear any partial parquet output so the marker is unambiguous
+          Option(d.listFiles).foreach(_.foreach { f =>
+            if (f.isFile) f.delete() })
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"),
+            s"$name: ${e.toString}\n")
+        } catch { case _: Throwable => () }
       }
       // queries may cache intermediates (e.g. the q63 pipeline); don't
       // let 68 queries' worth of cached partitions pile up in one session

@@ -4,6 +4,7 @@ import java.time._
 import java.time.format.DateTimeFormatter
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Event-time normalization: every accepted representation → epoch millis
   * (UTC). Mirrors the reference's format-sniffing parser
@@ -103,6 +104,56 @@ object TimeFunctions {
       try_to_timestamp(s)))
     when(digits, fromDigits).otherwise(fromIso)
   }
+
+  /** Event-time column of ANY accepted type → epoch MICROS (Long),
+    * dispatched on the column's resolved Catalyst type so the same query
+    * runs unchanged whether the parquet writer emitted int64 epochs or a
+    * real timestamp column (the reference accepts the same spread of
+    * event-time representations, engine/spark.py:762-847). Timestamps
+    * convert exactly via `unix_micros` — NOT through the millis parser,
+    * which would truncate sub-millisecond precision that the DuckDB
+    * oracle's `epoch_us` keeps. Integral columns are unit-sniffed by
+    * magnitude: epoch values in sec/ms/us/ns differ by ~3 orders of
+    * magnitude each (2026 epoch ≈ 1.8e9 s / 1.8e12 ms / 1.8e15 us /
+    * 1.8e18 ns), so the bands cannot collide for any date between 1973
+    * and 5000. Integral division via the SQL `div` operator — double
+    * division loses exactness above 2^53, misplacing nano-epoch events
+    * near unit boundaries.
+    */
+  def eventTimeToMicros(df: org.apache.spark.sql.DataFrame,
+                        colName: String): Column =
+    eventTimeToMicros(col(colName), df.schema(colName).dataType)
+
+  def eventTimeToMicros(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    // NTZ wall time is interpreted in the session timezone, which
+    // SparkSessions pins to UTC — matching how DuckDB's epoch_us reads
+    // the same naive-timestamp parquet
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case DateType => unix_date(c).cast(LongType) * 86400000000L
+    case ByteType | ShortType | IntegerType | LongType =>
+      val v = c.cast(LongType)
+      when(v >= 100000000000000000L, call_function("div", v, lit(1000L)))
+        .when(v >= 100000000000000L, v)          // already micros
+        .when(v >= 100000000000L, v * 1000L)     // millis
+        .otherwise(v * 1000000L)                 // seconds
+    case StringType => eventTimeToMillis(c) * 1000L
+    case other => throw new IllegalArgumentException(
+      s"unsupported event-time column type: $other")
+  }
+
+  /** Event-time column of any accepted type → a proper TimestampType
+    * column (for watermarks / windowed aggs / session windows, which
+    * require a timestamp). Already-timestamp columns pass through
+    * untouched — no round trip, no precision loss.
+    */
+  def eventTimeToTimestamp(df: org.apache.spark.sql.DataFrame,
+                           colName: String): Column =
+    df.schema(colName).dataType match {
+      case TimestampType => col(colName)
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case dt => timestamp_micros(eventTimeToMicros(col(colName), dt))
+    }
 
   /** epoch millis → Hudi-style commit string yyyyMMddHHmmssSSS
     * (reference util.get_hudi_datestr_from_timestamp).

@@ -272,18 +272,29 @@ object Monitoring {
     * COUNT(DISTINCT) over a rolling window must. Sketches are
     * deterministic (no RNG), so estimates are reproducible.
     *
-    * @param timeCol   epoch time column (any integral unit)
-    * @param unitsPerWindow window width in `timeCol`'s own unit
+    * @param timeCol   event-time column — integral epoch (any unit) or a
+    *                  timestamp; type-dispatched, so the operator survives
+    *                  a writer switching between int64 epochs and
+    *                  timestamp[us] parquet
+    * @param unitsPerWindow window width in `timeCol`'s own unit for
+    *                  integral columns, in MICROS for timestamp columns
     * @return (window, sketch) — one row per occupied window
     */
   def distinctSketches(df: DataFrame, timeCol: String, valueCol: String,
-                       unitsPerWindow: Long): DataFrame =
+                       unitsPerWindow: Long): DataFrame = {
     // integral `div`, NOT double division: epoch nanos (~1.7e18) exceed
     // a double's 2^53 exact range, so `/` + cast misplaces events within
     // ~128 ns of a window boundary
-    df.groupBy(expr(s"CAST($timeCol AS BIGINT) div $unitsPerWindow")
-        .as("window"))
+    val dt = df.schema(timeCol).dataType
+    val ticks = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        graft.functions.TimeFunctions.eventTimeToMicros(col(timeCol), dt)
+      case _ => expr(s"CAST($timeCol AS BIGINT)")
+    }
+    df.groupBy(call_function("div", ticks, lit(unitsPerWindow)).as("window"))
       .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+  }
 
   /** Union the sketches of windows in `[fromWindow, toWindow]` and
     * estimate the distinct count — one tiny scan over persisted sketch
