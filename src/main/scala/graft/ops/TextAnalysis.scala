@@ -282,10 +282,26 @@ object TextAnalysis {
     require(k > 0, "smoothing k must be positive")
     require(!Set("bg", "w1", "w2", "_cbi", "_cctx", "_p").contains(idCol),
       s"id column '$idCol' collides with an internal name")
-    val (biCnt, ctxCnt) = bigramCounts(train, textCol, minCount)
-    val vocab = train
-      .select(explode(tokenized(col(textCol))).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0).toDouble
+    // ONE scan of train, ever: token-adjacency pairs — each token
+    // occurrence emits (w, next-or-null), so a single explode+groupBy
+    // carries BOTH the bigram table (w2 non-null rows) and the exact
+    // vocabulary (distinct w1). The bounded count table is checkpointed,
+    // cutting lineage to train — a train frame that is itself an
+    // expensive uncached pipeline (q82 passes its full cleaning chain
+    // here, 22.6 s honest in round 7) is never re-evaluated per
+    // consumer, and the vocab action, the two model joins, and every
+    // later evaluation of the returned frame all read the ~KB-to-MB
+    // table instead of re-running the corpus lineage.
+    val pairCnt = train
+      .select(explode(adjacentPairs(col(textCol))).as("_pr"))
+      .select(col("_pr.w1").as("w1"), col("_pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_cbi"))
+      .localCheckpoint(true)
+    val vocab = pairCnt.agg(countDistinct(col("w1"))).head().getLong(0).toDouble
+    val counted = pairCnt.filter(col("w2").isNotNull)
+    val biCnt =
+      if (minCount > 1) counted.filter(col("_cbi") >= minCount) else counted
+    val ctxCnt = biCnt.groupBy("w1").agg(sum("_cbi").as("_cctx"))
     val scored = corpus
       .select(col(idCol), explode(bigramsOf(col(textCol))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -301,6 +317,19 @@ object TextAnalysis {
 
   private def tokenized(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  // token-adjacency pairs: (t[i], t[i+1]) for each bigram position plus a
+  // trailing (t[n], null), so one explode feeds both the bigram counts and
+  // the exact vocabulary (every token occurrence appears as w1 exactly
+  // once — including single-token documents, which have no bigrams). The
+  // i < size guard keeps element_at in-bounds under ANSI mode; CaseWhen
+  // branches evaluate lazily, so the out-of-range access never runs.
+  private def adjacentPairs(c: Column): Column =
+    graft.functions.Exprs.let(tokenized(c), t =>
+      when(size(t) >= 1,
+        transform(sequence(lit(1), size(t)),
+          i => struct(element_at(t, i).as("w1"),
+            when(i < size(t), element_at(t, i + 1)).as("w2")))))
 
   // the let binds the token array ONCE — element_at inside the transform
   // lambda would otherwise re-tokenize the document per bigram position
@@ -426,8 +455,15 @@ object TextAnalysis {
       .select(explode(tokenized(col(textCol))).as("_tok"))
       .select(pmod(graft.functions.TextHash.charPolyHash(col("_tok")),
         lit(nBuckets.toLong)).as("_bkt"))
+    // the model tables are ≤ nBuckets rows — checkpoint them eagerly so
+    // target and corpus are each scanned ONCE for model fitting (the
+    // total-count actions and the two broadcast joins below would
+    // otherwise re-run each input's full lineage per consumer: round 6/7
+    // measured the scoring pass re-evaluating the corpus pipeline 3×)
     val tCnt = bucketed(target).groupBy("_bkt").agg(count(lit(1)).as("_ct"))
+      .localCheckpoint(true)
     val rCnt = bucketed(corpus).groupBy("_bkt").agg(count(lit(1)).as("_cr"))
+      .localCheckpoint(true)
     val nT = tCnt.agg(coalesce(sum("_ct"), lit(0L))).head().getLong(0)
     val nR = rCnt.agg(coalesce(sum("_cr"), lit(0L))).head().getLong(0)
     require(nT > 0, "target corpus has no tokens")
