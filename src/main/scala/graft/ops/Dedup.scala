@@ -646,22 +646,63 @@ object Dedup {
                           textCol: String,
                           expectedItems: Long = 10000000L,
                           fpp: Double = 0.03): DataFrame = {
+    val fpCol = "_graft_fp"
+    // the distinct fingerprint frame is consumed TWICE — bloom build and
+    // anti-join build side — so persist it across both: uncached, the
+    // full history would be scanned and distinct-shuffled twice per call,
+    // defeating the Bloom at exactly the 10^9-row scale it targets. The
+    // bloom-build action below populates the cache; lifetime is left to
+    // the session (the frame is the anti-join's build side, so it stays
+    // live as long as the returned frame does).
+    val histFp = history
+      .select(graft.ops.TextAnalysis.fingerprint(col(textCol)).as(fpCol))
+      .distinct()
+      .persist()
+    dedupAgainstFpCore(batch, histFp, textCol, expectedItems, fpp)
+  }
+
+  /** Variant over an already-maintained fingerprint frame (one column of
+    * [[TextAnalysis.fingerprint]] values, as the streaming ingest path
+    * persists — see q73): skips the history scan entirely, so steady-state
+    * ingest pays only the batch fingerprinting + bloom build over the
+    * compact fingerprint store. Duplicate fingerprints in `fingerprints`
+    * don't change the answer (bloom insertion and anti-join existence are
+    * both idempotent), only the build cost — keep the store distinct.
+    */
+  def dedupAgainstHistoryFingerprints(batch: DataFrame,
+                                      fingerprints: DataFrame,
+                                      fingerprintCol: String,
+                                      textCol: String,
+                                      expectedItems: Long = 10000000L,
+                                      fpp: Double = 0.03): DataFrame =
+    dedupAgainstFpCore(batch,
+      fingerprints.select(col(fingerprintCol).as("_graft_fp")),
+      textCol, expectedItems, fpp)
+
+  private def dedupAgainstFpCore(batch: DataFrame, histFp: DataFrame,
+                                 textCol: String, expectedItems: Long,
+                                 fpp: Double): DataFrame = {
     require(expectedItems > 0, "expectedItems must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val fpCol = "_graft_fp"
     require(!batch.columns.contains(fpCol),
       s"batch column '$fpCol' collides with an operator internal")
-    val histFp = history
-      .select(graft.ops.TextAnalysis.fingerprint(col(textCol)).as(fpCol))
-      .distinct()
     val bloom = histFp.stat.bloomFilter(fpCol, expectedItems, fpp)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // checkpoint the fingerprinted batch so it is evaluated EXACTLY once:
+    // the bloom split consumes it twice (negative filter + positive
+    // branch), and a nondeterministic upstream (sampling, rand-derived
+    // filters) evaluated independently per consumer could silently drop
+    // rows that flip sides between evaluations — a correctness bug, not
+    // just doubled cost. A batch is the bounded increment of an ingest
+    // pipeline, so materializing it is cheap relative to that risk.
     val withFp = batch.withColumn(fpCol,
       graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .localCheckpoint(true)
     val might = graft.functions.BloomFunctions.mightContain(col(fpCol), bloomBytes)
     val definitelyNew = withFp.filter(!might)
     val verifiedNew = withFp.filter(might)

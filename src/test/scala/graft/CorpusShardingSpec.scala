@@ -361,4 +361,59 @@ class CorpusShardingSpec extends SparkSpec {
       graft.functions.BloomFunctions.mightContain(col("fp"), bos.toByteArray))
     assert(hits.count() === 2L)
   }
+
+  test("dedupAgainstHistory scans history once and evaluates the batch once") {
+    val sc = spark.sparkContext
+    val histScans = sc.longAccumulator("histScans")
+    val batchEvals = sc.longAccumulator("batchEvals")
+    val histDf = sc.parallelize((1 to 100).map(i => s"hist doc $i"), 4)
+      .mapPartitions { it => histScans.add(1); it }.toDF("text")
+    val batchDf = sc.parallelize((1 to 50).map(i => s"batch doc $i"), 4)
+      .mapPartitions { it => batchEvals.add(1); it }.toDF("text")
+    val out = Dedup.dedupAgainstHistory(batchDf, histDf, "text",
+      expectedItems = 1000L)
+    assert(out.count() === 50L)
+    // 4 partitions each: one scan for the persisted fingerprint build
+    // (bloom action populates the cache the anti-join then reads), one
+    // batch evaluation at the checkpoint (the bloom split's two branches
+    // read the checkpoint, not the lineage)
+    assert(histScans.value === 4L,
+      s"history scanned ${histScans.value / 4} times, want 1")
+    assert(batchEvals.value === 4L,
+      s"batch evaluated ${batchEvals.value / 4} times, want 1")
+    // and the result stays exact
+    assert(out.as[String].collect().toSet ===
+      (1 to 50).map(i => s"batch doc $i").toSet)
+  }
+
+  test("nondeterministic batch input is neither dropped nor duplicated") {
+    // a rand-gated batch evaluated independently per bloom branch could
+    // emit different row sets on each side; the checkpoint pins ONE
+    // evaluation, so repeated consumption of the result is stable
+    val batch = spark.range(2000)
+      .select(concat(lit("doc "), col("id")).as("text"))
+      .filter(rand(7) < 0.5)
+    val history = spark.range(100)
+      .select(concat(lit("doc "), col("id")).as("text"))
+    val out = Dedup.dedupAgainstHistory(batch, history, "text",
+      expectedItems = 10000L).cache()
+    val n1 = out.count()
+    assert(out.select("text").distinct().count() === n1, "no duplicates")
+    assert(out.count() === n1, "stable across consumptions")
+    assert(out.filter(col("text").isin((0 until 100)
+      .map(i => s"doc $i"): _*)).count() === 0L, "history rows removed")
+  }
+
+  test("dedupAgainstHistoryFingerprints skips the history scan") {
+    val history = Seq("a b", "c d").map(Tuple1(_)).toDF("text")
+    val store = history
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val batch = Seq((1L, "A  b"), (2L, "x y"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstHistoryFingerprints(batch, store, "fp",
+      "text", expectedItems = 100L)
+    assert(got.select("doc_id").as[Long].collect().toSet === Set(2L))
+    assert(got.columns.toSeq === Seq("doc_id", "text"))
+  }
 }
