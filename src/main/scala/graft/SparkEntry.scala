@@ -1047,20 +1047,21 @@ object SparkEntry {
       val qual = clean
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
         .filter(col("n_tokens") >= 5)
-      // the split map fans out into 3 frames × 2 actions each inside
-      // tokenBudgetBins — persist the cleaned corpus once so the gram
-      // join + clustering lineage is not re-executed per consumer
+      // persist the cleaned corpus: the one-pass sharding below still
+      // consumes it twice (window pass + range-totals action)
       val grouped = qual
         .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("grp", coalesce(col("component"), col("doc_id")))
         .cache()
-      val splits = Splits.grouped(grouped, Splits.GroupSplit("grp",
+      // split label as a COLUMN + one-pass per-split sharding: the former
+      // per-split-frame form ran tokenBudgetBins (2 sequential driver
+      // actions) once per split — 6 actions over the clustering lineage;
+      // this is one window shuffle + one action for all three splits
+      val labeled = Splits.groupedLabeled(grouped, Splits.GroupSplit("grp",
         Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1)))
-      splits.toSeq.map { case (name, d) =>
-        Sharding.tokenBudgetBins(d, "doc_id", "n_tokens", budget = 500L,
-            orderKeyCol = TextAnalysis.fingerprint(col("text")))
-          .withColumn("split", lit(name))
-      }.reduce(_.unionByName(_))
+      Sharding.tokenBudgetBinsPerSplit(labeled, "split", "doc_id",
+          "n_tokens", budget = 500L,
+          orderKeyCol = TextAnalysis.fingerprint(col("text")))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens_c"),
           countDistinct("bin").as("n_bins"))

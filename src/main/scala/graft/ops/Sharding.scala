@@ -47,27 +47,55 @@ object Sharding {
     */
   def tokenBudgetBins(df: DataFrame, idCol: String, tokensCol: String,
                       budget: Long, orderKeyCol: Column,
-                      keyBits: Int = 52, nBuckets: Int = 256): DataFrame = {
+                      keyBits: Int = 52, nBuckets: Int = 256): DataFrame =
+    binsCore(df.withColumn("_pt", lit("")), idCol, tokensCol, budget,
+      orderKeyCol, keyBits, nBuckets)
+      .drop("_pt")
+
+  /** One-pass variant over a frame carrying a SPLIT label column
+    * ([[Splits.groupedLabeled]]): each split's documents are prefix-summed
+    * and binned independently — identical bins to calling
+    * [[tokenBudgetBins]] once per filtered split — but all splits share
+    * ONE window shuffle and ONE driver action instead of paying the
+    * operator's two sequential actions per split. q63's profile was
+    * exactly this: 3 splits × 2 prefix-sum actions sequentially; this
+    * form collapses them to a single pair.
+    *
+    * @return (splitCol, idCol, bin, n_tokens) — bins numbered per split
+    */
+  def tokenBudgetBinsPerSplit(df: DataFrame, splitCol: String,
+                              idCol: String, tokensCol: String,
+                              budget: Long, orderKeyCol: Column,
+                              keyBits: Int = 52,
+                              nBuckets: Int = 256): DataFrame =
+    binsCore(df.withColumn("_pt", col(splitCol).cast("string")), idCol,
+      tokensCol, budget, orderKeyCol, keyBits, nBuckets)
+      .withColumnRenamed("_pt", splitCol)
+
+  private def binsCore(df: DataFrame, idCol: String, tokensCol: String,
+                       budget: Long, orderKeyCol: Column,
+                       keyBits: Int, nBuckets: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     val bucketBits = 31 - Integer.numberOfLeadingZeros(nBuckets)
     require(nBuckets == (1 << bucketBits), "nBuckets must be a power of two")
     require(keyBits > bucketBits && keyBits <= 63, "keyBits out of range")
 
-    val keyed = df.select(col(idCol), col(tokensCol).cast("long").as("_tok"),
+    val keyed = df.select(col("_pt"), col(idCol),
+        col(tokensCol).cast("long").as("_tok"),
         orderKeyCol.cast("long").as("_ok"))
       .withColumn("_bkt",
         shiftrightunsigned(col("_ok"), keyBits - bucketBits).cast("int"))
 
-    // local exclusive cumsum within each key range
-    val w = Window.partitionBy("_bkt").orderBy(col("_ok"), col(idCol))
+    // local exclusive cumsum within each (split, key range)
+    val w = Window.partitionBy("_pt", "_bkt").orderBy(col("_ok"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = keyed.withColumn("_lex",
       coalesce(sum(col("_tok")).over(w), lit(0L)))
 
-    // range totals → exclusive running offsets (nBuckets rows on the
-    // driver); min/max of the order key ride along to enforce the domain
-    // contract without an extra pass
-    val totalsRows = keyed.groupBy("_bkt")
+    // range totals → exclusive running offsets per split (splits ×
+    // nBuckets rows on the driver); min/max of the order key ride along
+    // to enforce the domain contract without an extra pass
+    val totalsRows = keyed.groupBy("_pt", "_bkt")
       .agg(sum("_tok").as("_bsum"), min("_ok").as("_kmin"), max("_ok").as("_kmax"),
         count(lit(1)).as("_rows"))
       .collect()
@@ -75,29 +103,34 @@ object Sharding {
     // min/max null — diagnose it by name instead of NPE-ing on getLong
     // (null keys all land in the null _bkt group, so per-bucket min/max
     // are null exactly when that bucket's keys are)
-    val nullKeyRows = totalsRows.filter(r => r.isNullAt(2) || r.isNullAt(3))
+    val nullKeyRows = totalsRows.filter(r => r.isNullAt(3) || r.isNullAt(4))
     require(nullKeyRows.isEmpty,
-      s"orderKeyCol evaluates to NULL for ${nullKeyRows.map(_.getLong(4)).sum}" +
+      s"orderKeyCol evaluates to NULL for ${nullKeyRows.map(_.getLong(5)).sum}" +
         " rows (a failed cast?) — token-budget sharding needs a total order;" +
         " coalesce or filter the order key first")
     if (totalsRows.nonEmpty) {
-      val kmin = totalsRows.map(_.getLong(2)).min
-      val kmax = totalsRows.map(_.getLong(3)).max
+      val kmin = totalsRows.map(_.getLong(3)).min
+      val kmax = totalsRows.map(_.getLong(4)).max
       require(kmin >= 0L && kmax < (1L << keyBits),
         s"orderKeyCol out of domain [0, 2^$keyBits): observed [$kmin, $kmax]" +
           " — a raw xxhash64 is signed 64-bit and would silently skew the" +
           s" range buckets; wrap it as pmod(xxhash64(...), lit(1L << $keyBits))")
     }
-    val totals = totalsRows.map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (b, s) => val o = acc; acc += s; (b, o) }
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("_bkt", "_off"))
+    val offsets = totalsRows
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (pt, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, b, s) =>
+          val o = acc; acc += s; (pt, b, o)
+        }
+      }
+    val offDf = broadcast(offsets.toDF("_pt", "_bkt", "_off"))
 
-    local.join(offDf, "_bkt")
+    local.join(offDf, Seq("_pt", "_bkt"))
       .withColumn("_gex", col("_off") + col("_lex"))
-      .select(col(idCol), expr(s"_gex div $budget").as("bin"),
+      .select(col("_pt"), col(idCol), expr(s"_gex div $budget").as("bin"),
         col("_tok").as("n_tokens"))
   }
 }

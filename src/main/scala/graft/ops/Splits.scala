@@ -158,6 +158,36 @@ object Splits {
         concat_ws(":", lit(spec.salt), c.cast("string"),
           reverse(c.cast("string")))))
 
+  /** Column form of [[grouped]]: the split NAME as a column on the input
+    * frame instead of one filtered frame per split. Same hash, same
+    * thresholds — `labeled.filter(col(splitCol) === name)` equals
+    * `grouped(df, spec)(name)` row-for-row. Use this when a downstream
+    * operator can process every split in ONE pass (e.g.
+    * [[Sharding.tokenBudgetBinsPerSplit]]): the per-frame map form runs
+    * that operator's shuffles and driver actions once PER split, the
+    * labeled form once total.
+    */
+  def groupedLabeled(df: DataFrame, spec: GroupSplit,
+                     splitCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(splitCol),
+      s"split column '$splitCol' collides with an input column")
+    val weights = spec.weights
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cums = weights.scanLeft(0.0)(_ + _._2 / total).tail
+    val scale = 1000000
+    val bounds = cums.init.map(c => math.floor(c * scale).toLong) :+ scale.toLong
+    val u = pmod(graft.functions.TextHash.charPolyHash(
+      concat_ws(":", lit(spec.salt), col(spec.groupCol).cast("string"),
+        reverse(col(spec.groupCol).cast("string")))), lit(scale.toLong))
+    val label = weights.map(_._1).zip(bounds.prepended(0L).zip(bounds))
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, (lo, hi))) =>
+        when(u >= lo && u < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, label)
+  }
+
   /** Leakage-safe deterministic split: every GROUP (e.g. a near-dup
     * cluster from [[Dedup.duplicateClusters]]) lands in exactly ONE
     * split, so near-identical documents can never straddle train/test —

@@ -218,6 +218,36 @@ class CorpusShardingSpec extends SparkSpec {
     assert(got.values.max > 5, "expected multiple bins")
   }
 
+  test("tokenBudgetBinsPerSplit = one tokenBudgetBins per filtered split") {
+    val n = 400
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 37 % 113 + 1).toLong, s"g${i % 57}")
+    }.toDF("id", "tokens", "grp")
+    val spec = Splits.GroupSplit("grp",
+      Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1))
+    val ok = pmod(xxhash64(col("id")), lit(1L << 52))
+    val labeled = Splits.groupedLabeled(df, spec)
+    // the labeled column partitions exactly like the map form
+    val mapForm = Splits.grouped(df, spec)
+    mapForm.foreach { case (name, d) =>
+      assert(labeled.filter(col("split") === name).select("id")
+        .as[Long].collect().toSet === d.select("id").as[Long].collect().toSet,
+        s"split $name")
+    }
+    // and the one-pass bins equal the per-split bins
+    val onePass = Sharding.tokenBudgetBinsPerSplit(labeled, "split", "id",
+        "tokens", budget = 300L, orderKeyCol = ok, nBuckets = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perSplit = mapForm.toSeq.flatMap { case (name, d) =>
+      Sharding.tokenBudgetBins(d, "id", "tokens", budget = 300L,
+          orderKeyCol = ok, nBuckets = 8)
+        .collect().map(r => (name, r.getLong(0)) -> r.getLong(1))
+    }.toMap
+    assert(onePass === perSplit)
+    assert(onePass.nonEmpty && onePass.values.max > 0)
+  }
+
   test("tokenBudgetBins rejects bad budget and non-power-of-two buckets") {
     val df = Seq((1L, 10L)).toDF("id", "tokens")
     intercept[IllegalArgumentException] {
