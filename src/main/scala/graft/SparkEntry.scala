@@ -1675,6 +1675,27 @@ object SparkEntry {
           nBuckets = 1024)
         .filter(col("dsir_score") >= -1.2)
         .orderBy("doc_id")
+    }),
+
+    // Span REMOVAL (Lee 2021 ExactSubstr): q87 reports span duplication,
+    // this strips it — planted clones (doc_id<50 duplicated wholesale)
+    // must come back fully emptied, natural cross-doc boilerplate loses
+    // exactly its covered tokens, everything else survives
+    // whitespace-normalized. Full value oracle: DuckDB replays the
+    // repeated-span set, the covering-window union, and the token-level
+    // rebuild with list lambdas.
+    "q91_strip_spans" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.ops.Dedup.stripRepeatedSpans(corpus, "doc_id", "text",
+          k = 8, minDocs = 2)
+        .select(col("doc_id"), col("text"),
+          when(length(col("text")) === 0, lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3184,6 +3205,38 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
                 round(avg(llr), 4) AS dsir_score
          FROM scored GROUP BY doc_id
-         HAVING round(avg(llr), 4) >= -1.2 ORDER BY doc_id"""
+         HAVING round(avg(llr), 4) >= -1.2 ORDER BY doc_id""",
+    // ground-truth span removal: the repeated set from list-sliced spans
+    // (as q87), then the covering-window union and token-level rebuild
+    // replayed with nested list lambdas — value-identical text strings
+    "q91_strip_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, text FROM documents
+             WHERE doc_id < 50),
+         d AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) AS toks
+               FROM corpus),
+         sp AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span
+                FROM d, unnest(range(1, len(toks) - 6)) AS t(i)
+                WHERE len(toks) >= 8),
+         rep AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+                 GROUP BY span HAVING count(*) >= 2),
+         cov AS (SELECT doc_id, list(i) AS ps
+                 FROM (SELECT doc_id, i FROM sp SEMI JOIN rep USING (span))
+                 GROUP BY doc_id),
+         reb AS (
+           SELECT d.doc_id,
+                  list_transform(
+                    list_filter(range(1, len(toks) + 1),
+                      j -> len(list_filter(coalesce(ps, []::BIGINT[]),
+                             p -> j >= p AND j <= p + 7)) = 0),
+                    j -> toks[j]) AS kept
+           FROM d LEFT JOIN cov USING (doc_id))
+         SELECT doc_id,
+                coalesce(array_to_string(kept, ' '), '') AS text,
+                len(kept)::BIGINT AS n_tokens
+         FROM reb ORDER BY doc_id"""
   )
 }

@@ -615,6 +615,69 @@ object Dedup {
             4)).as("dup_fraction"))
   }
 
+  /** Span REMOVAL — the action [[repeatedSpans]] only reports (Lee et al.
+    * 2021 §4.2 "ExactSubstr": dropping the repeated substring beats
+    * dropping whole documents): rebuild every document with each
+    * occurrence of a cross-document-repeated k-token span removed. A
+    * token is dropped when ANY repeated-span occurrence covers it (the
+    * union of covering windows — overlapping repeats merge naturally),
+    * and the surviving tokens are rejoined in order with single spaces:
+    * whitespace-normalized output, [[stripRepeatedLines]]'s rebuild
+    * contract. Documents with fewer than k tokens have no spans and pass
+    * through (normalized) untouched. All non-text columns are preserved.
+    *
+    * Scale shape: the repeated set derives exactly as in
+    * [[repeatedSpans]] (row-local spans from one let-bound token array,
+    * row-local `array_distinct` before the doc count, (hash, span)
+    * grouping, boilerplate-sized result broadcast by AQE); covered
+    * START POSITIONS — repeat occurrences, boilerplate-sized per doc,
+    * NOT covered tokens — regroup in one narrow shuffle on the doc id;
+    * the rebuild is a row-local higher-order-function pass over the
+    * token array. Nothing quadratic in the corpus, nothing driver-side.
+    */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "span length k must be at least 2")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val internal = Set("_span", "_h", "_i", "_pos", "_poss", "_clean")
+    val clash = docs.columns.filter(internal.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} collide with operator internals")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val spansOf = graft.functions.Exprs.let(toks, t =>
+      when(size(t) >= k,
+        transform(sequence(lit(1), size(t) - (k - 1)),
+          i => concat_ws(" ", slice(t, i, lit(k))))))
+    val repeated = docs
+      .select(col(idCol), explode(array_distinct(spansOf)).as("_span"))
+      .withColumn("_h", graft.functions.TextHash.charPolyHash(col("_span")))
+      .groupBy("_h", "_span").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+      .select("_h", "_span")
+    // start positions (1-based) of repeated spans, regrouped per doc
+    val posPerDoc = docs
+      .select(col(idCol), posexplode(spansOf).as(Seq("_i", "_span")))
+      .withColumn("_h", graft.functions.TextHash.charPolyHash(col("_span")))
+      .join(repeated, Seq("_h", "_span"), "left_semi")
+      .select(col(idCol), (col("_i") + 1).as("_pos"))
+      .groupBy(col(idCol)).agg(collect_list(col("_pos")).as("_poss"))
+    val rebuilt = graft.functions.Exprs.let(toks, t =>
+      graft.functions.Exprs.let(
+        coalesce(col("_poss"), array().cast("array<int>")), ps =>
+        when(size(t) >= 1,
+          concat_ws(" ", filter(
+            transform(sequence(lit(1), size(t)), j =>
+              when(!exists(ps, p => j >= p && j <= p + (k - 1)),
+                element_at(t, j))),
+            x => x.isNotNull)))
+          .otherwise(lit(""))))
+    val outCols = docs.columns.map {
+      case c if c == textCol => rebuilt.as(textCol)
+      case c                 => col(c)
+    }
+    docs.join(posPerDoc, Seq(idCol), "left").select(outCols.toSeq: _*)
+  }
+
   /** Exact dedup of a new batch against an arbitrarily large HISTORY of
     * already-ingested content, with a Bloom pre-filter so the exact check
     * only pays for rows that might be duplicates. The steady-state shape

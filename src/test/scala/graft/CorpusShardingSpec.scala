@@ -367,6 +367,38 @@ class CorpusShardingSpec extends SparkSpec {
       "a span repeated only within one document must not count")
   }
 
+  test("stripRepeatedSpans drops covered tokens, keeps order, merges overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e x1", "m1"),   // "a b c"@1 + "b c d"@2 cover 1..4
+      (2L, "z a b c d y", "m2"),    // "a b c"@2 + "b c d"@3 cover 2..5
+      (3L, "p q r", "m3"),          // unique span -> untouched
+      (4L, "a b", "m4"),            // shorter than k -> no spans
+      (5L, "  a   b  ", "m5"))      // whitespace-normalized only
+      .toDF("doc_id", "text", "meta")
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got(1L) === ("e x1", "m1"))
+    assert(got(2L) === ("z y", "m2"))
+    assert(got(3L) === ("p q r", "m3"), "a unique span must survive")
+    assert(got(4L) === ("a b", "m4"), "sub-k documents pass through")
+    assert(got(5L) === ("a b", "m5"), "rebuild normalizes whitespace")
+  }
+
+  test("stripRepeatedSpans strips a fully duplicated document to empty") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "totally different words here indeed friend"))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text",
+        k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "" && got(2L) === "")
+    assert(got(3L) === "totally different words here indeed friend")
+  }
+
   test("dedupAgainstHistory = exact batch-minus-history, bloom is cost-only") {
     val history = Seq("a b", "c d").map(Tuple1(_)).toDF("text")
     val batch = Seq(
