@@ -1696,6 +1696,37 @@ object SparkEntry {
             .otherwise(size(split(col("text"), " ")).cast("long"))
             .as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // URL/domain curation (C4/CCNet/RefinedWeb gate): deterministic
+    // synthetic URLs planted from doc_id (mixed-case schemes/hosts, www
+    // prefixes, default and non-default ports, tracking params,
+    // fragments, a no-scheme slice), canonicalized + eTLD+1-extracted +
+    // blocklist-filtered + capped per domain. The oracle replays the
+    // entire chain — regex canonicalization, suffix-list domain algebra,
+    // char-poly hash cap order — step for step in DuckDB.
+    "q92_url_domain_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select("doc_id")
+      val id3 = pmod(col("doc_id"), lit(3))
+      val id5 = pmod(col("doc_id"), lit(5))
+      val withUrl = docs.withColumn("url", concat(
+        when(id3 === 0, lit("HTTPS://WWW."))
+          .when(id3 === 1, lit("http://")).otherwise(lit("")),
+        lit("Site"), pmod(col("doc_id"), lit(23)).cast("string"), lit("."),
+        when(id5 === 0, lit("co.uk"))
+          .when(id5 === 1, lit("com.au")).otherwise(lit("com")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(":443"))
+          .otherwise(lit("")),
+        lit("/Page/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("?utm_source=x&id="))
+          .otherwise(lit("?id=")),
+        col("doc_id").cast("string"), lit("#s")))
+      graft.ops.UrlCuration.gateByDomain(withUrl, "url", "doc_id",
+          blockedDomains = Seq("site3.com", "site7.co.uk"),
+          maxDocsPerDomain = 3)
+        .select("doc_id", "url_canon", "domain")
+        .orderBy("doc_id")
     })
   )
 
@@ -3237,6 +3268,99 @@ object SparkEntry {
          SELECT doc_id,
                 coalesce(array_to_string(kept, ' '), '') AS text,
                 len(kept)::BIGINT AS n_tokens
-         FROM reb ORDER BY doc_id"""
+         FROM reb ORDER BY doc_id""",
+    // full replay of the URL pipeline: same planted URLs, same RE2
+    // canonicalization steps, same embedded suffix list, same char-poly
+    // cap order
+    "q92_url_domain_gate" ->
+      """WITH d AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+                   WHEN doc_id % 3 = 1 THEN 'http://' ELSE '' END)
+             || 'Site' || (doc_id % 23)::VARCHAR || '.'
+             || (CASE WHEN doc_id % 5 = 0 THEN 'co.uk'
+                      WHEN doc_id % 5 = 1 THEN 'com.au' ELSE 'com' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+             || '/Page/' || doc_id::VARCHAR
+             || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id='
+                      ELSE '?id=' END)
+             || doc_id::VARCHAR || '#s' AS url
+           FROM documents),
+         c1 AS (SELECT doc_id, trim(url) AS u,
+                  coalesce(regexp_extract(trim(url),
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '') AS sraw
+                FROM d),
+         c2 AS (SELECT doc_id,
+                  CASE WHEN sraw <> '' THEN lower(sraw) ELSE 'http' END
+                    AS scheme,
+                  CASE WHEN sraw <> '' THEN
+                    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+                  ELSE u END AS rest
+                FROM c1),
+         c3 AS (SELECT doc_id, scheme, rest,
+                  coalesce(regexp_extract(rest, '^([^/?#]*)', 1), '')
+                    AS auth
+                FROM c2),
+         c4 AS (SELECT doc_id, scheme,
+                  substring(rest, length(auth) + 1) AS tail,
+                  lower(regexp_replace(auth, '^[^@]*@', '')) AS h0
+                FROM c3),
+         c5 AS (SELECT doc_id, scheme, tail,
+                  regexp_replace(regexp_replace(
+                    CASE WHEN scheme = 'http'
+                           THEN regexp_replace(h0, ':80$', '')
+                         WHEN scheme = 'https'
+                           THEN regexp_replace(h0, ':443$', '')
+                         ELSE h0 END, '\.$', ''), '^www\.', '') AS host
+                FROM c4),
+         c6 AS (SELECT doc_id, scheme, host,
+                  coalesce(regexp_extract(tail, '^([^?#]*)', 1), '') AS p0,
+                  coalesce(regexp_extract(tail, '\?([^#]*)', 1), '') AS qraw
+                FROM c5),
+         c7 AS (SELECT doc_id, scheme, host,
+                  CASE WHEN p0 = '' THEN '/' ELSE p0 END AS path,
+                  coalesce(array_to_string(list_filter(
+                    string_split(qraw, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=')),
+                    '&'), '') AS q
+                FROM c6),
+         canon AS (SELECT doc_id,
+                  scheme || '://' || host || path ||
+                    (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+                    AS url_canon
+                FROM c7),
+         hostx AS (SELECT doc_id, url_canon,
+                  regexp_replace(coalesce(regexp_extract(url_canon,
+                    '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ''),
+                    ':[0-9]+$', '') AS h
+                FROM canon),
+         dom AS (SELECT doc_id, url_canon,
+                  CASE WHEN regexp_matches(h, '^[0-9.]+$') THEN h
+                       WHEN len(string_split(h, '.')) <= 2 THEN h
+                       WHEN list_contains(
+                           ['co.uk','org.uk','ac.uk','gov.uk','co.jp',
+                            'ne.jp','or.jp','com.au','net.au','org.au',
+                            'co.in','co.nz','com.br','com.cn','com.mx',
+                            'com.tr','co.za','com.sg','com.hk'],
+                           array_to_string(string_split(h, '.')[-2:], '.'))
+                         THEN array_to_string(string_split(h, '.')[-3:], '.')
+                       ELSE array_to_string(string_split(h, '.')[-2:], '.')
+                  END AS domain
+                FROM hostx),
+         keyed AS (SELECT doc_id, url_canon, domain,
+                  url_canon || ':' || doc_id::VARCHAR AS s
+                FROM dom
+                WHERE domain NOT IN ('site3.com', 'site7.co.uk')),
+         ranked AS (SELECT doc_id, url_canon, domain,
+                  row_number() OVER (PARTITION BY domain ORDER BY
+                    list_reduce([0::BIGINT] || list_transform(
+                        range(1, length(s) + 1),
+                        i -> unicode(s[i])::BIGINT),
+                      (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)),
+                    doc_id) AS rk
+                FROM keyed)
+         SELECT doc_id, url_canon, domain
+         FROM ranked WHERE rk <= 3 ORDER BY doc_id"""
   )
 }
