@@ -997,10 +997,13 @@ object SparkEntry {
       val grouped = docs
         .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("grp", coalesce(col("component"), col("doc_id")))
-      graft.ops.Splits.grouped(grouped, graft.ops.Splits.GroupSplit("grp",
-          Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1)))
-        .map { case (n, d) => d.select(col("doc_id"), lit(n).as("split")) }
-        .reduce(_.unionByName(_)).orderBy("doc_id")
+      // label column instead of a 3-way union of filtered frames: the
+      // union form re-evaluated the iterative CC clustering lineage once
+      // per split branch
+      graft.ops.Splits.groupedLabeled(grouped,
+          graft.ops.Splits.GroupSplit("grp",
+            Seq("train" -> 0.7, "test" -> 0.2, "validation" -> 0.1)))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
     }),
 
     // §2.10 ANN scale path C: int8-quantized stage-1 scan (4× smaller
