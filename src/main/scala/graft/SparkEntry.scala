@@ -1730,6 +1730,24 @@ object SparkEntry {
           maxDocsPerDomain = 3)
         .select("doc_id", "url_canon", "domain")
         .orderBy("doc_id")
+    }),
+
+    // BPE-ish token counting (GPT-2 pre-tokenizer alternation) next to
+    // the whitespace count, over text augmented with planted
+    // contractions, decimals, and symbol runs — the byte-level budget a
+    // token-shard exporter actually needs. Same RE2 pattern string on
+    // both engines; full value oracle.
+    "q93_bpeish_tokens" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val aug = concat(col("text"), lit(" it's can't we're v"),
+        col("doc_id").cast("string"), lit(".07 #tag_"),
+        col("doc_id").cast("string"), lit(" 3.14x"))
+      docs.select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(aug).cast("long")
+            .as("n_ws_tokens"),
+          graft.ops.TextAnalysis.bpeishTokenCount(aug).cast("long")
+            .as("n_bpeish_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3364,6 +3382,21 @@ object SparkEntry {
                     doc_id) AS rk
                 FROM keyed)
          SELECT doc_id, url_canon, domain
-         FROM ranked WHERE rk <= 3 ORDER BY doc_id"""
+         FROM ranked WHERE rk <= 3 ORDER BY doc_id""",
+    // identical RE2 alternation on both engines — the pattern string is
+    // TextAnalysis.BpeishPattern verbatim
+    "q93_bpeish_tokens" ->
+      """WITH d AS (
+           SELECT doc_id,
+             text || ' it''s can''t we''re v' || doc_id::VARCHAR
+                  || '.07 #tag_' || doc_id::VARCHAR || ' 3.14x' AS s
+           FROM documents)
+         SELECT doc_id,
+           len(list_filter(string_split_regex(s, '\s+'),
+               x -> len(x) > 0))::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(s,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))::BIGINT
+             AS n_bpeish_tokens
+         FROM d ORDER BY doc_id"""
   )
 }

@@ -10,9 +10,14 @@ import org.apache.spark.sql.SparkSession
   *    and let AQE coalesce (`spark.sql.adaptive.enabled` on → runtime
   *    re-planning, skew-join splitting, partition coalescing).
   *  - UTC session timezone — event-time parity with the reference
-  *    (engine/spark.py:133) and with the DuckDB oracle.
-  *  - `nanosAsLong` — the driver testdata's events table stores
-  *    TIMESTAMP(NANOS), unsupported natively by Spark 4 parquet reads.
+  *    (engine/spark.py:133) and with the DuckDB oracle (TIMESTAMP_NTZ
+  *    columns are interpreted in the session zone by
+  *    `TimeFunctions.eventTimeToMicros`).
+  *  - `nanosAsLong` — kept for testdata generations whose events table
+  *    stores TIMESTAMP(NANOS) (unsupported natively by Spark 4 parquet
+  *    reads; read as Long nanos). The current generation writes
+  *    timestamp[us] — a no-op for it; queries dispatch on the resolved
+  *    type either way.
   */
 object SparkSessions {
 

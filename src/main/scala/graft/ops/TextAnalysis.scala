@@ -14,15 +14,24 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
-  /** BPE-ish subword count: GPT-2-style pre-tokenizer regex — runs of
-    * letters, runs of digits, single punctuation, each with optional
-    * leading space — approximates byte-pair-encoding token counts without a
-    * vocabulary.
+  /** GPT-2-style pre-tokenizer alternation: contraction suffixes, letter
+    * runs, digit runs, punctuation runs, each with an optional leading
+    * space. RE2-compatible on purpose (alternation only — no lookarounds,
+    * which RE2 rejects), so the DuckDB oracle replays the IDENTICAL
+    * pattern; leftmost-first alternative choice agrees between Java regex
+    * and RE2's default (non-POSIX) mode.
+    */
+  val BpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish subword count: matches of [[BpeishPattern]] — approximates
+    * byte-pair-encoding token counts without a vocabulary (whitespace
+    * runs separate tokens but are themselves uncounted). A match COUNT,
+    * not a lookahead split: codegen'd `regexp_extract_all`, and
+    * value-replayable in SQL.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
-      split(text, "(?=( ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+))"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
   /** Character-class ratios used by the quality score. */
   def punctRatio(text: Column): Column =

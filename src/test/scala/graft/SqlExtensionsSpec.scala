@@ -45,6 +45,20 @@ class SqlExtensionsSpec extends SparkSpec {
       spark.sql("SELECT vec_dot(array(1.0F))").collect())
   }
 
+  test("bpeish token count: contractions, digit runs, punct runs, spaces") {
+    GraftExtensions.register(spark)
+    def n(s: String): Int = spark.sql(
+      s"SELECT graft_bpeish_token_count('$s') AS n").collect().head.getAs[Int]("n")
+    assert(n("hello world") === 2)        // [hello][ world]
+    assert(n("it\\'s") === 2)             // [it]['s]
+    assert(n("can\\'t stop") === 3)       // [can]['t][ stop]
+    assert(n("v5.07") === 4)              // [v][5][.][07]
+    assert(n("3.14x") === 4)              // [3][.][14][x]
+    assert(n("#tag_x") === 4)             // [#][tag][_][x]
+    assert(n("a  b") === 2)               // double space: second token unspaced
+    assert(n("") === 0)
+  }
+
   test("planner honors per-branch time travel on lake-backed groups") {
     val fs = new graft.catalog.FeatureStore(spark,
       warehouseDir = Files.createTempDirectory("graft_tt").toString)
