@@ -1748,6 +1748,25 @@ object SparkEntry {
           graft.ops.TextAnalysis.bpeishTokenCount(aug).cast("long")
             .as("n_bpeish_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // Multimodal RESIZE through the real ImageIO kernel: planted PNGs
+    // (closed-form pixels) are decoded, nearest-neighbor-resampled with
+    // the explicit (dst*srcDim) div dstDim mapping, re-encoded, and
+    // decoded AGAIN for stats — the oracle recomputes every resized
+    // pixel from the closed form alone, so a defect in either decode,
+    // the resample arithmetic, or the re-encode breaks the integer match.
+    "q94_image_resize" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select("doc_id")
+      val withPng = graft.ops.Multimodal.withPlantedPng(docs, "doc_id", "img")
+      val resized = graft.ops.Multimodal
+        .resizeImage(withPng, "img", "img_rs", 6, 5)
+      graft.ops.Multimodal.extractImageStats(resized.drop("img"), "img_rs")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("lum_h0"), col("lum_h1"), col("lum_h2"), col("lum_h3"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3397,6 +3416,35 @@ object SparkEntry {
            len(regexp_extract_all(s,
                '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))::BIGINT
              AS n_bpeish_tokens
-         FROM d ORDER BY doc_id"""
+         FROM d ORDER BY doc_id""",
+    // q50's closed form evaluated at the nearest-neighbor source
+    // coordinates (x*w) div 6, (y*h) div 5 of the 6x5 target grid — no
+    // codec anywhere in the oracle
+    "q94_image_resize" ->
+      """WITH dims AS (
+           SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+           FROM documents),
+         xs AS (SELECT doc_id, w, h, unnest(range(0, 6)) AS x FROM dims),
+         px AS (SELECT doc_id, w, h, x, unnest(range(0, 5)) AS y FROM xs),
+         src AS (SELECT doc_id, (x * w) // 6 AS sx, (y * h) // 5 AS sy
+                 FROM px),
+         vals AS (
+           SELECT doc_id,
+                  (doc_id + 7*sx + 13*sy) % 256 AS r,
+                  (3*doc_id + 5*sx + 11*sy) % 256 AS g,
+                  (5*doc_id + 3*sx + 17*sy) % 256 AS b
+           FROM src),
+         lums AS (
+           SELECT *, (299*r + 587*g + 114*b) // 1000 AS l FROM vals)
+         SELECT doc_id,
+                CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(sum(CASE WHEN l < 64 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h0,
+                CAST(sum(CASE WHEN l >= 64 AND l < 128 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h1,
+                CAST(sum(CASE WHEN l >= 128 AND l < 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h2,
+                CAST(sum(CASE WHEN l >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h3
+         FROM lums GROUP BY doc_id ORDER BY doc_id"""
   )
 }

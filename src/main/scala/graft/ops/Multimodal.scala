@@ -188,6 +188,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** Nearest-neighbor image resize over PNG/BMP/GIF payloads: decode,
+    * resample to `width`×`height` with the EXPLICIT mapping
+    * `src = (dst · srcDim) div dstDim` (integer floor), re-encode
+    * losslessly as PNG into `outCol`. The pixel loop is hand-rolled
+    * rather than `Graphics2D`-interpolated so the output is a pure
+    * closed-form function of the input pixels — deterministic across
+    * JVMs and independently replayable by a SQL oracle (q94 resizes the
+    * planted closed-form image and the oracle recomputes every resized
+    * pixel without any codec). Undecodable/null payloads yield a null
+    * `outCol` (kept, not dropped — same contract as [[extractFeatures]]).
+    *
+    * Same scale shape as the decode kernel: the one justified
+    * `mapPartitions`, applied before any shuffle so only the (smaller)
+    * resized payload ever moves.
+    */
+  def resizeImage(df: DataFrame, binaryCol: String, outCol: String,
+                  width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    val outSchema = df.schema.add(outCol, BinaryType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val out: Array[Byte] =
+          if (bytes == null) null
+          else try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) null
+            else {
+              val dst = new BufferedImage(width, height,
+                BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < height) {
+                val sy = (y.toLong * img.getHeight / height).toInt
+                var x = 0
+                while (x < width) {
+                  val sx = (x.toLong * img.getWidth / width).toInt
+                  dst.setRGB(x, y, img.getRGB(sx, sy))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            }
+          } catch { case _: Exception => null }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Frame-sample plumbing for video-like payloads: emit `n` strided slices
     * of the payload as one row each (the real kernel would decode frames).
     * Pure expressions: posexplode over computed slice offsets.

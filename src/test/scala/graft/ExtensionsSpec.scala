@@ -388,6 +388,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(emb.toSeq === hist42.map(_.toFloat / (w42 * h42)))
   }
 
+  test("multimodal: nearest-neighbor resize recovers mapped source pixels") {
+    // 8x6 planted image -> 4x3: source pixel is exactly (2x, 2y)
+    val df = Seq(Tuple1(9L)).toDF("doc_id")
+    val resized = Multimodal.resizeImage(
+      Multimodal.withPlantedPng(df, "doc_id", "img")
+        .drop("doc_id").withColumn("doc_id", lit(9L)),
+      "img", "img_rs", 2, 3)
+    val bytes = resized.collect().head.getAs[Array[Byte]]("img_rs")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // planted dims for id 9: w = 4 + 9%5 = 8, h = 4 + 9%3 = 4;
+    // target 2x3 -> sx = x*8/2 = 4x, sy = y*4/3
+    assert(img.getWidth === 2 && img.getHeight === 3)
+    for (y <- 0 until 3; x <- 0 until 2) {
+      val (sx, sy) = (x * 8 / 2, y * 4 / 3)
+      val rgb = img.getRGB(x, y)
+      val r = (9L + 7L * sx + 13L * sy) % 256
+      val g = (3L * 9L + 5L * sx + 11L * sy) % 256
+      val b = (5L * 9L + 3L * sx + 17L * sy) % 256
+      assert(((rgb >> 16) & 0xff) === r, s"r at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) === g, s"g at ($x,$y)")
+      assert((rgb & 0xff) === b, s"b at ($x,$y)")
+    }
+    // undecodable and null payloads -> null output, row preserved
+    val junk = Seq((1L, "junk".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "img")
+    val out = Multimodal.resizeImage(junk, "img", "img_rs", 2, 2)
+      .orderBy("id").collect()
+    assert(out.length === 2 && out.forall(_.isNullAt(2)))
+  }
+
   test("corpus operators reject id columns that collide with internals") {
     import graft.ops.{Dedup, TextAnalysis}
     val t = Seq((1L, "a b")).toDF("_line", "text")
