@@ -1767,6 +1767,40 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"),
           col("lum_h0"), col("lum_h1"), col("lum_h2"), col("lum_h3"))
         .orderBy("doc_id")
+    }),
+
+    // GPT-style sequence packing: tokenize + EOS-terminate every document,
+    // concatenate in fingerprint-shuffled order, cut into 256-token
+    // sequences (docs span boundaries, partial tail dropped). The 52-bit
+    // polynomial checksum over each packed sequence forces the oracle to
+    // reproduce the ENTIRE token stream — order key, hash vocabulary,
+    // offsets, slice assembly — token for token.
+    "q95_sequence_packing" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.Packing.packSequences(docs, "doc_id", "text",
+          seqLen = 256, vocab = 32768,
+          orderKeyCol = graft.ops.TextAnalysis.fingerprint(col("text")))
+        .select(col("seq_id"), col("n_docs"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          graft.ops.Packing.tokenChecksum(col("tokens")).as("checksum"))
+        .orderBy("seq_id")
+    }),
+
+    // Audio through the real RIFF/WAVE parser: planted closed-form PCM
+    // (sample i of doc d = ((d·31+i·7) mod 4096) − 2048) is byte-encoded
+    // as a 16-bit mono WAV, re-parsed by the container walk, and framed
+    // into 25-sample windows with integer-exact energy/magnitude/zero-
+    // crossing features — the oracle recomputes every frame from the
+    // closed form with no audio code anywhere.
+    "q96_audio_frames" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select("doc_id")
+      val withWav = graft.ops.Multimodal.withPlantedWav(docs, "doc_id", "wav")
+      graft.ops.Multimodal.audioFrameFeatures(withWav, "wav", 25)
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("frame_idx"), col("frame_sum_sq"), col("frame_sum_abs"),
+          col("frame_zc"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -3445,6 +3479,77 @@ object SparkEntry {
                 CAST(sum(CASE WHEN l >= 64 AND l < 128 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h1,
                 CAST(sum(CASE WHEN l >= 128 AND l < 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h2,
                 CAST(sum(CASE WHEN l >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS lum_h3
-         FROM lums GROUP BY doc_id ORDER BY doc_id"""
+         FROM lums GROUP BY doc_id ORDER BY doc_id""",
+    // full packed-stream replay: identical tokenization (whitespace on
+    // lowercased text), identical hash vocabulary (charPolyHash mod 32768,
+    // EOS = 32768), identical fingerprint order key, a window cumsum for
+    // the offsets, and a position-ordered polynomial checksum per
+    // 256-token sequence
+    "q95_sequence_packing" ->
+      """WITH ws AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                         x -> len(x) > 0) AS toks
+           FROM documents),
+         ids AS (
+           SELECT doc_id,
+             list_append(
+               list_transform(toks, t ->
+                 (list_reduce(
+                    [0::BIGINT] || list_transform(range(1, len(t) + 1),
+                      i -> unicode(t[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                  % 32768)::BIGINT),
+               32768::BIGINT) AS ids,
+             list_reduce(
+               [0::BIGINT] || list_transform(
+                 range(1, length(array_to_string(toks, ' ')) + 1),
+                 i -> unicode(array_to_string(toks, ' ')[i])::BIGINT),
+               (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS ok
+           FROM ws),
+         offs AS (
+           SELECT doc_id, ids,
+             coalesce(sum(len(ids)) OVER (ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+           FROM ids),
+         stream AS (
+           SELECT doc_id, s, ids,
+                  unnest(range(1, len(ids) + 1)) AS i
+           FROM offs),
+         tok AS (
+           SELECT doc_id, CAST((s + i - 1) // 256 AS BIGINT) AS seq_id,
+                  (s + i - 1) % 256 AS pos, ids[i] AS t
+           FROM stream)
+         SELECT seq_id,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                list_reduce([0::BIGINT] || list(t ORDER BY pos),
+                  (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS checksum
+         FROM tok GROUP BY seq_id HAVING count(*) = 256
+         ORDER BY seq_id""",
+    // every frame recomputed from the planted closed form — no WAV bytes,
+    // no parser, just the sample formula and the same 25-sample framing
+    "q96_audio_frames" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+         fr AS (SELECT doc_id, n, unnest(range(0, n // 25)) AS f FROM d),
+         ix AS (SELECT doc_id, n, f,
+                       unnest(range(f * 25, f * 25 + 25)) AS i
+                FROM fr),
+         sv AS (SELECT doc_id, n, f, i,
+                       ((doc_id * 31 + i * 7) % 4096) - 2048 AS s
+                FROM ix),
+         sp AS (SELECT doc_id, n, f, i, s,
+                       lag(s) OVER (PARTITION BY doc_id, f ORDER BY i) AS p
+                FROM sv)
+         SELECT doc_id,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(f AS INT) AS frame_idx,
+                CAST(sum(s * s) AS BIGINT) AS frame_sum_sq,
+                CAST(sum(abs(s)) AS BIGINT) AS frame_sum_abs,
+                CAST(sum(CASE WHEN p IS NOT NULL AND ((p < 0) <> (s < 0))
+                              THEN 1 ELSE 0 END) AS BIGINT) AS frame_zc
+         FROM sp GROUP BY doc_id, n, f
+         ORDER BY doc_id, frame_idx"""
   )
 }

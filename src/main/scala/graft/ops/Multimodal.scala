@@ -255,4 +255,143 @@ object Multimodal {
         col(binaryCol).substr(col("_off") + 1, lit(64)))
       .drop("_off")
   }
+
+  // ----------------------------------------------------------------------
+  // Audio: REAL RIFF/WAVE PCM parsing — a WAV file is plain byte
+  // arithmetic (chunked RIFF container, little-endian PCM samples), so no
+  // codec jar is needed and the decode is exact. Same kernel discipline as
+  // images: parse + feature-extract per partition BEFORE any shuffle, so
+  // only small fixed-width feature rows ever move.
+  // ----------------------------------------------------------------------
+
+  /** Decoded PCM audio: channel-0 samples of a 16-bit PCM WAV. */
+  final case class WavData(sampleRate: Int, channels: Int,
+                           samples: Array[Int])
+
+  /** Real WAV decode: RIFF/WAVE container walk (fmt + data chunks, odd
+    * sizes padded per spec), 16-bit PCM only; returns channel 0. None for
+    * null/truncated/non-WAV/compressed payloads — a corpus-scale decode
+    * never throws on a bad blob.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavData] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xff).toLong |
+      ((bytes(o + 1) & 0xff).toLong << 8) |
+      ((bytes(o + 2) & 0xff).toLong << 16) |
+      ((bytes(o + 3) & 0xff).toLong << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    var bits = 0
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val size = u32(off + 4).toInt
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt))
+        bits = u16(off + 22)
+      } else if (id == "data") data = Some((off + 8, size))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate)), Some((dOff, dSize)))
+          if bits == 16 && ch >= 1 =>
+        val blockAlign = 2 * ch
+        val nFrames = dSize / blockAlign
+        val out = new Array[Int](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          val o = dOff + i * blockAlign // channel 0 leads each frame
+          out(i) = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        Some(WavData(rate, ch, out))
+      case _ => None
+    }
+  }
+
+  /** Per-FRAME audio features over a WAV binary column: the audio analog
+    * of image frame-sampling — each complete non-overlapping `frameLen`-
+    * sample frame emits one row with integer-exact energy (`sum x²`),
+    * magnitude (`sum |x|`) and frame-local zero-crossing count, plus the
+    * parsed header fields (`sample_rate`, `n_samples`) that witness the
+    * container walk. Undecodable payloads emit zero rows (filtered, like
+    * a corrupt image); the trailing partial frame is dropped.
+    */
+  def audioFrameFeatures(df: DataFrame, binaryCol: String,
+                         frameLen: Int): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_sum_sq", LongType),
+      StructField("frame_sum_abs", LongType),
+      StructField("frame_zc", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        decodeWav(row.getAs[Array[Byte]](idx)).iterator.flatMap { wav =>
+          val s = wav.samples
+          (0 until s.length / frameLen).iterator.map { f =>
+            var sq = 0L; var ab = 0L; var zc = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) {
+              val v = s(i).toLong
+              sq += v * v; ab += math.abs(v)
+              if (i > f * frameLen && (s(i - 1) < 0) != (s(i) < 0)) zc += 1
+              i += 1
+            }
+            Row.fromSeq(row.toSeq ++ Seq[Any](
+              wav.sampleRate, s.length.toLong, f, sq, ab, zc))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic planted 16-bit mono PCM WAV for a numeric id: sample
+    * `i` is `((id·31 + i·7) mod 4096) − 2048`, `n = 64 + id mod 97`
+    * samples at 8 kHz — a closed form a SQL oracle evaluates with no
+    * codec, byte-assembled through the same RIFF layout [[decodeWav]]
+    * parses.
+    */
+  def plantedWav(id: Long): Array[Byte] = {
+    val n = 64 + (id % 97).toInt
+    val rate = 8000
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def wtag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    wtag("RIFF"); w32(36 + n * 2); wtag("WAVE")
+    wtag("fmt "); w32(16); w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    wtag("data"); w32(n * 2)
+    var i = 0
+    while (i < n) {
+      w16((((id * 31 + i * 7L) % 4096) - 2048).toInt & 0xffff)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Planted-WAV column for a numeric id column (drives [[decodeWav]] with
+    * independently verifiable samples, as [[withPlantedPng]] does for the
+    * image kernel).
+    */
+  def withPlantedWav(df: DataFrame, idCol: String,
+                     binaryCol: String): DataFrame = {
+    val outSchema = df.schema.add(binaryCol, BinaryType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row.fromSeq(row.toSeq :+ plantedWav(row.getLong(idx)))
+      }
+    }(enc)
+  }
 }

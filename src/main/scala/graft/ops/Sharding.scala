@@ -76,13 +76,42 @@ object Sharding {
                        budget: Long, orderKeyCol: Column,
                        keyBits: Int, nBuckets: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
+    globalExclusiveOffsets(df, idCol, col(tokensCol).cast("long"),
+      orderKeyCol, keyBits, nBuckets)
+      .select(col("_pt"), col(idCol), expr(s"_gex div $budget").as("bin"),
+        col("_tok").as("n_tokens"))
+  }
+
+  /** Distributed global exclusive prefix sum — the shared core of
+    * [[tokenBudgetBins]] and [[Packing.packSequences]].
+    *
+    * Orders rows globally by (`_pt`, `orderKeyCol`, `idCol`), prefix-sums
+    * `weightCol` in that order WITHOUT a single-partition window (high
+    * order-key bits → `nBuckets` ranges, local window cumsum per range,
+    * per-range totals collected — `nBuckets` rows, driver-safe — and
+    * broadcast back as exclusive offsets), and returns the input's
+    * `payload` columns alongside `_tok` (the weight) and `_gex` (the
+    * row's global exclusive offset within its `_pt` group).
+    *
+    * Expects a `_pt` split-label column on `df` (constant `""` for a
+    * single global order). The order-key domain contract ([0, 2^keyBits),
+    * non-null) is enforced in the totals pass exactly as documented on
+    * [[tokenBudgetBins]].
+    */
+  private[ops] def globalExclusiveOffsets(df: DataFrame, idCol: String,
+                                          weightCol: Column,
+                                          orderKeyCol: Column,
+                                          keyBits: Int, nBuckets: Int,
+                                          payload: Seq[String] = Nil)
+      : DataFrame = {
     val bucketBits = 31 - Integer.numberOfLeadingZeros(nBuckets)
     require(nBuckets == (1 << bucketBits), "nBuckets must be a power of two")
     require(keyBits > bucketBits && keyBits <= 63, "keyBits out of range")
 
-    val keyed = df.select(col("_pt"), col(idCol),
-        col(tokensCol).cast("long").as("_tok"),
-        orderKeyCol.cast("long").as("_ok"))
+    val keyed = df.select(Seq(col("_pt"), col(idCol)) ++
+        payload.map(col) ++ Seq(
+        weightCol.cast("long").as("_tok"),
+        orderKeyCol.cast("long").as("_ok")): _*)
       .withColumn("_bkt",
         shiftrightunsigned(col("_ok"), keyBits - bucketBits).cast("int"))
 
@@ -130,7 +159,7 @@ object Sharding {
 
     local.join(offDf, Seq("_pt", "_bkt"))
       .withColumn("_gex", col("_off") + col("_lex"))
-      .select(col("_pt"), col(idCol), expr(s"_gex div $budget").as("bin"),
-        col("_tok").as("n_tokens"))
+      .select(Seq(col("_pt"), col(idCol)) ++ payload.map(col) ++
+        Seq(col("_tok"), col("_gex")): _*)
   }
 }
