@@ -282,7 +282,10 @@ object Bench {
       .map(_._2.collect { case Right(t) => t })
       .filter(_.nonEmpty).map(_.min)
     val calibJson = calibMin.map(v => s""","calibration":$v""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"startup":$startupJson,"startup_total":$startupTotal$calibJson,"isolation":"jvm-per-query","action":"noop-write","reps":"adaptive-$MinReps-$MaxReps-converge${(ConvergeFrac * 100).toInt}pct"}"""
+    // "declared" = queries attempted (calibration excluded): lets a
+    // cross-round total comparison detect a shrunken denominator even if
+    // the errors map is dropped downstream
+    s"""{"metric":"total","value":$total,"unit":"sec","declared":${queries.size},"queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"startup":$startupJson,"startup_total":$startupTotal$calibJson,"isolation":"jvm-per-query","action":"noop-write","reps":"adaptive-$MinReps-$MaxReps-converge${(ConvergeFrac * 100).toInt}pct"}"""
   }
 
   private def orchestrate(): Unit = {
@@ -309,16 +312,28 @@ object Bench {
     val startups = measured.collect { case (n, Some(s), _) => n -> s }.toMap
     val json = render(results, startups)
     // persist the complete sweep independent of the driver's stdout
-    // capture window (round-4 BENCH json lost q01-q39 to tail truncation)
+    // capture window (round-4 BENCH json lost q01-q39 to tail truncation).
+    // A sweep with errored queries goes to *_failed.json instead of
+    // overwriting latest.json: "latest" totals must stay comparable
+    // across rounds, and a shrunken denominator (errored queries missing
+    // from "queries") would silently look like a speedup (round-7 ADVICE).
+    val anyError = results.exists(_._2.exists(_.isLeft))
     try {
-      val out = java.nio.file.Paths.get(outPath)
+      val out0 = java.nio.file.Paths.get(outPath)
+      val out =
+        if (!anyError) out0
+        else {
+          val fn = out0.getFileName.toString
+          val failed = fn.replaceFirst("(\\.json)?$", "") + "_failed.json"
+          Option(out0.getParent).map(_.resolve(failed))
+            .getOrElse(java.nio.file.Paths.get(failed))
+        }
       Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
     println(json)
-    val anyError = results.exists(_._2.exists(_.isLeft))
     sys.exit(if (anyError) 1 else 0)
   }
 }

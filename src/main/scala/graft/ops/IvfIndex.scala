@@ -26,24 +26,172 @@ object IvfIndex {
   final case class Index(centroids: Array[(Int, Array[Float])],
                          assigned: DataFrame)
 
-  /** Train the coarse quantizer (KMeans on a sample — never the full
+  /** Train-sample row cap under which k-means runs ON THE DRIVER instead
+    * of as MLlib jobs. The coarse-quantizer train set is bounded by design
+    * (~256 rows/cell — [[graft.ops.Dedup.semanticDedupAuto]]), so Lloyd
+    * iterations over it are pure CPU; running them as up-to-20 distributed
+    * no-op-sized Spark jobs pays per-job scheduling latency for nothing.
+    * At 100 TB the sample is still ≤ this cap for any sane cell count —
+    * the distributed path below remains for oversized explicit requests.
+    */
+  private val MaxLocalTrainRows = 200000
+
+  /** Seeded k-means++ init + Lloyd iterations, driver-local, best of
+    * [[Restarts]] seeded inits by within-cluster SSE — restarts buy the
+    * init quality MLlib gets from k-means|| at driver-CPU prices.
+    * Converges on max centroid movement < tol (same stopping rule as
+    * MLlib's default). Empty cells are reseeded from the point farthest
+    * from its centroid, so the requested k is always honored.
+    */
+  private val Restarts = 4
+
+  private[graft] def localKMeans(points: Array[Array[Float]], k: Int,
+                                 seed: Long, maxIter: Int,
+                                 tol: Double = 1e-4): Array[Array[Float]] = {
+    val runs = (0 until Restarts).map { r =>
+      val cs = localKMeansOnce(points, k, seed + r, maxIter, tol)
+      val dim = points.head.length
+      var sse = 0.0
+      points.foreach { p =>
+        var best = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = p(i) - cs(c)(i); s += d * d; i += 1 }
+          if (s < best) best = s
+          c += 1
+        }
+        sse += best
+      }
+      (sse, cs)
+    }
+    runs.minBy(_._1)._2
+  }
+
+  private def localKMeansOnce(points: Array[Array[Float]], k: Int,
+                              seed: Long, maxIter: Int,
+                              tol: Double): Array[Array[Float]] = {
+    require(points.nonEmpty, "k-means needs at least one training point")
+    val dim = points.head.length
+    val rnd = new java.util.Random(seed)
+    def d2(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = Array.ofDim[Double](k, dim)
+    val first = points(rnd.nextInt(points.length))
+    var c = 0
+    while (c < dim) { centers(0)(c) = first(c); c += 1 }
+    val minD2 = points.map(p => d2(p, centers(0)))
+    var ci = 1
+    while (ci < k) {
+      val total = minD2.sum
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(points.length)
+      else {
+        var r = rnd.nextDouble() * total; var i = 0
+        while (i < points.length - 1 && r > minD2(i)) { r -= minD2(i); i += 1 }
+        pick = i
+      }
+      var j = 0
+      while (j < dim) { centers(ci)(j) = points(pick)(j); j += 1 }
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), centers(ci))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+      ci += 1
+    }
+    // Lloyd
+    val assign = Array.ofDim[Int](points.length)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = Double.MaxValue; var cc = 0
+        while (cc < k) {
+          val d = d2(points(i), centers(cc))
+          if (d < bestD) { bestD = d; best = cc }
+          cc += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = Array.ofDim[Long](k)
+      i = 0
+      while (i < points.length) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      moved = 0.0
+      var cc = 0
+      while (cc < k) {
+        if (counts(cc) == 0) {
+          // reseed an empty cell from the globally worst-fit point
+          var worst = 0; var worstD = -1.0; var p = 0
+          while (p < points.length) {
+            val d = d2(points(p), centers(assign(p)))
+            if (d > worstD) { worstD = d; worst = p }
+            p += 1
+          }
+          var j = 0
+          while (j < dim) { sums(cc)(j) = points(worst)(j); j += 1 }
+          counts(cc) = 1
+        }
+        var delta = 0.0; var j = 0
+        while (j < dim) {
+          val nv = sums(cc)(j) / counts(cc)
+          val dj = nv - centers(cc)(j)
+          delta += dj * dj
+          centers(cc)(j) = nv
+          j += 1
+        }
+        if (delta > moved) moved = delta
+        cc += 1
+      }
+      iter += 1
+    }
+    centers.map(_.map(_.toFloat))
+  }
+
+  /** Train the coarse quantizer (k-means on a sample — never the full
     * corpus at scale) and assign every corpus row to its cell with the
     * codegen'd [[VectorFunctions.NearestCells]] argmin: a zero-shuffle
     * map pass, instead of a broadcast-cross-join (nCells × |corpus| rows)
-    * plus a full-table window.
+    * plus a full-table window. Training itself is driver-local for any
+    * bounded sample (one collect, CPU-speed Lloyd) and falls back to
+    * MLlib's distributed KMeans only when the sample exceeds
+    * [[MaxLocalTrainRows]].
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             nCells: Int, trainSampleFraction: Double = 1.0,
             seed: Long = 42L, maxIter: Int = 20): Index = {
-    val train = (if (trainSampleFraction < 1.0)
+    val trainDf = (if (trainSampleFraction < 1.0)
       corpus.sample(withReplacement = false, trainSampleFraction, seed)
-    else corpus)
-      .select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
-      .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      i -> c.toArray.map(_.toFloat)
-    }
+    else corpus).select(col(vecCol).cast("array<float>").as("features"))
+    // one bounded collect decides the path: ≤ cap rows → local Lloyd
+    val head = trainDf.limit(MaxLocalTrainRows + 1).collect()
+    val centroids: Array[(Int, Array[Float])] =
+      if (head.length <= MaxLocalTrainRows) {
+        val pts = head.map(
+          _.getAs[scala.collection.Seq[Float]](0).toArray)
+        localKMeans(pts, math.min(nCells, pts.length), seed, maxIter)
+          .zipWithIndex.map { case (cen, i) => i -> cen }
+      } else {
+        val model = new KMeans().setK(nCells).setSeed(seed)
+          .setMaxIter(maxIter)
+          .fit(trainDf.select(array_to_vector(
+            col("features").cast("array<double>")).as("features")))
+        model.clusterCenters.zipWithIndex.map { case (cen, i) =>
+          i -> cen.toArray.map(_.toFloat)
+        }
+      }
     val cents = centroids.map(_._2)
     val assigned = corpus.withColumn("_cell",
       VectorFunctions.vecNearestCells(col(vecCol), cents, 1).getItem(0))
