@@ -1801,6 +1801,62 @@ object SparkEntry {
           col("frame_idx"), col("frame_sum_sq"), col("frame_sum_abs"),
           col("frame_zc"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Perceptual average-hash image dedup: doc_id mod 37 picks the planted
+    // image, so distinct documents carry pixel-identical payloads — the
+    // aHash (real decode → 8×8 nearest-neighbor resample → integer
+    // grayscale → at-or-above-mean bits) must collide EXACTLY for them,
+    // and the dup-group sizes fall out of a two-long groupBy. The oracle
+    // recomputes every bit from the planted closed form with no codec.
+    "q97_image_ahash" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("_img"))
+      val withPng = graft.ops.Multimodal.withPlantedPng(docs, "_img", "png")
+      val hashed = graft.ops.Multimodal.averageHash(withPng, "png", "ahash")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ahash_hi", "ahash_lo")
+      hashed.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+          count(lit(1)).over(w).cast("long").as("n_dups"))
+        .orderBy("doc_id")
+    }),
+
+    // Trailing multi-horizon event features — the classic feature-store
+    // batch aggregation (trailing counts/sums per entity): both horizons
+    // ride ONE partition+sort (range frames over epoch micros), and the
+    // summed value is exact integer cents so no engine's fold order can
+    // drift a bit.
+    "q98_trailing_windows" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_id"), col("user_id"),
+        graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def horizon(us: Long) = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us").rangeBetween(-us, 0)
+      val (w1, w24) = (horizon(3600000000L), horizon(86400000000L))
+      base.select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w1).cast("long").as("n_1h"),
+          sum(col("cents")).over(w1).as("cents_1h"),
+          count(lit(1)).over(w24).cast("long").as("n_24h"),
+          sum(col("cents")).over(w24).as("cents_24h"),
+          max(col("cents")).over(w24).as("max_cents_24h"))
+        .orderBy("event_id")
+    }),
+
+    // Mergeable incremental statistics: per-(event_type, day) partial
+    // moment vectors folded to totals WITHOUT rescanning raw history —
+    // exact integer moments, so the fold is order-free. The oracle
+    // ignores the buckets entirely and aggregates the raw rows directly:
+    // merge == rescan is the contract under test.
+    "q99_incremental_stats" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_type"),
+        graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val p = graft.ops.IncrementalStats.partials(base, Seq("event_type"),
+        expr("ts_us div 86400000000"), col("cents"))
+      graft.ops.IncrementalStats.merge(p, Seq("event_type"))
+        .orderBy("event_type")
     })
   )
 
@@ -3550,6 +3606,74 @@ object SparkEntry {
                 CAST(sum(CASE WHEN p IS NOT NULL AND ((p < 0) <> (s < 0))
                               THEN 1 ELSE 0 END) AS BIGINT) AS frame_zc
          FROM sp GROUP BY doc_id, n, f
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    // every aHash bit recomputed from the planted pixel closed form: the
+    // 8×8 nearest-neighbor source indices, the integer grayscale, and the
+    // exact-integer at-or-above-mean rule (gray·64 ≥ Σgray)
+    "q97_image_ahash" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 37 AS img FROM documents),
+         cell AS (
+           SELECT doc_id, img, t.i AS i,
+                  ((t.i % 8) * (4 + img % 5)) // 8 AS sx,
+                  ((t.i // 8) * (4 + img % 3)) // 8 AS sy
+           FROM ids, unnest(range(0, 64)) AS t(i)),
+         g AS (
+           SELECT doc_id, i,
+                  (CAST((img + 7*sx + 13*sy) % 256 AS BIGINT)
+                   + (3*img + 5*sx + 11*sy) % 256
+                   + (5*img + 3*sx + 17*sy) % 256) // 3 AS gray
+           FROM cell),
+         sgr AS (
+           SELECT doc_id, i, gray,
+                  sum(gray) OVER (PARTITION BY doc_id) AS sg
+           FROM g),
+         h AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN i >= 32 AND gray * 64 >= sg
+                           THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT)
+                    AS ahash_hi,
+                  CAST(sum(CASE WHEN i < 32 AND gray * 64 >= sg
+                           THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+                    AS ahash_lo
+           FROM sgr GROUP BY doc_id)
+         SELECT doc_id, ahash_hi, ahash_lo,
+                CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo)
+                     AS BIGINT) AS n_dups
+         FROM h ORDER BY doc_id""",
+    // both horizons replayed as DuckDB RANGE frames over the same epoch
+    // micros and the same exact integer cents
+    "q98_trailing_windows" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events)
+         SELECT event_id, user_id, ts_us,
+                CAST(count(*) OVER w1 AS BIGINT) AS n_1h,
+                CAST(sum(cents) OVER w1 AS BIGINT) AS cents_1h,
+                CAST(count(*) OVER w24 AS BIGINT) AS n_24h,
+                CAST(sum(cents) OVER w24 AS BIGINT) AS cents_24h,
+                max(cents) OVER w24 AS max_cents_24h
+         FROM e
+         WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+                w24 AS (PARTITION BY user_id ORDER BY ts_us
+                        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    // the oracle never sees the buckets: it aggregates the raw rows in one
+    // pass, so a hash match PROVES the two-level partial/merge fold equals
+    // a full rescan (n_buckets = distinct days doubles as the bucket-count
+    // check)
+    "q99_incremental_stats" ->
+      """WITH e AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS sum_v,
+                CAST(sum(cents * cents) AS BIGINT) AS sum_sq,
+                min(cents) AS min_v,
+                max(cents) AS max_v,
+                CAST(count(DISTINCT day) AS BIGINT) AS n_buckets
+         FROM e GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -241,6 +241,70 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash (aHash) over image payloads: decode,
+    * nearest-neighbor resample to `side`×`side` (same explicit
+    * `src = (dst · srcDim) div dstDim` mapping as [[resizeImage]]),
+    * integer grayscale `(r + g + b) div 3` per cell, then one bit per
+    * cell — set when `gray · side² ≥ Σ gray` (i.e. at-or-above the mean,
+    * in exact integer arithmetic; no float mean). The `side²` bits are
+    * emitted as two longs (`<out>_hi` = bits 32..63 for side=8, `<out>_lo`
+    * = bits 0..31, row-major bit i at cell (i mod side, i div side)) so a
+    * SQL oracle never fights 64-bit sign overflow. Visually identical
+    * images — recompressions, format shifts — collide exactly; the
+    * Hamming-near variants land one bit apart.
+    *
+    * Scale shape: the one justified `mapPartitions` (JDK ImageIO decode),
+    * applied before any shuffle — downstream dedup groups on two longs,
+    * never on pixels. Undecodable/null payloads yield null hash halves
+    * (kept, same contract as [[extractFeatures]]).
+    */
+  def averageHash(df: DataFrame, binaryCol: String, outPrefix: String,
+                  side: Int = 8): DataFrame = {
+    require(side > 0 && side * side <= 64, "side*side must fit 64 bits")
+    val outSchema = df.schema
+      .add(s"${outPrefix}_hi", LongType).add(s"${outPrefix}_lo", LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val hash: Option[(Long, Long)] =
+          if (bytes == null) None
+          else try {
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val n = side * side
+              val gray = new Array[Long](n)
+              var sum = 0L
+              var i = 0
+              while (i < n) {
+                val sx = ((i % side).toLong * img.getWidth / side).toInt
+                val sy = ((i / side).toLong * img.getHeight / side).toInt
+                val rgb = img.getRGB(sx, sy)
+                val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                gray(i) = g
+                sum += g
+                i += 1
+              }
+              var hi = 0L; var lo = 0L
+              i = 0
+              while (i < n) {
+                if (gray(i) * n >= sum) {
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                i += 1
+              }
+              Some((hi, lo))
+            }
+          } catch { case _: Exception => None }
+        Row.fromSeq(row.toSeq ++ Seq(hash.map(_._1).orNull,
+          hash.map(_._2).orNull))
+      }
+    }(enc)
+  }
+
   /** Frame-sample plumbing for video-like payloads: emit `n` strided slices
     * of the payload as one row each (the real kernel would decode frames).
     * Pure expressions: posexplode over computed slice offsets.

