@@ -1857,6 +1857,31 @@ object SparkEntry {
         expr("ts_us div 86400000000"), col("cents"))
       graft.ops.IncrementalStats.merge(p, Seq("event_type"))
         .orderBy("event_type")
+    }),
+
+    // Domain reputation gate: judge the SITE, not just the page — per-
+    // domain Gopher pass rates decide which documents survive, so a
+    // clean page on a junk domain is dropped (the spam-farm signal
+    // page-local gates can't see). Planted urls fold doc_id mod 23 into
+    // 23 domains; the oracle recomputes the battery, the rates, and the
+    // gate from scratch.
+    "q100_domain_reputation" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val withUrl = docs.select(col("doc_id"), col("text"))
+        .withColumn("url", concat(lit("http://Site"),
+          pmod(col("doc_id"), lit(23)).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")))
+      val pass = graft.ops.TextAnalysis.gopherRules(withUrl, "doc_id",
+          "text", minWords = 30, maxWords = 90, minMeanWordLen = 3.0,
+          maxMeanWordLen = 4.5, maxSymbolRatio = 0.1, minAlphaRatio = 0.8,
+          minStopwords = 2)
+        .select(col("doc_id"), col("pass"))
+      val flagged = withUrl.select("doc_id", "url").join(pass, Seq("doc_id"))
+      graft.ops.UrlCuration.domainReputationGate(flagged, "url", "pass",
+          minPassRate = 0.3)
+        .select(col("doc_id"), col("domain"), col("domain_rate"),
+          col("domain_docs"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3674,6 +3699,50 @@ object SparkEntry {
                 min(cents) AS min_v,
                 max(cents) AS max_v,
                 CAST(count(DISTINCT day) AS BIGINT) AS n_buckets
-         FROM e GROUP BY event_type ORDER BY event_type"""
+         FROM e GROUP BY event_type ORDER BY event_type""",
+    // the full chain from scratch: Gopher battery pass flag (same SQL as
+    // q86), planted mod-23 domains, avg-of-0/1 pass rates, and the
+    // >= 0.3 domain gate
+    "q100_domain_reputation" ->
+      """WITH d0 AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(toks)::BIGINT AS n_words,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform(toks, x -> len(x)),
+                         'sum')::DOUBLE / len(toks) END AS mwl,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE ((length(text) - length(replace(text, '#', '')))
+                        + (length(text)
+                           - length(replace(text, '...', ''))) / 3)::DOUBLE
+                       / len(toks) END AS sym,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks,
+                         x -> regexp_matches(x, '\p{L}')))::DOUBLE
+                       / len(toks) END AS alpha,
+             len(list_filter(toks, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it','that',
+                'for','on','with','as','at','this','by'], lower(x))))::BIGINT
+               AS n_stop
+           FROM d0),
+         p AS (
+           SELECT doc_id,
+                  (n_words BETWEEN 30 AND 90) AND (mwl BETWEEN 3.0 AND 4.5)
+                    AND sym <= 0.1 AND alpha >= 0.8 AND n_stop >= 2 AS pass
+           FROM m),
+         dom AS (SELECT doc_id,
+                        'site' || (doc_id % 23)::VARCHAR || '.com' AS domain
+                 FROM documents),
+         r AS (SELECT domain,
+                      avg(CASE WHEN pass THEN 1.0 ELSE 0.0 END) AS rate,
+                      CAST(count(*) AS BIGINT) AS domain_docs
+               FROM dom JOIN p USING (doc_id) GROUP BY domain)
+         SELECT doc_id, domain, round(rate, 4) AS domain_rate, domain_docs
+         FROM dom JOIN r USING (domain)
+         WHERE rate >= 0.3
+         ORDER BY doc_id"""
   )
 }

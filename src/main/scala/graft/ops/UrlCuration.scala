@@ -136,4 +136,43 @@ object UrlCuration {
         .drop("_rk")
     }
   }
+
+  /** Domain reputation gate (the C4/RefinedWeb "judge the site, not just
+    * the page" move): score every registrable domain by the rate at which
+    * its documents pass a caller-supplied boolean quality flag, and keep
+    * only documents whose domain clears `minPassRate`. A page that would
+    * pass on its own is dropped when it lives on a mostly-junk domain —
+    * exactly the spam-farm signal page-local gates can't see.
+    *
+    * Output: every input column plus `domain`, `domain_rate` (pass rate
+    * rounded to 4 decimals) and `domain_docs`.
+    *
+    * Scale shape: one map-side-combined groupBy produces the per-domain
+    * table (|domains| rows — millions at worst, never corpus-sized); the
+    * gate pre-filters that table to passing domains, so the join's build
+    * side only shrinks further, and AQE broadcasts it. The corpus itself
+    * shuffles once on `domain` only if the build side is genuinely too
+    * big to broadcast.
+    */
+  def domainReputationGate(docs: DataFrame, urlCol: String,
+                           passCol: String,
+                           minPassRate: Double): DataFrame = {
+    require(minPassRate >= 0.0 && minPassRate <= 1.0,
+      "minPassRate must be in [0, 1]")
+    val internal = Set("domain", "domain_rate", "domain_docs")
+    val clash = docs.columns.filter(internal.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} collide with gate outputs")
+    val withDom = docs.withColumn("domain",
+      registrableDomain(hostOf(canonicalizeUrl(col(urlCol)))))
+    // rate = Σ(0/1 doubles) / n on both engines: exact sum, one division —
+    // bit-identical to a SQL oracle's avg(CASE ...)
+    val good = withDom.groupBy("domain")
+      .agg(avg(when(col(passCol), 1.0).otherwise(0.0)).as("_rate"),
+        count(lit(1)).as("domain_docs"))
+      .filter(col("_rate") >= minPassRate)
+    withDom.join(good, Seq("domain"))
+      .withColumn("domain_rate", round(col("_rate"), 4))
+      .drop("_rate")
+  }
 }

@@ -57,4 +57,24 @@ class UrlCurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again === got.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("domainReputationGate keeps good-domain docs, drops junk domains") {
+    // good.com: 3/4 pass; bad.com: 1/4 pass; gate at 0.5 — note doc 7
+    // passes on its own but dies with its domain, and doc 3 fails on its
+    // own but survives on a good domain
+    val docs = Seq(
+      (0L, "https://good.com/a", true), (1L, "https://good.com/b", true),
+      (2L, "https://good.com/c", true), (3L, "https://good.com/d", false),
+      (4L, "https://bad.com/a", false), (5L, "https://bad.com/b", false),
+      (6L, "https://bad.com/c", false), (7L, "https://bad.com/d", true)
+    ).toDF("doc_id", "url", "pass")
+    val got = UrlCuration.domainReputationGate(docs, "url", "pass", 0.5)
+    val kept = got.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 3L))
+    val row = got.filter(col("doc_id") === 3L)
+      .select("domain", "domain_rate", "domain_docs").collect().head
+    assert(row.getString(0) === "good.com")
+    assert(row.getDouble(1) === 0.75)
+    assert(row.getLong(2) === 4L)
+  }
 }
