@@ -1882,6 +1882,22 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("domain_rate"),
           col("domain_docs"))
         .orderBy("doc_id")
+    }),
+
+    // PSI drift per event type: reference = events before Jan 10,
+    // detection = after; fixed equal-width bins with clamped tails and
+    // smoothed shares, so the standard drift score is one scan plus
+    // tiny-frame algebra the oracle replays term for term.
+    "q101_psi_drift" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val cutUs =
+        java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val flagged = ev.select(col("event_type"), col("value"),
+        (graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          < lit(cutUs)).as("is_ref"))
+      graft.ops.Monitoring.psiDrift(flagged, Seq("event_type"),
+          col("value"), col("is_ref"), bins = 10, lo = 0.0, hi = 25.0)
+        .orderBy("event_type")
     })
   )
 
@@ -3743,6 +3759,40 @@ object SparkEntry {
          SELECT doc_id, domain, round(rate, 4) AS domain_rate, domain_docs
          FROM dom JOIN r USING (domain)
          WHERE rate >= 0.3
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // PSI replayed term for term: identical fixed bin edges, identical
+    // (count + 0.5)/(total + 0.5·bins) smoothing, natural log, rounded
+    // to 4 decimals (ln differs from Java's by at most an ulp)
+    "q101_psi_drift" ->
+      """WITH e AS (
+           SELECT event_type,
+                  epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+                    AS is_ref,
+                  least(greatest(CAST(floor(value / 2.5) AS INT), 0), 9)
+                    AS bin
+           FROM events),
+         c AS (SELECT event_type, bin,
+                      sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+                      sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS det_n
+               FROM e GROUP BY event_type, bin),
+         k AS (SELECT DISTINCT event_type FROM e),
+         b AS (SELECT event_type, t.b AS bin
+               FROM k, unnest(range(0, 10)) AS t(b)),
+         f AS (SELECT b.event_type, b.bin,
+                      coalesce(ref_n, 0) AS ref_n,
+                      coalesce(det_n, 0) AS det_n
+               FROM b LEFT JOIN c ON b.event_type = c.event_type
+                                 AND b.bin = c.bin),
+         t AS (SELECT event_type, sum(ref_n) AS rt, sum(det_n) AS dt
+               FROM f GROUP BY event_type)
+         SELECT f.event_type,
+                round(sum(((ref_n + 0.5) / (rt + 5.0)
+                           - (det_n + 0.5) / (dt + 5.0))
+                          * ln(((ref_n + 0.5) / (rt + 5.0))
+                               / ((det_n + 0.5) / (dt + 5.0)))), 4) AS psi,
+                CAST(max(rt) AS BIGINT) AS ref_total,
+                CAST(max(dt) AS BIGINT) AS det_total
+         FROM f JOIN t ON f.event_type = t.event_type
+         GROUP BY f.event_type ORDER BY f.event_type"""
   )
 }

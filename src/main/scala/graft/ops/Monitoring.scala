@@ -116,6 +116,55 @@ object Monitoring {
     MonitoringResult(cfg.name, nowMillis, det, ref, diff, shift)
   }
 
+  /** Population stability index between a reference and a detection
+    * population of `valueCol`, per key group — THE standard
+    * feature-drift score (PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over value bins;
+    * rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted).
+    * Bins are `bins` equal-width slices of [lo, hi) with the tails
+    * clamped into the edge bins (fixed edges, not quantiles, so the two
+    * populations — and a SQL oracle — bin identically). Shares are
+    * smoothed (count + 0.5) / (total + 0.5·bins), so an empty bin on one
+    * side contributes a large-but-finite term instead of ±∞.
+    *
+    * Scale shape: the ONLY data-sized pass is one map-side-combined
+    * groupBy to |keys × bins| rows, with both windows counted in the
+    * same pass via conditional sums; the bin completion, totals, and the
+    * PSI fold all run over that tiny frame. At 100 TB this is exactly
+    * one scan — and the per-(key, bin) counts are themselves mergeable
+    * partials ([[IncrementalStats]]), so a stored-count variant needs no
+    * scan at all.
+    */
+  def psiDrift(df: DataFrame, keys: Seq[String],
+               valueCol: org.apache.spark.sql.Column,
+               isRef: org.apache.spark.sql.Column,
+               bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
+      lit(0L)), lit((bins - 1).toLong)).cast("int")
+    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
+    // complete the bin grid from the counts frame itself (already tiny —
+    // no second scan of the data): empty cells must smooth identically
+    // on both sides of an oracle compare
+    val grid = counts.select(keys.map(col): _*).distinct()
+      .withColumn("bin", explode(sequence(lit(0), lit(bins - 1))))
+    val filled = grid.join(counts, keys :+ "bin", "left")
+      .select((keys.map(col) :+ col("bin") :+
+        coalesce(col("ref_n"), lit(0L)).as("ref_n") :+
+        coalesce(col("det_n"), lit(0L)).as("det_n")): _*)
+    val totals = filled.groupBy(keys.map(col): _*)
+      .agg(sum("ref_n").as("_rt"), sum("det_n").as("_dt"))
+    val p = (col("ref_n") + lit(0.5)) / (col("_rt") + lit(0.5 * bins))
+    val q = (col("det_n") + lit(0.5)) / (col("_dt") + lit(0.5 * bins))
+    filled.join(totals, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum((p - q) * log(p / q)), 4).as("psi"),
+        max(col("_rt")).as("ref_total"),
+        max(col("_dt")).as("det_total"))
+  }
+
   // -- persistence (configs + result log under a warehouse dir) -----------
 
   final class MonitoringEngine(spark: SparkSession, warehouseDir: String) {

@@ -84,6 +84,32 @@ class IncrementalOpsSpec extends SparkSpec {
       direct.except(refold).count() == 0)
   }
 
+  test("psiDrift: identical populations score ~0, a shifted one scores high") {
+    val same = (1 to 400).map { i =>
+      ("t", (i % 20).toDouble, i % 2 == 0)
+    }.toDF("k", "v", "is_ref")
+    val psi0 = graft.ops.Monitoring.psiDrift(same, Seq("k"), col("v"),
+      col("is_ref"), bins = 10, lo = 0.0, hi = 20.0)
+      .select("psi").as[Double].collect().head
+    assert(math.abs(psi0) < 0.01, s"identical populations gave psi $psi0")
+    // detection population pushed entirely into the top bins
+    val shifted = (1 to 400).map { i =>
+      val ref = i % 2 == 0
+      ("t", if (ref) (i % 10).toDouble else 15.0 + i % 5, ref)
+    }.toDF("k", "v", "is_ref")
+    val psi1 = graft.ops.Monitoring.psiDrift(shifted, Seq("k"), col("v"),
+      col("is_ref"), bins = 10, lo = 0.0, hi = 20.0)
+      .select("psi").as[Double].collect().head
+    assert(psi1 > 0.25, s"fully shifted population gave psi $psi1")
+    // out-of-range values clamp into the edge bins instead of vanishing
+    val clamped = Seq(("t", -5.0, true), ("t", 99.0, false))
+      .toDF("k", "v", "is_ref")
+    val row = graft.ops.Monitoring.psiDrift(clamped, Seq("k"), col("v"),
+      col("is_ref"), bins = 4, lo = 0.0, hi = 8.0)
+      .select("ref_total", "det_total").collect().head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 1L)
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
