@@ -1898,6 +1898,43 @@ object SparkEntry {
       graft.ops.Monitoring.psiDrift(flagged, Seq("event_type"),
           col("value"), col("is_ref"), bins = 10, lo = 0.0, hi = 25.0)
         .orderBy("event_type")
+    }),
+
+    // Batch sessionization — the streaming session semantics (q48/q52's
+    // 6-hour gap) over data at rest, for backfilling the session
+    // features serving computes online. One shuffle+sort; the session
+    // aggregation reuses the window's exchange.
+    "q102_batch_sessions" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"),
+        TimeFunctions.eventTimeToMicros(ev, "ts").as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Sessionization.sessionFeatures(base, Seq("user_id"),
+          col("ts_us"), col("cents"), gapUs = 6L * 3600 * 1000000)
+        .select(col("user_id"), col("session_idx").cast("long")
+            .as("session_idx"),
+          col("session_start_us"), col("session_end_us"),
+          col("n_events"), col("total"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // PIT join with a freshness bound: latest-at-or-before matching, but
+    // a view older than 24 h at click time is served as null — the
+    // staleness contract that keeps training parity with online serving.
+    "q103_pit_tolerance" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+      val j = graft.ops.PointInTimeJoin.asOfWithTolerance(clicks, "ts",
+        views, "ts", Seq("user_id"), Seq("user_id"), prefix = "view_",
+        toleranceUs = 86400000000L)
+      j.select(col("event_id"), col("user_id"),
+          TimeFunctions.eventTimeToMicros(j, "ts").as("ts_us"),
+          TimeFunctions.eventTimeToMicros(j, "view_ts").as("view_ts_us"),
+          col("view_event_id"), col("view_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -3793,6 +3830,45 @@ object SparkEntry {
                 CAST(max(rt) AS BIGINT) AS ref_total,
                 CAST(max(dt) AS BIGINT) AS det_total
          FROM f JOIN t ON f.event_type = t.event_type
-         GROUP BY f.event_type ORDER BY f.event_type"""
+         GROUP BY f.event_type ORDER BY f.event_type""",
+    // gap-break + running-sum session ids, replayed with the same window
+    // algebra; ties in ts_us are harmless (lag reads only ts_us, which is
+    // equal across tied rows)
+    "q102_batch_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         l AS (SELECT user_id, ts_us, cents,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 21600000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         sx AS (SELECT user_id, ts_us, cents,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_idx
+                FROM l)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                min(ts_us) AS session_start_us,
+                max(ts_us) AS session_end_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS total
+         FROM sx GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    // DuckDB ASOF gives latest-at-or-before; the 24h staleness bound then
+    // nulls every payload column of a stale match (a NULL v.ts never
+    // satisfies the CASE, so no-match rows stay null too)
+    "q103_pit_tolerance" ->
+      """SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+                CASE WHEN epoch_us(s.ts) - epoch_us(v.ts) <= 86400000000
+                     THEN epoch_us(v.ts) END AS view_ts_us,
+                CASE WHEN epoch_us(s.ts) - epoch_us(v.ts) <= 86400000000
+                     THEN v.event_id END AS view_event_id,
+                CASE WHEN epoch_us(s.ts) - epoch_us(v.ts) <= 86400000000
+                     THEN v.value END AS view_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') s
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON s.user_id = v.user_id AND v.ts <= s.ts
+         ORDER BY s.event_id"""
   )
 }

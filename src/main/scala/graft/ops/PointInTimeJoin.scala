@@ -147,6 +147,52 @@ object PointInTimeJoin {
     carried.select(out: _*)
   }
 
+  /** [[asOf]] with a freshness bound — the reference's PIT semantics plus
+    * the staleness contract real feature serving needs: a feature value
+    * older than `toleranceUs` micros at the spine's event time is no
+    * feature at all (served as null), because training on arbitrarily
+    * stale joins teaches the model a freshness the online store won't
+    * have. Matches are still "latest at-or-before"; the bound then nulls
+    * EVERY right payload column of a stale match in one pass over the
+    * joined frame (no second join, no re-sort — a projection on top of
+    * the PIT window).
+    *
+    * `prefix` must be non-empty: the right event time has to survive
+    * into the output under a distinct name for the staleness test.
+    */
+  def asOfWithTolerance(
+      spine: DataFrame,
+      spineEventTime: String,
+      right: DataFrame,
+      rightEventTime: String,
+      spineKeys: Seq[String],
+      rightKeys: Seq[String],
+      prefix: String,
+      toleranceUs: Long,
+      tieBreak: Option[String] = None,
+      saltBuckets: Int = 1,
+      maxKeyRowsPerBucket: Long = 4000000L,
+      spineRowsHint: Option[Long] = None): DataFrame = {
+    require(toleranceUs > 0, "toleranceUs must be positive")
+    require(prefix.nonEmpty,
+      "asOfWithTolerance needs a prefix so the right event time is " +
+        "addressable in the joined output")
+    val joined = asOf(spine, spineEventTime, right, rightEventTime,
+      spineKeys, rightKeys, prefix, tieBreak, saltBuckets,
+      maxKeyRowsPerBucket, spineRowsHint)
+    val rightTsOut = prefix + rightEventTime
+    val sUs = graft.functions.TimeFunctions
+      .eventTimeToMicros(joined, spineEventTime)
+    val rUs = graft.functions.TimeFunctions
+      .eventTimeToMicros(joined, rightTsOut)
+    val fresh = rUs.isNotNull && (sUs - rUs <= toleranceUs)
+    val rightPayloadCols = right.columns.toSeq.filterNot(rightKeys.contains)
+      .map(prefix + _)
+    joined.select(joined.columns.toSeq.map { c =>
+      if (rightPayloadCols.contains(c)) when(fresh, col(c)).as(c) else col(c)
+    }: _*)
+  }
+
   /** Convenience overload for symmetric key names, no prefix. */
   def asOf(spine: DataFrame, right: DataFrame, keys: Seq[String],
            spineEventTime: String, rightEventTime: String): DataFrame =

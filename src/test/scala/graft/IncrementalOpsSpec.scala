@@ -84,6 +84,29 @@ class IncrementalOpsSpec extends SparkSpec {
       direct.except(refold).count() == 0)
   }
 
+  test("batch sessionization: gap breaks, inclusive boundary, one exchange") {
+    // user 1: events at 0, 10, 25, 100, 105 s with gap 15 s →
+    // sessions {0,10,25} (10→25 is EXACTLY the gap, stays in) and
+    // {100,105}; user 2: one event
+    val us = 1000000L
+    val df = Seq((1L, 0L), (1L, 10L), (1L, 25L), (1L, 100L), (1L, 105L),
+      (2L, 7L)).map { case (u, sec) => (u, sec * us, 1L) }
+      .toDF("user_id", "ts_us", "v")
+    val out = graft.ops.Sessionization.sessionFeatures(df, Seq("user_id"),
+        col("ts_us"), col("v"), gapUs = 15L * us)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2) / us, r.getLong(3) / us,
+      r.getLong(4))).toSeq ===
+      Seq((1L, 0L, 25L, 3L), (1L, 100L, 105L, 2L), (2L, 7L, 7L, 1L)))
+    // the session aggregation must reuse the window's exchange: exactly
+    // one shuffle in the whole plan
+    val plan = graft.ops.Sessionization.sessionFeatures(df, Seq("user_id"),
+      col("ts_us"), col("v"), gapUs = 15L * us)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"expected one exchange:\n$plan")
+  }
+
   test("psiDrift: identical populations score ~0, a shifted one scores high") {
     val same = (1 to 400).map { i =>
       ("t", (i % 20).toDouble, i % 2 == 0)

@@ -21,6 +21,24 @@ class PitJoinSpec extends SparkSpec {
     (2L, 20L, "r@20", 0.0)
   ).toDF("k", "t", "v", "pc")
 
+  test("asOfWithTolerance nulls stale matches, keeps fresh ones") {
+    // t is unit-sniffed as seconds → micros; spine b (t=50) matches r@40
+    // (10 s stale), spine a (t=100) matches the tie at t=100 (0 s stale)
+    val out = PointInTimeJoin
+      .asOfWithTolerance(spine, "t", right, "t", Seq("k"), Seq("k"),
+        prefix = "r_", toleranceUs = 5000000L, tieBreak = Some("pc"))
+      .collect()
+    val byTag = out.map(r => r.getAs[String]("tag") -> r).toMap
+    assert(byTag("a").getAs[String]("r_v") === "r@100b", "fresh match kept")
+    assert(byTag("b").getAs[String]("r_v") === null, "stale match nulled")
+    assert(byTag("b").get(byTag("b").fieldIndex("r_t")) === null,
+      "every right payload column nulls together")
+    assert(byTag("c").getAs[String]("r_v") === null)
+    assert(byTag("d").getAs[String]("r_v") === null)
+    // spine columns untouched by the staleness projection
+    assert(byTag("b").getAs[Long]("t") === 50L)
+  }
+
   test("latest right row ≤ t per key, exactly one row per spine row") {
     val out = PointInTimeJoin
       .asOf(spine, "t", right, "t", Seq("k"), Seq("k"), prefix = "r_",
