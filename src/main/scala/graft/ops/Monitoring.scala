@@ -145,9 +145,20 @@ object Monitoring {
     val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
         sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
+    psiFromCounts(counts, keys, bins)
+  }
+
+  /** PSI from a stored per-(keys, bin) count frame (`bin`, `ref_n`,
+    * `det_n` columns) — the zero-scan form: the counts are mergeable
+    * partials (plain sums), so a monitoring job folds the new window's
+    * counts into the store and scores drift WITHOUT touching raw data.
+    * [[psiDrift]] is exactly one scan + this fold.
+    */
+  def psiFromCounts(counts: DataFrame, keys: Seq[String],
+                    bins: Int): DataFrame = {
     // complete the bin grid from the counts frame itself (already tiny —
-    // no second scan of the data): empty cells must smooth identically
-    // on both sides of an oracle compare
+    // never a data scan): empty cells must smooth identically on both
+    // sides of an oracle compare
     val grid = counts.select(keys.map(col): _*).distinct()
       .withColumn("bin", explode(sequence(lit(0), lit(bins - 1))))
     val filled = grid.join(counts, keys :+ "bin", "left")

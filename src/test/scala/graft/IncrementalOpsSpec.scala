@@ -133,6 +133,27 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(row.getLong(0) == 1L && row.getLong(1) == 1L)
   }
 
+  test("psiFromCounts on merged stored partials equals a direct psiDrift") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 600).map { i =>
+      ("t", rnd.nextDouble() * 20.0, i % 2 == 0, i % 3)
+    }
+    val df = rows.toDF("k", "v", "is_ref", "day")
+    val direct = graft.ops.Monitoring.psiDrift(df, Seq("k"), col("v"),
+      col("is_ref"), bins = 10, lo = 0.0, hi = 20.0).collect().head
+    // store per-day count partials, fold with plain sums, score zero-scan
+    val bin = least(greatest(floor(col("v") / 2.0), lit(0L)), lit(9L))
+      .cast("int")
+    val partials = df.groupBy(col("k"), col("day"), bin.as("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("det_n"))
+    val folded = partials.groupBy("k", "bin")
+      .agg(sum("ref_n").as("ref_n"), sum("det_n").as("det_n"))
+    val stored = graft.ops.Monitoring.psiFromCounts(folded, Seq("k"), 10)
+      .collect().head
+    assert(stored === direct)
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
