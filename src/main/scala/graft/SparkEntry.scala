@@ -1935,6 +1935,36 @@ object SparkEntry {
           TimeFunctions.eventTimeToMicros(j, "view_ts").as("view_ts_us"),
           col("view_event_id"), col("view_value"))
         .orderBy("event_id")
+    }),
+
+    // Binned two-sample KS drift: max ECDF gap over the same fixed grid
+    // as PSI — both drift scores fold from one per-(key, bin) count
+    // frame, one scan total (or none, from stored partials).
+    "q104_ks_drift" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val cutUs =
+        java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val flagged = ev.select(col("event_type"), col("value"),
+        (graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          < lit(cutUs)).as("is_ref"))
+      graft.ops.Monitoring.ksDrift(flagged, Seq("event_type"),
+          col("value"), col("is_ref"), bins = 20, lo = 0.0, hi = 25.0)
+        .orderBy("event_type")
+    }),
+
+    // Chi-square homogeneity drift over a categorical column (the test
+    // PSI/KS can't do — no ordered value axis), per user cohort.
+    "q105_chi2_drift" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val cutUs =
+        java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val flagged = ev.select(pmod(col("user_id"), lit(4)).as("cohort"),
+        col("event_type"),
+        (graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          < lit(cutUs)).as("is_ref"))
+      graft.ops.Monitoring.chiSquareDrift(flagged, Seq("cohort"),
+          col("event_type"), col("is_ref"))
+        .orderBy("cohort")
     })
   )
 
@@ -3869,6 +3899,64 @@ object SparkEntry {
          FROM (SELECT * FROM events WHERE event_type = 'click') s
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
            ON s.user_id = v.user_id AND v.ts <= s.ts
-         ORDER BY s.event_id"""
+         ORDER BY s.event_id""",
+    // binned ECDFs via window cumsums over the seen bins only — the ECDF
+    // is constant across empty bins, so they can never host the max gap
+    "q104_ks_drift" ->
+      """WITH e AS (
+           SELECT event_type,
+                  epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+                    AS is_ref,
+                  least(greatest(CAST(floor(value / 1.25) AS INT), 0), 19)
+                    AS bin
+           FROM events),
+         c AS (SELECT event_type, bin,
+                      sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+                      sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS det_n
+               FROM e GROUP BY event_type, bin),
+         t AS (SELECT event_type, bin,
+                      sum(ref_n) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cr,
+                      sum(det_n) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cd,
+                      sum(ref_n) OVER (PARTITION BY event_type) AS rt,
+                      sum(det_n) OVER (PARTITION BY event_type) AS dt
+               FROM c)
+         SELECT event_type,
+                round(max(abs(CAST(cr AS DOUBLE) / rt
+                              - CAST(cd AS DOUBLE) / dt)), 4) AS ks,
+                CAST(max(rt) AS BIGINT) AS ref_total,
+                CAST(max(dt) AS BIGINT) AS det_total
+         FROM t GROUP BY event_type ORDER BY event_type""",
+    // pooled-distribution expected counts, both windows' cells summed,
+    // dof = (categories - 1) for the two-sample table
+    "q105_chi2_drift" ->
+      """WITH e AS (
+           SELECT user_id % 4 AS cohort, event_type,
+                  epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+                    AS is_ref
+           FROM events),
+         c AS (SELECT cohort, event_type AS category,
+                      sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+                      sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS det_n
+               FROM e GROUP BY cohort, event_type),
+         t AS (SELECT *, sum(ref_n) OVER (PARTITION BY cohort) AS rt,
+                      sum(det_n) OVER (PARTITION BY cohort) AS dt
+               FROM c)
+         SELECT cohort,
+                round(sum(
+                  (ref_n - (ref_n + det_n) * CAST(rt AS DOUBLE) / (rt + dt))
+                  * (ref_n - (ref_n + det_n) * CAST(rt AS DOUBLE) / (rt + dt))
+                  / ((ref_n + det_n) * CAST(rt AS DOUBLE) / (rt + dt))
+                  + (det_n - (ref_n + det_n) * CAST(dt AS DOUBLE) / (rt + dt))
+                  * (det_n - (ref_n + det_n) * CAST(dt AS DOUBLE) / (rt + dt))
+                  / ((ref_n + det_n) * CAST(dt AS DOUBLE) / (rt + dt))), 4)
+                  AS chi2,
+                CAST(count(DISTINCT category) - 1 AS BIGINT) AS dof,
+                CAST(max(rt) AS BIGINT) AS ref_total,
+                CAST(max(dt) AS BIGINT) AS det_total
+         FROM t GROUP BY cohort ORDER BY cohort"""
   )
 }

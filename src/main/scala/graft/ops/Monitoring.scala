@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.JsonDSL._
@@ -172,6 +173,86 @@ object Monitoring {
     filled.join(totals, keys)
       .groupBy(keys.map(col): _*)
       .agg(round(sum((p - q) * log(p / q)), 4).as("psi"),
+        max(col("_rt")).as("ref_total"),
+        max(col("_dt")).as("det_total"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift per key group: the max
+    * absolute gap between the reference and detection ECDFs evaluated at
+    * the bin boundaries of the same fixed [lo, hi) grid as [[psiDrift]].
+    * Binned-ECDF KS is the scale-honest form — exact KS needs the full
+    * sorted distinct-value set (a data-sized shuffle at 100 TB); the
+    * binned statistic lower-bounds it and sharpens with `bins`. Both
+    * drift scores fold from the SAME per-(key, bin) count frame, so a
+    * monitoring job computes PSI + KS from one scan — or from stored
+    * partials with no scan at all ([[psiFromCounts]], [[ksFromCounts]]).
+    */
+  def ksDrift(df: DataFrame, keys: Seq[String],
+              valueCol: org.apache.spark.sql.Column,
+              isRef: org.apache.spark.sql.Column,
+              bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
+      lit(0L)), lit((bins - 1).toLong)).cast("int")
+    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
+    ksFromCounts(counts, keys)
+  }
+
+  /** KS from a stored per-(keys, bin) count frame — zero-scan, same
+    * contract as [[psiFromCounts]]. Empty bins need no grid completion:
+    * the ECDF is constant across them, so they can never host the max.
+    */
+  def ksFromCounts(counts: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val cum = counts
+      .withColumn("_cr", sum(col("ref_n")).over(w))
+      .withColumn("_cd", sum(col("det_n")).over(w))
+      .withColumn("_rt", sum(col("ref_n")).over(wAll))
+      .withColumn("_dt", sum(col("det_n")).over(wAll))
+    cum.groupBy(keys.map(col): _*)
+      .agg(round(max(abs(col("_cr") / col("_rt")
+          - col("_cd") / col("_dt"))), 4).as("ks"),
+        max(col("_rt")).as("ref_total"),
+        max(col("_dt")).as("det_total"))
+  }
+
+  /** Two-sample chi-square homogeneity drift per key group over a
+    * CATEGORICAL column: χ² = Σ over (category, window) cells of
+    * (observed − expected)²/expected, expected under the pooled
+    * distribution. The standard drift test for categoricals, where
+    * PSI/KS want an ordered value axis. One map-side-combined groupBy
+    * to |keys × categories| rows; everything after is tiny-frame
+    * algebra. Categories absent from one window contribute their full
+    * expected mass (no grid completion needed — the observed 0 is a
+    * real cell of the seen-category table).
+    */
+  def chiSquareDrift(df: DataFrame, keys: Seq[String],
+                     categoryCol: org.apache.spark.sql.Column,
+                     isRef: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df.groupBy((keys.map(col) :+ categoryCol.as("category")): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val t = counts
+      .withColumn("_rt", sum(col("ref_n")).over(wAll))
+      .withColumn("_dt", sum(col("det_n")).over(wAll))
+    val n = col("_rt") + col("_dt")
+    val rowTot = col("ref_n") + col("det_n")
+    def term(obs: org.apache.spark.sql.Column,
+             winTot: org.apache.spark.sql.Column) = {
+      val e = rowTot.cast("double") * winTot / n
+      (obs - e) * (obs - e) / e
+    }
+    t.groupBy(keys.map(col): _*)
+      .agg(round(sum(term(col("ref_n"), col("_rt"))
+          + term(col("det_n"), col("_dt"))), 4).as("chi2"),
+        (countDistinct(col("category")) - 1).as("dof"),
         max(col("_rt")).as("ref_total"),
         max(col("_dt")).as("det_total"))
   }

@@ -154,6 +154,57 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(stored === direct)
   }
 
+  test("ksDrift: identical ~0, disjoint = 1, stored partials = direct") {
+    val same = (1 to 400).map(i => ("t", (i % 20).toDouble, i % 2 == 0))
+      .toDF("k", "v", "is_ref")
+    val ks0 = graft.ops.Monitoring.ksDrift(same, Seq("k"), col("v"),
+      col("is_ref"), bins = 10, lo = 0.0, hi = 20.0)
+      .select("ks").as[Double].collect().head
+    assert(ks0 === 0.0)
+    // ref entirely below 10, det entirely above → ECDF gap hits 1
+    val disjoint = (1 to 400).map { i =>
+      val ref = i % 2 == 0
+      ("t", if (ref) (i % 10).toDouble else 10.0 + i % 10, ref)
+    }.toDF("k", "v", "is_ref")
+    val ks1 = graft.ops.Monitoring.ksDrift(disjoint, Seq("k"), col("v"),
+      col("is_ref"), bins = 10, lo = 0.0, hi = 20.0)
+      .select("ks").as[Double].collect().head
+    assert(ks1 === 1.0)
+    // fold per-day partials, score zero-scan, compare to direct
+    val df = (1 to 500).map(i =>
+      ("t", (i * 13 % 97).toDouble / 5.0, i % 2 == 0, i % 3))
+      .toDF("k", "v", "is_ref", "day")
+    val direct = graft.ops.Monitoring.ksDrift(df, Seq("k"), col("v"),
+      col("is_ref"), bins = 10, lo = 0.0, hi = 20.0).collect().head
+    val bin = least(greatest(floor(col("v") / 2.0), lit(0L)), lit(9L))
+      .cast("int")
+    val folded = df.groupBy(col("k"), col("day"), bin.as("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("det_n"))
+      .groupBy("k", "bin")
+      .agg(sum("ref_n").as("ref_n"), sum("det_n").as("det_n"))
+    assert(graft.ops.Monitoring.ksFromCounts(folded, Seq("k"))
+      .collect().head === direct)
+  }
+
+  test("chiSquareDrift: identical distributions ~0, shifted ones large") {
+    val same = (1 to 600).map(i => ("t", s"c${i % 3}", i % 2 == 0))
+      .toDF("k", "cat", "is_ref")
+    val r0 = graft.ops.Monitoring.chiSquareDrift(same, Seq("k"),
+      col("cat"), col("is_ref")).collect().head
+    assert(r0.getDouble(r0.fieldIndex("chi2")) === 0.0)
+    assert(r0.getLong(r0.fieldIndex("dof")) === 2L)
+    // ref all category a, det all category b → chi2 = n
+    val flipped = (1 to 600).map { i =>
+      val ref = i % 2 == 0
+      ("t", if (ref) "a" else "b", ref)
+    }.toDF("k", "cat", "is_ref")
+    val r1 = graft.ops.Monitoring.chiSquareDrift(flipped, Seq("k"),
+      col("cat"), col("is_ref")).collect().head
+    assert(r1.getDouble(r1.fieldIndex("chi2")) === 600.0)
+    assert(r1.getLong(r1.fieldIndex("dof")) === 1L)
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
