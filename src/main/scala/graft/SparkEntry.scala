@@ -1965,6 +1965,18 @@ object SparkEntry {
       graft.ops.Monitoring.chiSquareDrift(flagged, Seq("cohort"),
           col("event_type"), col("is_ref"))
         .orderBy("cohort")
+    }),
+
+    // Centroid drift for vector features per label: cosine + L2 between
+    // the two windows' mean embeddings — the first-order signal scalar
+    // drift tests can't see (a rotating population with fixed marginals).
+    "q106_embedding_drift" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      graft.ops.Monitoring.embeddingCentroidDrift(
+          emb.select(col("label"), col("embedding"),
+            (pmod(col("vec_id"), lit(2)) === 0).as("is_ref")),
+          Seq("label"), "embedding", col("is_ref"))
+        .orderBy("label")
     })
   )
 
@@ -3957,6 +3969,31 @@ object SparkEntry {
                 CAST(count(DISTINCT category) - 1 AS BIGINT) AS dof,
                 CAST(max(rt) AS BIGINT) AS ref_total,
                 CAST(max(dt) AS BIGINT) AS det_total
-         FROM t GROUP BY cohort ORDER BY cohort"""
+         FROM t GROUP BY cohort ORDER BY cohort""",
+    // per-dimension window means via the same avg-ignores-null algebra,
+    // then the identical cosine/L2 fold (double accumulation error is
+    // ~1e-12, four decimal places of headroom below the rounding)
+    "q106_embedding_drift" ->
+      """WITH e AS (
+           SELECT label, vec_id % 2 = 0 AS is_ref, u.i AS dim,
+                  CAST(embedding[u.i + 1] AS DOUBLE) AS v
+           FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+         m AS (
+           SELECT label, dim,
+                  avg(CASE WHEN is_ref THEN v END) AS mr,
+                  avg(CASE WHEN NOT is_ref THEN v END) AS md,
+                  sum(CASE WHEN is_ref AND dim = 0 THEN 1 ELSE 0 END)
+                    AS nr,
+                  sum(CASE WHEN NOT is_ref AND dim = 0 THEN 1 ELSE 0 END)
+                    AS nd
+           FROM e GROUP BY label, dim)
+         SELECT label,
+                round(1.0 - sum(mr * md)
+                      / (sqrt(sum(mr * mr)) * sqrt(sum(md * md))), 4)
+                  AS cos_dist,
+                round(sqrt(sum((mr - md) * (mr - md))), 4) AS l2_dist,
+                CAST(sum(nr) AS BIGINT) AS ref_total,
+                CAST(sum(nd) AS BIGINT) AS det_total
+         FROM m GROUP BY label ORDER BY label"""
   )
 }

@@ -257,6 +257,44 @@ object Monitoring {
         max(col("_dt")).as("det_total"))
   }
 
+  /** Drift for VECTOR features: cosine and L2 distance between the
+    * reference and detection windows' mean embeddings, per key group.
+    * Scalar drift tests see nothing when a vector population rotates
+    * while every coordinate's marginal stays put; the centroid distance
+    * is the standard first-order signal for embedding drift (retrieval
+    * recall decay, encoder version skew).
+    *
+    * Scale shape: one posexplode + one map-side-combined groupBy to
+    * |keys × dim| rows; the distance fold runs over that tiny frame.
+    * The per-(key, dim) sums/counts are mergeable partials, same as
+    * [[psiFromCounts]] — a stored-partial variant is the same fold.
+    */
+  def embeddingCentroidDrift(df: DataFrame, keys: Seq[String],
+                             vecCol: String,
+                             isRef: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val exploded = df
+      .select((keys.map(col) :+ isRef.as("_ref") :+
+        posexplode(col(vecCol)).as(Seq("dim", "_v")): _*))
+      .withColumn("_v", col("_v").cast("double"))
+    val means = exploded.groupBy((keys.map(col) :+ col("dim")): _*)
+      .agg(avg(when(col("_ref"), col("_v"))).as("mr"),
+        avg(when(!col("_ref"), col("_v"))).as("md"),
+        // vector counts, counted once at dim 0 so they survive the fold
+        sum(when(col("_ref") && col("dim") === 0, 1L)
+          .otherwise(0L)).as("nr"),
+        sum(when(!col("_ref") && col("dim") === 0, 1L)
+          .otherwise(0L)).as("nd"))
+    means.groupBy(keys.map(col): _*)
+      .agg(round(lit(1.0) - sum(col("mr") * col("md"))
+          / (sqrt(sum(col("mr") * col("mr")))
+             * sqrt(sum(col("md") * col("md")))), 4).as("cos_dist"),
+        round(sqrt(sum((col("mr") - col("md"))
+          * (col("mr") - col("md")))), 4).as("l2_dist"),
+        sum(col("nr")).as("ref_total"),
+        sum(col("nd")).as("det_total"))
+  }
+
   // -- persistence (configs + result log under a warehouse dir) -----------
 
   final class MonitoringEngine(spark: SparkSession, warehouseDir: String) {

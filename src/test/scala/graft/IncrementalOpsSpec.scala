@@ -205,6 +205,30 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(r1.getLong(r1.fieldIndex("dof")) === 1L)
   }
 
+  test("embeddingCentroidDrift: mirrored windows ~0, shifted windows move") {
+    // both windows hold the SAME vector set → identical centroids
+    val vecs = (1 to 100).map(i => Array.tabulate(8)(d =>
+      ((i * 7 + d * 3) % 11).toFloat))
+    val same = vecs.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, "a", v.toSeq, true), (i.toLong, "a", v.toSeq, false))
+    }.toDF("id", "label", "embedding", "is_ref")
+    val r0 = graft.ops.Monitoring.embeddingCentroidDrift(same, Seq("label"),
+      "embedding", col("is_ref")).collect().head
+    assert(math.abs(r0.getDouble(r0.fieldIndex("cos_dist"))) <= 0.0001)
+    assert(r0.getDouble(r0.fieldIndex("l2_dist")) === 0.0)
+    assert(r0.getLong(r0.fieldIndex("ref_total")) === 100L &&
+      r0.getLong(r0.fieldIndex("det_total")) === 100L)
+    // detection window shifted by a constant offset in dim 0
+    val shifted = vecs.zipWithIndex.flatMap { case (v, i) =>
+      val d = v.clone(); d(0) += 5.0f
+      Seq((i.toLong, "a", v.toSeq, true), (i.toLong, "a", d.toSeq, false))
+    }.toDF("id", "label", "embedding", "is_ref")
+    val r1 = graft.ops.Monitoring.embeddingCentroidDrift(shifted,
+      Seq("label"), "embedding", col("is_ref")).collect().head
+    assert(r1.getDouble(r1.fieldIndex("l2_dist")) === 5.0)
+    assert(r1.getDouble(r1.fieldIndex("cos_dist")) > 0.0)
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
