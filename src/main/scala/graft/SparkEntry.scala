@@ -1977,6 +1977,17 @@ object SparkEntry {
             (pmod(col("vec_id"), lit(2)) === 0).as("is_ref")),
           Seq("label"), "embedding", col("is_ref"))
         .orderBy("label")
+    }),
+
+    // Robust per-type anomaly summary: exact lower median + MAD (the
+    // outlier gate that doesn't move with the outliers it hunts), two
+    // bounded count passes, no per-group buffering.
+    "q107_robust_anomalies" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.Monitoring.robustAnomalySummary(
+          ev.select(col("event_type"), col("value")),
+          Seq("event_type"), col("value"), k = 3.0)
+        .orderBy("event_type")
     })
   )
 
@@ -3994,6 +4005,41 @@ object SparkEntry {
                 round(sqrt(sum((mr - md) * (mr - md))), 4) AS l2_dist,
                 CAST(sum(nr) AS BIGINT) AS ref_total,
                 CAST(sum(nd) AS BIGINT) AS det_total
-         FROM m GROUP BY label ORDER BY label"""
+         FROM m GROUP BY label ORDER BY label""",
+    // both medians replayed with the identical count/cumsum/ceil(n/2)
+    // algebra the engine runs — never quantile_cont, whose interpolation
+    // is a different statistic
+    "q107_robust_anomalies" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL),
+         vc AS (SELECT event_type, v, count(*) AS c
+                FROM e GROUP BY event_type, v),
+         vm AS (SELECT event_type, v,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM vc),
+         med AS (SELECT event_type, min(v) AS med
+                 FROM vm WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+         d AS (SELECT e.event_type, round(abs(e.v - med.med), 2) AS dev,
+                      med.med
+               FROM e JOIN med ON e.event_type = med.event_type),
+         dc AS (SELECT event_type, dev, count(*) AS c, max(med) AS med
+                FROM d GROUP BY event_type, dev),
+         dm AS (SELECT event_type, dev,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY dev
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM dc),
+         mad AS (SELECT event_type, min(dev) AS mad
+                 FROM dm WHERE cum >= (n + 1) // 2 GROUP BY event_type)
+         SELECT dc.event_type, max(dc.med) AS median, max(mad.mad) AS mad,
+                CAST(sum(CASE WHEN dc.dev > 3.0 * mad.mad THEN dc.c
+                              ELSE 0 END) AS BIGINT) AS n_anomalies,
+                CAST(sum(dc.c) AS BIGINT) AS n
+         FROM dc JOIN mad ON dc.event_type = mad.event_type
+         GROUP BY dc.event_type ORDER BY dc.event_type"""
   )
 }

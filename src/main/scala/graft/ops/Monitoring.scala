@@ -295,6 +295,47 @@ object Monitoring {
         sum(col("nd")).as("det_total"))
   }
 
+  /** Robust per-key anomaly summary: exact lower median and MAD (median
+    * absolute deviation, the robust σ) per key group, and the count of
+    * rows whose rounded deviation exceeds `k`·MAD — the outlier gate
+    * that survives the outliers it hunts (mean/stddev gates move with
+    * every anomaly they should flag; medians don't). Deviations are
+    * rounded to `devDecimals` so BOTH median passes run over bounded
+    * (key, value, count) tables ([[Splits.lowerMedianByKey]] contract).
+    *
+    * Scale shape: two map-side-combined data passes (value counts, then
+    * deviation counts); the medians, the MAD, and the final summary all
+    * fold over those tiny count frames — the summary reads the cached
+    * deviation-count frame, never the data again.
+    */
+  def robustAnomalySummary(df: DataFrame, keys: Seq[String],
+                           valueCol: org.apache.spark.sql.Column,
+                           k: Double = 3.0,
+                           devDecimals: Int = 2): DataFrame = {
+    val base = df.filter(valueCol.isNotNull)
+      .select((keys.map(col) :+ valueCol.cast("double").as("_val")): _*)
+    val med = Splits.lowerMedianByKey(base, keys, col("_val"))
+      .withColumnRenamed("median", "_med")
+    val devCounts = base.join(med, keys)
+      .withColumn("_v", round(abs(col("_val") - col("_med")), devDecimals))
+      .groupBy((keys.map(col) :+ col("_v")): _*)
+      .agg(count(lit(1)).as("_c"), max(col("_med")).as("_med"))
+      // consumed twice (MAD fold + summary) — tiny, but its lineage is a
+      // full data pass; cache so the pass runs once
+      .cache()
+    val mad = Splits.lowerMedianFromCounts(
+        devCounts.select((keys.map(col) :+ col("_v") :+ col("_c")): _*),
+        keys)
+      .withColumnRenamed("median", "_mad")
+    devCounts.join(mad, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("_med")).as("median"),
+        max(col("_mad")).as("mad"),
+        sum(when(col("_v") > lit(k) * col("_mad"), col("_c"))
+          .otherwise(0L)).as("n_anomalies"),
+        sum(col("_c")).as("n"))
+  }
+
   // -- persistence (configs + result log under a warehouse dir) -----------
 
   final class MonitoringEngine(spark: SparkSession, warehouseDir: String) {

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.TimeFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-dataset splits (reference §2.8):
@@ -310,6 +311,38 @@ object Splits {
     var cum = 0L
     counts.iterator.map { case (v, c) => cum += c; (v, cum) }
       .collectFirst { case (v, cm) if cm >= k => v }.get
+  }
+
+  /** Distributed per-key twin of [[lowerMedian]]: the same exact lower
+    * median (smallest v whose cumulative count reaches ceil(n/2)) for
+    * every key group in one pass — no driver collect, no per-group
+    * buffering. Same contract: the score must be rounded/bucketed so its
+    * per-key distinct-value table is bounded; the cumsum window then
+    * runs over (key, value, count) rows, never raw data.
+    */
+  def lowerMedianByKey(df: DataFrame, keys: Seq[String],
+                       valueCol: Column): DataFrame =
+    lowerMedianFromCounts(
+      df.filter(valueCol.isNotNull)
+        .groupBy((keys.map(col) :+ valueCol.cast("double").as("_v")): _*)
+        .agg(count(lit(1)).as("_c")),
+      keys)
+
+  /** [[lowerMedianByKey]] from a per-(keys, `_v`) count frame `_c` — the
+    * zero-scan form for stored/derived value tables.
+    */
+  def lowerMedianFromCounts(counts: DataFrame,
+                            keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(keys.map(col): _*)
+    counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      // ceil(n/2) = (n+1) div 2; the double division is exact below 2^52
+      .withColumn("_k", ((sum(col("_c")).over(tw) + 1) / 2).cast("long"))
+      .filter(col("_cum") >= col("_k"))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("_v")).as("median"))
   }
 
   /** Deterministic hash-threshold stratified sampling: keep a row of

@@ -229,6 +229,31 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(r1.getDouble(r1.fieldIndex("cos_dist")) > 0.0)
   }
 
+  test("robust anomaly summary: per-key median/MAD, planted outliers flagged") {
+    // key a: 99 values in 10..12, one wild outlier; key b: tight cluster
+    val rows = (1 to 99).map(i => ("a", 10.0 + (i % 3))) ++
+      Seq(("a", 500.0)) ++ (1 to 50).map(i => ("b", 7.0))
+    val df = rows.toDF("k", "v")
+    val out = graft.ops.Monitoring.robustAnomalySummary(df, Seq("k"),
+      col("v")).orderBy("k").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getDouble(a.fieldIndex("median")) === 11.0)
+    assert(a.getDouble(a.fieldIndex("mad")) === 1.0)
+    assert(a.getLong(a.fieldIndex("n_anomalies")) === 1L,
+      "exactly the planted outlier")
+    assert(a.getLong(a.fieldIndex("n")) === 100L)
+    // constant population: MAD 0, nothing beats a strict > gate... except
+    // nothing deviates, so zero anomalies
+    assert(b.getDouble(b.fieldIndex("mad")) === 0.0)
+    assert(b.getLong(b.fieldIndex("n_anomalies")) === 0L)
+    // per-key lower median agrees with the driver-side lowerMedian
+    val global = graft.ops.Splits.lowerMedian(
+      df.filter(col("k") === "a").select(col("v").as("s")), "s")
+    val byKey = graft.ops.Splits.lowerMedianByKey(df, Seq("k"), col("v"))
+      .filter(col("k") === "a").select("median").as[Double].collect().head
+    assert(byKey === global)
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
