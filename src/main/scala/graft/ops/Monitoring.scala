@@ -35,12 +35,24 @@ object Monitoring {
 
   /** Metric + comparison rule (core/feature_monitoring_result_engine.py
     * :342-440): relative vs absolute difference against a threshold.
+    * Metrics `psi` and `ks` are JOINT two-window drift scores rather
+    * than per-window aggregates: the score itself is compared to the
+    * threshold (`relative` is ignored), and `bins`/`lo`/`hi` fix the
+    * value grid ([[psiDrift]]/[[ksDrift]] semantics).
     */
   final case class ComparisonSpec(
-      metric: String, // mean | min | max | count | stddev | sum
+      metric: String, // mean | min | max | count | stddev | sum | psi | ks
       threshold: Double,
       relative: Boolean = false,
-      strict: Boolean = false)
+      strict: Boolean = false,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0)
+
+  /** Metrics scored jointly over (reference, detection) rather than per
+    * window.
+    */
+  private val DriftMetrics = Set("psi", "ks")
 
   /** Fixed-cadence schedule (the reference's job schedule cron analog). */
   final case class ScheduleSpec(everyMillis: Long, startMillis: Long = 0L)
@@ -97,6 +109,33 @@ object Monitoring {
 
     val detCond = sampled(windowCond(cfg.detection), cfg.detection)
     val value = col(cfg.feature)
+    if (DriftMetrics.contains(cfg.comparison.metric)) {
+      val refW = cfg.reference.getOrElse(throw new IllegalArgumentException(
+        s"config ${cfg.name}: drift metric ${cfg.comparison.metric} needs" +
+          " a reference WINDOW (a scalar referenceValue has no" +
+          " distribution to compare against)"))
+      val refCond = sampled(windowCond(refW), refW)
+      // one scan: rows outside both windows are dropped, the rest carry
+      // their window membership into the shared count frame
+      val flagged = df.filter(detCond || refCond)
+        .withColumn("_g", lit(1)).withColumn("_is_ref", refCond)
+      val c = cfg.comparison
+      val scored =
+        if (c.metric == "psi")
+          psiDrift(flagged, Seq("_g"), value, col("_is_ref"),
+            c.bins, c.lo, c.hi)
+        else ksDrift(flagged, Seq("_g"), value, col("_is_ref"),
+          c.bins, c.lo, c.hi)
+      val row = scored.collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"config ${cfg.name}: both windows are empty"))
+      val score = row.getDouble(1)
+      val shift = if (c.strict) score >= c.threshold else score > c.threshold
+      return MonitoringResult(cfg.name, nowMillis,
+        detectionValue = row.getLong(3).toDouble, // detection rows
+        referenceValue = row.getLong(2).toDouble, // reference rows
+        difference = score, shiftDetected = shift)
+    }
     val aggs = Seq(
       metricAgg(cfg.comparison.metric,
         when(detCond, value)).as("_det")) ++
@@ -360,6 +399,9 @@ object Monitoring {
           ("threshold" -> cfg.comparison.threshold) ~
           ("relative" -> cfg.comparison.relative) ~
           ("strict" -> cfg.comparison.strict) ~
+          ("bins" -> cfg.comparison.bins) ~
+          ("lo" -> cfg.comparison.lo) ~
+          ("hi" -> cfg.comparison.hi) ~
           ("everyMillis" -> cfg.schedule.everyMillis) ~
           ("startMillis" -> cfg.schedule.startMillis) ~
           ("enabled" -> cfg.enabled)
@@ -406,7 +448,10 @@ object Monitoring {
           metric = str(j \ "metric"),
           threshold = dbl(j \ "threshold").getOrElse(0.0),
           relative = bool(j \ "relative", d = false),
-          strict = bool(j \ "strict", d = false)),
+          strict = bool(j \ "strict", d = false),
+          bins = lng(j \ "bins", 10L).toInt,
+          lo = dbl(j \ "lo").getOrElse(0.0),
+          hi = dbl(j \ "hi").getOrElse(1.0)),
         schedule = ScheduleSpec(
           everyMillis = lng(j \ "everyMillis", 0L),
           startMillis = lng(j \ "startMillis", 0L)),

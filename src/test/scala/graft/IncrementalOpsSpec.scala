@@ -254,6 +254,41 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(byKey === global)
   }
 
+  test("monitoring engine runs a persisted PSI drift config end-to-end") {
+    import graft.ops.Monitoring._
+    val wh = java.nio.file.Files.createTempDirectory("graft_mon").toString
+    val eng = new MonitoringEngine(spark, wh)
+    // detection = last hour, reference = the hour before it; detection
+    // values concentrated high, reference low → strong drift
+    val now = 7200000L
+    val rows = (1 to 300).map { i =>
+      val det = i % 2 == 0
+      val t = if (det) now - 1800000L else now - 5400000L
+      (t + i, if (det) 8.0 + (i % 2) else 1.0 + (i % 2))
+    }
+    val df = rows.toDF("ts", "v")
+    eng.saveConfig(MonitoringConfig("psi_cfg", "fg", 1, "v", "ts",
+      detection = WindowSpec(Some(3600000L)),
+      reference = Some(WindowSpec(Some(3600000L), offsetMillis = 3600000L)),
+      comparison = ComparisonSpec("psi", threshold = 0.25,
+        bins = 10, lo = 0.0, hi = 10.0),
+      schedule = ScheduleSpec(everyMillis = 1000L)))
+    // config survives the JSON round-trip with its drift grid intact
+    val loaded = eng.getConfig("psi_cfg").get
+    assert(loaded.comparison.bins === 10 &&
+      loaded.comparison.hi === 10.0 && loaded.comparison.metric === "psi")
+    val fired = eng.runDue(now, _ => df)
+    assert(fired.size === 1)
+    assert(fired.head.shiftDetected, s"psi ${fired.head.difference}")
+    assert(fired.head.difference > 1.0)
+    assert(fired.head.detectionValue === 150.0 &&
+      fired.head.referenceValue === 150.0)
+    // the result is in the persisted log; the schedule debounces
+    assert(eng.results().filter(col("configName") === "psi_cfg")
+      .count() === 1L)
+    assert(eng.runDue(now, _ => df).isEmpty)
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
