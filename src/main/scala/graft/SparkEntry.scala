@@ -1988,6 +1988,30 @@ object SparkEntry {
           ev.select(col("event_type"), col("value")),
           Seq("event_type"), col("value"), k = 3.0)
         .orderBy("event_type")
+    }),
+
+    // Snapshot diff across time travel: build the q72 lake lifecycle,
+    // then answer "what changed between commit 2 and now" row-by-row —
+    // added / removed / changed with before/after values. The oracle
+    // reconstructs both snapshots from the literal change sets and
+    // full-outer joins them itself.
+    "q108_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q108").toString
+      val fs = new graft.catalog.FeatureStore(s, warehouseDir = tmp)
+      val init = s.read.parquet(TestTables.parquet(dir, "nation"))
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("v"))
+      val fgrp = fs.createFeatureGroup("nations_diff", init, Seq("id"))
+      val c2 = fs.insert(fgrp,
+        Seq((0L, "V2_0"), (100L, "V2_100")).toDF("id", "v"))
+      fs.insert(fgrp,
+        Seq((0L, "V3_0"), (2L, "V3_2"), (101L, "V3_101")).toDF("id", "v"))
+      fs.delete(fgrp, Seq(Tuple1(3L)).toDF("id"))
+      val before = fs.read(Query.selectAll(fgrp).asOf(c2.commitTime))
+      val after = fs.read(Query.selectAll(fgrp))
+      graft.ops.SchemaOps.frameDiff(before, after, Seq("id"))
+        .orderBy("id")
     })
   )
 
@@ -4040,6 +4064,30 @@ object SparkEntry {
                               ELSE 0 END) AS BIGINT) AS n_anomalies,
                 CAST(sum(dc.c) AS BIGINT) AS n
          FROM dc JOIN mad ON dc.event_type = mad.event_type
-         GROUP BY dc.event_type ORDER BY dc.event_type"""
+         GROUP BY dc.event_type ORDER BY dc.event_type""",
+    // both snapshots rebuilt from the source table and the literal
+    // change sets (upsert {0,100}, then upsert {0,2,101} + delete 3),
+    // then the same full-outer status algebra
+    "q108_snapshot_diff" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS id,
+                              n_name AS v FROM nation),
+         snap1 AS (
+           SELECT id, CASE WHEN id = 0 THEN 'V2_0' ELSE v END AS v
+           FROM base
+           UNION ALL SELECT 100, 'V2_100'),
+         snap2 AS (
+           SELECT id,
+                  CASE WHEN id = 0 THEN 'V3_0'
+                       WHEN id = 2 THEN 'V3_2' ELSE v END AS v
+           FROM (SELECT * FROM snap1 UNION ALL SELECT 101, 'V3_101')
+           WHERE id <> 3)
+         SELECT coalesce(s1.id, s2.id) AS id,
+                CASE WHEN s1.id IS NULL THEN 'added'
+                     WHEN s2.id IS NULL THEN 'removed'
+                     ELSE 'changed' END AS status,
+                s1.v AS before_v, s2.v AS after_v
+         FROM snap1 s1 FULL OUTER JOIN snap2 s2 ON s1.id = s2.id
+         WHERE s1.id IS NULL OR s2.id IS NULL OR s1.v <> s2.v
+         ORDER BY id"""
   )
 }

@@ -91,6 +91,43 @@ object SchemaOps {
     */
   def emptyFrame(df: DataFrame): DataFrame = df.limit(0)
 
+  /** Row-level diff between two keyed snapshots (the "what changed
+    * between these two as-of times" question time travel alone doesn't
+    * answer): one full-outer join on the key, payloads compared as a
+    * single null-safe struct. Output: keys, `status` ∈ added | removed |
+    * changed, and every payload column twice under `before_`/`after_`
+    * prefixes; unchanged rows are dropped.
+    *
+    * Scale shape: one co-partitioned shuffle join of the two snapshots —
+    * at 100 TB run it on the lake's as-of reads, whose commit-partition
+    * pruning has already cut each side to its snapshot, and the struct
+    * equality short-circuits per row. Works on any keyed frames, not
+    * just lake reads.
+    */
+  def frameDiff(before: DataFrame, after: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "frameDiff needs at least one key column")
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"snapshots must share a schema: ${before.columns.toSeq}" +
+        s" vs ${after.columns.toSeq}")
+    val payload = before.columns.filterNot(keys.contains).toSeq
+    require(payload.nonEmpty,
+      "frameDiff needs at least one non-key column (a keys-only diff is" +
+        " a pair of anti-joins)")
+    def sided(df: DataFrame, tag: String) =
+      df.select((keys.map(col) :+
+        struct(payload.map(col): _*).as(s"_$tag")): _*)
+    sided(before, "b").join(sided(after, "a"), keys, "full_outer")
+      .withColumn("status",
+        when(col("_b").isNull, "added")
+          .when(col("_a").isNull, "removed")
+          .when(!(col("_b") <=> col("_a")), "changed"))
+      .filter(col("status").isNotNull)
+      .select((keys.map(col) :+ col("status")) ++
+        payload.map(c => col("_b").getField(c).as(s"before_$c")) ++
+        payload.map(c => col("_a").getField(c).as(s"after_$c")): _*)
+  }
+
   /** Kafka wire encode (engine/spark.py:507-580 minus Avro, which needs the
     * spark-avro datasource): key = concat of sorted primary-key values,
     * value = JSON of the full row, headers = constant metadata entries —

@@ -289,6 +289,25 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(eng.runDue(now, _ => df).isEmpty)
   }
 
+  test("frameDiff: added/removed/changed with null-safe payload compare") {
+    val before = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, null, 3.0),
+      (4L, "d", 4.0)).toDF("id", "s", "x")
+    val after = Seq((1L, "a", 1.0), (2L, "B", 2.0), (3L, null, 3.0),
+      (5L, "e", 5.0)).toDF("id", "s", "x")
+    val out = graft.ops.SchemaOps.frameDiff(before, after, Seq("id"))
+      .orderBy("id").collect()
+    // 1 unchanged (dropped), 3 unchanged with null payload (null-safe
+    // compare — dropped, not 'changed'), 2 changed, 4 removed, 5 added
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "changed"), (4L, "removed"), (5L, "added")))
+    val changed = out(0)
+    assert(changed.getString(changed.fieldIndex("before_s")) === "b")
+    assert(changed.getString(changed.fieldIndex("after_s")) === "B")
+    val added = out(2)
+    assert(added.isNullAt(added.fieldIndex("before_s")))
+    assert(added.getString(added.fieldIndex("after_s")) === "e")
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
