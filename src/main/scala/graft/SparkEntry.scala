@@ -2012,6 +2012,15 @@ object SparkEntry {
       val after = fs.read(Query.selectAll(fgrp))
       graft.ops.SchemaOps.frameDiff(before, after, Seq("id"))
         .orderBy("id")
+    }),
+
+    // Vocabulary induction: the tokenizer-prep top-K over the BPE-ish
+    // pre-tokens, with document frequency and the cumulative coverage
+    // curve ("how big must the vocab be").
+    "q109_vocabulary" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.vocabulary(docs, "doc_id", "text", topK = 100)
+        .orderBy("rank")
     })
   )
 
@@ -4088,6 +4097,31 @@ object SparkEntry {
                 s1.v AS before_v, s2.v AS after_v
          FROM snap1 s1 FULL OUTER JOIN snap2 s2 ON s1.id = s2.id
          WHERE s1.id IS NULL OR s2.id IS NULL OR s1.v <> s2.v
-         ORDER BY id"""
+         ORDER BY id""",
+    // identical pre-tokenizer pattern, identical (count desc, token asc)
+    // tie-break, coverage as a cumsum over the same ranking
+    "q109_vocabulary" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+               AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS n_occurrences,
+                      count(DISTINCT doc_id) AS n_docs
+               FROM t GROUP BY token),
+         tot AS (SELECT sum(n_occurrences) AS total FROM c),
+         top AS (SELECT token, n_occurrences, n_docs,
+                        row_number() OVER (ORDER BY n_occurrences DESC,
+                                           token ASC) AS rank
+                 FROM c
+                 ORDER BY n_occurrences DESC, token ASC LIMIT 100)
+         SELECT CAST(rank AS BIGINT) AS rank, token,
+                CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                round(CAST(sum(n_occurrences) OVER (ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / tot.total, 4) AS coverage
+         FROM top, tot ORDER BY rank"""
   )
 }

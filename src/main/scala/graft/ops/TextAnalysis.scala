@@ -33,6 +33,45 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** Corpus vocabulary induction over the BPE-ish pre-tokens: the
+    * tokenizer-training prep step — top-K tokens by occurrence count
+    * (ties broken by token text, so the ranking is deterministic across
+    * partitionings and engines), each with its document frequency and
+    * the cumulative fraction of ALL token occurrences the vocabulary
+    * covers up to that rank (the "how big must the vocab be" curve).
+    *
+    * Scale shape: one explode + two map-side-combined aggregations (the
+    * doc-frequency distinct partially aggregates per partition); top-K
+    * is Spark's distributed TakeOrdered, and the coverage cumsum runs
+    * over the K-row result only. The total-occurrence count is a
+    * one-row broadcast.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val toks = docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+        .as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+    val total = counts.agg(sum(col("n_occurrences")).as("_total"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("token").asc).limit(topK)
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+    top
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("_cum", sum(col("n_occurrences")).over(order
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n_occurrences"),
+        col("n_docs"),
+        round(col("_cum") / col("_total"), 4).as("coverage"))
+  }
+
   /** Character-class ratios used by the quality score. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(

@@ -308,6 +308,22 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(added.getString(added.fieldIndex("after_s")) === "e")
   }
 
+  test("vocabulary: rank by count with token tie-break, coverage cumsum") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"), (2L, "aa bb dd"), (3L, "aa")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.vocabulary(docs, "doc_id", "text", 3)
+      .collect()
+    // pre-tokens keep their leading space, so doc-initial "aa" and
+    // mid-doc " aa" are distinct: "aa"=3 (3 docs), " bb"=2 (2 docs),
+    // then the count-1 tie { " aa", " cc", " dd" } breaks on token asc
+    // → " aa"; 8 total occurrences
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq((1L, "aa", 3L, 3L), (2L, " bb", 2L, 2L), (3L, " aa", 1L, 1L)))
+    assert(out.map(_.getDouble(4)).toSeq === Seq(0.375, 0.625, 0.75))
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
