@@ -2021,6 +2021,22 @@ object SparkEntry {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
       graft.ops.TextAnalysis.vocabulary(docs, "doc_id", "text", topK = 100)
         .orderBy("rank")
+    }),
+
+    // Per-type winsorization at exact p5/p95: the robust tail clip,
+    // fitted as exact lower quantiles over the bounded value table —
+    // integer position arithmetic, no interpolation, so the bounds
+    // replay bit-for-bit.
+    "q110_winsorize" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.Transformations.winsorize(
+          ev.select(col("event_id"), col("event_type"), col("value")),
+          Seq("event_type"), col("value"),
+          lowNum = 5, highNum = 95, den = 100)
+        .select(col("event_id"), col("event_type"),
+          col("q_low"), col("q_high"),
+          round(col("value_wins"), 2).as("value_wins"))
+        .orderBy("event_id")
     })
   )
 
@@ -4122,6 +4138,29 @@ object SparkEntry {
                 round(CAST(sum(n_occurrences) OVER (ORDER BY rank
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS DOUBLE) / tot.total, 4) AS coverage
-         FROM top, tot ORDER BY rank"""
+         FROM top, tot ORDER BY rank""",
+    // the same count/cumsum quantile algebra at both rational positions
+    // (cum·100 ≥ n·5 and cum·100 ≥ n·95), then the identical clip
+    "q110_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL),
+         vc AS (SELECT event_type, v, count(*) AS c
+                FROM e GROUP BY event_type, v),
+         vm AS (SELECT event_type, v,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM vc),
+         lo AS (SELECT event_type, min(v) AS q_low
+                FROM vm WHERE cum * 100 >= n * 5 GROUP BY event_type),
+         hi AS (SELECT event_type, min(v) AS q_high
+                FROM vm WHERE cum * 100 >= n * 95 GROUP BY event_type)
+         SELECT e.event_id, e.event_type, lo.q_low, hi.q_high,
+                round(least(greatest(e.v, lo.q_low), hi.q_high), 2)
+                  AS value_wins
+         FROM e JOIN lo ON e.event_type = lo.event_type
+                JOIN hi ON e.event_type = hi.event_type
+         ORDER BY e.event_id"""
   )
 }

@@ -332,17 +332,29 @@ object Splits {
     * zero-scan form for stored/derived value tables.
     */
   def lowerMedianFromCounts(counts: DataFrame,
-                            keys: Seq[String]): DataFrame = {
+                            keys: Seq[String]): DataFrame =
+    lowerQuantileFromCounts(counts, keys, 1, 2)
+      .withColumnRenamed("quantile", "median")
+
+  /** Exact per-key lower quantile at the RATIONAL position num/den: the
+    * smallest value whose cumulative count reaches ceil(n·num/den) —
+    * pure integer arithmetic (`cum·den ≥ num·n`), so there is no
+    * interpolation and no float position to disagree with an oracle
+    * about. Same bounded-distinct contract as [[lowerMedian]].
+    */
+  def lowerQuantileFromCounts(counts: DataFrame, keys: Seq[String],
+                              num: Int, den: Int): DataFrame = {
+    require(den > 0 && num > 0 && num <= den,
+      s"quantile position must satisfy 0 < num/den <= 1, got $num/$den")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tw = Window.partitionBy(keys.map(col): _*)
     counts
       .withColumn("_cum", sum(col("_c")).over(w))
-      // ceil(n/2) = (n+1) div 2; the double division is exact below 2^52
-      .withColumn("_k", ((sum(col("_c")).over(tw) + 1) / 2).cast("long"))
-      .filter(col("_cum") >= col("_k"))
+      .withColumn("_n", sum(col("_c")).over(tw))
+      .filter(col("_cum") * den >= col("_n") * num)
       .groupBy(keys.map(col): _*)
-      .agg(min(col("_v")).as("median"))
+      .agg(min(col("_v")).as("quantile"))
   }
 
   /** Deterministic hash-threshold stratified sampling: keep a row of

@@ -115,6 +115,39 @@ object Transformations {
     * array literal — O(log n) per row via array_position on a broadcast
     * literal, no join.
     */
+  /** Per-key winsorization at exact rational quantiles: clip `valueCol`
+    * into [Q(lowNum/den), Q(highNum/den)] per key group, the standard
+    * robust tail-capping transform (a p1/p99 clip kills sensor spikes
+    * without the mean-chasing failure of z-score clips). Quantiles are
+    * EXACT lower quantiles over the bounded distinct-value table
+    * ([[Splits.lowerQuantileFromCounts]] — integer position arithmetic,
+    * no interpolation), so the fitted bounds replay bit-for-bit in SQL.
+    *
+    * Scale shape: one map-side-combined value-count pass fits BOTH
+    * bounds; the clip joins the |keys|-row bounds table back (AQE
+    * broadcasts it) — fit once, apply anywhere, like every transform
+    * here.
+    */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: Column,
+                lowNum: Int, highNum: Int, den: Int): DataFrame = {
+    require(lowNum <= highNum, "low quantile must not exceed high")
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy((keys.map(col) :+ valueCol.cast("double").as("_v")): _*)
+      .agg(count(lit(1)).as("_c"))
+      // both quantile folds read this frame; cache so the data pass
+      // runs once
+      .cache()
+    val lo = Splits.lowerQuantileFromCounts(counts, keys, lowNum, den)
+      .withColumnRenamed("quantile", "_lo")
+    val hi = Splits.lowerQuantileFromCounts(counts, keys, highNum, den)
+      .withColumnRenamed("quantile", "_hi")
+    df.join(lo, keys).join(hi, keys)
+      .withColumn("value_wins",
+        least(greatest(valueCol.cast("double"), col("_lo")), col("_hi")))
+      .withColumnRenamed("_lo", "q_low")
+      .withColumnRenamed("_hi", "q_high")
+  }
+
   def labelEncoder(c: Column, s: FeatureStatistics): Column = {
     val sortedVals = s.uniqueValues.map(v => lit(v))
     array_position(array(sortedVals: _*), c).cast("int") - 1

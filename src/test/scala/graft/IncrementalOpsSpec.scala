@@ -324,6 +324,24 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(out.map(_.getDouble(4)).toSeq === Seq(0.375, 0.625, 0.75))
   }
 
+  test("winsorize clips into exact per-key rational quantiles") {
+    // key a: values 1..100 → p10 = 10, p90 = 90 under the lower-quantile
+    // rule (cum·10 ≥ n·1 at v=10; cum·10 ≥ n·9 at v=90)
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 6.0))).toDF("k", "v")
+    val out = graft.ops.Transformations.winsorize(df, Seq("k"), col("v"),
+      lowNum = 1, highNum = 9, den = 10)
+    val a = out.filter(col("k") === "a")
+    assert(a.select(min("value_wins")).as[Double].collect().head === 10.0)
+    assert(a.select(max("value_wins")).as[Double].collect().head === 90.0)
+    // interior values untouched
+    assert(a.filter(col("v") === 50.0).select("value_wins")
+      .as[Double].collect().head === 50.0)
+    val b = out.filter(col("k") === "b").select("q_low", "q_high")
+      .distinct().collect().head
+    assert((b.getDouble(0), b.getDouble(1)) === (5.0, 6.0))
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
