@@ -2037,6 +2037,45 @@ object SparkEntry {
           col("q_low"), col("q_high"),
           round(col("value_wins"), 2).as("value_wins"))
         .orderBy("event_id")
+    }),
+
+    // Forward-window label generation — the OTHER half of leakage-safe
+    // training data: the PIT join looks strictly backward for features,
+    // this looks strictly forward for outcomes (views and spend in
+    // (t, t+24h] after each click). One range-frame window over the
+    // unioned event stream per user: no self-join, no quadratic
+    // candidate set, the frame bound IS the label horizon.
+    "q112_label_window" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_id"), col("user_id"),
+        TimeFunctions.eventTimeToMicros(ev, "ts").as("ts_us"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(1L, 86400000000L)
+      base
+        .withColumn("future_views",
+          coalesce(sum(when(col("event_type") === "view", 1L)
+            .otherwise(0L)).over(w), lit(0L)))
+        .withColumn("future_spend_cents",
+          coalesce(sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).over(w), lit(0L)))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("future_views"), col("future_spend_cents"))
+        .orderBy("event_id")
+    }),
+
+    // Weekly cohort retention: cohort users by first active week, count
+    // who's still active N weeks later — one distinct over
+    // (user, week), everything downstream is cohort-matrix-sized.
+    "q111_cohort_retention" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.Sessionization.cohortRetention(ev, "user_id",
+          TimeFunctions.eventTimeToMicros(ev, "ts"),
+          bucketUs = 604800000000L)
+        .orderBy("cohort", "offset")
     })
   )
 
@@ -4161,6 +4200,44 @@ object SparkEntry {
                   AS value_wins
          FROM e JOIN lo ON e.event_type = lo.event_type
                 JOIN hi ON e.event_type = hi.event_type
-         ORDER BY e.event_id"""
+         ORDER BY e.event_id""",
+    // the same forward range frame over the same unioned stream — the
+    // (t, t+24h] horizon replayed as 1 FOLLOWING .. 86400000000 FOLLOWING
+    "q112_label_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                           event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events)
+         SELECT event_id, user_id, ts_us,
+                CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+                     ELSE 0 END) OVER w, 0) AS BIGINT) AS future_views,
+                CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                     THEN cents ELSE 0 END) OVER w, 0) AS BIGINT)
+                  AS future_spend_cents
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 1 FOLLOWING
+                        AND 86400000000 FOLLOWING)
+         QUALIFY event_type = 'click'
+         ORDER BY event_id""",
+    // the same distinct-(user, week) frame, first-week cohorts, offset
+    // counts, and cohort-size fractions
+    "q111_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 604800000000 AS p
+                    FROM events),
+         f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id),
+         s AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort),
+         o AS (SELECT f.cohort, a.p - f.cohort AS offset,
+                      count(*) AS n_active
+               FROM a JOIN f ON a.user_id = f.user_id
+               GROUP BY f.cohort, a.p - f.cohort)
+         SELECT o.cohort, o.offset,
+                CAST(o.n_active AS BIGINT) AS n_active,
+                CAST(s.n_cohort AS BIGINT) AS n_cohort,
+                round(CAST(o.n_active AS DOUBLE) / s.n_cohort, 4)
+                  AS retention
+         FROM o JOIN s ON o.cohort = s.cohort
+         ORDER BY o.cohort, o.offset"""
   )
 }

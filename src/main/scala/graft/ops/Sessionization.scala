@@ -51,4 +51,34 @@ object Sessionization {
         max(col("_ts_us")).as("session_end_us"),
         count(lit(1)).as("n_events"),
         sum(col("_v")).as("total"))
+
+  /** Cohort retention matrix: bucket event time into `bucketUs`-wide
+    * periods, cohort every entity by its FIRST active period, and report
+    * per (cohort, offset) how many — and what fraction of — the
+    * cohort's entities were active `offset` periods later. The standard
+    * engagement/decay surface behind activity features.
+    *
+    * Scale shape: the only data-sized work is one distinct over
+    * (entity, period) — integral division rides the scan, and every
+    * later step (first-period agg, offset join, cohort sizes) runs over
+    * the |entities × active periods| distinct frame or smaller.
+    */
+  def cohortRetention(df: DataFrame, entityCol: String, tsUs: Column,
+                      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val active = df
+      .select(col(entityCol).as("_e"),
+        call_function("div", tsUs, lit(bucketUs)).as("_p"))
+      .distinct()
+    val first = active.groupBy(col("_e")).agg(min(col("_p")).as("cohort"))
+    val sizes = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(first, Seq("_e"))
+      .groupBy(col("cohort"), (col("_p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active") / col("n_cohort"), 4).as("retention"))
+  }
 }

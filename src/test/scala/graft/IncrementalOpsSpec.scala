@@ -342,6 +342,47 @@ class IncrementalOpsSpec extends SparkSpec {
     assert((b.getDouble(0), b.getDouble(1)) === (5.0, 6.0))
   }
 
+  test("cohortRetention: first-period cohorts, offsets, exact fractions") {
+    // user 1 active periods {0,1,3}; user 2 {0}; user 3 {1,2}
+    val df = Seq((1L, 5L), (1L, 15L), (1L, 35L), (2L, 7L), (2L, 8L),
+      (3L, 12L), (3L, 25L)).toDF("u", "t")
+    val out = graft.ops.Sessionization.cohortRetention(df, "u", col("t"),
+        bucketUs = 10L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 2L, 1.0),   // users 1,2 in cohort 0
+      (0L, 1L, 1L, 2L, 0.5),   // user 1 back in period 1
+      (0L, 3L, 1L, 2L, 0.5),   // user 1 back in period 3
+      (1L, 0L, 1L, 1L, 1.0),   // user 3 cohorts at period 1
+      (1L, 1L, 1L, 1L, 1.0)))  // user 3 back in period 2
+  }
+
+  test("forward label window counts only the strict future horizon") {
+    // user 1: click at t=100; views at 100 (same instant — excluded),
+    // 150 (in), 86400000100 (exactly t+24h — inclusive), later (out);
+    // purchase at 200 (in)
+    val us = 1L
+    val rows = Seq(
+      (10L, 1L, 100L, "click", 0L), (11L, 1L, 100L, "view", 0L),
+      (12L, 1L, 150L, "view", 0L), (13L, 1L, 86400000100L, "view", 0L),
+      (14L, 1L, 86400000101L, "view", 0L), (15L, 1L, 200L, "purchase", 250L)
+    ).toDF("event_id", "user_id", "ts_us", "event_type", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(1L, 86400000000L)
+    val out = rows
+      .withColumn("fv", coalesce(sum(when(col("event_type") === "view", 1L)
+        .otherwise(0L)).over(w), lit(0L)))
+      .withColumn("fs", coalesce(sum(when(col("event_type") === "purchase",
+        col("cents")).otherwise(0L)).over(w), lit(0L)))
+      .filter(col("event_type") === "click")
+      .select("fv", "fs").collect().head
+    assert(out.getLong(0) === 2L, "views at t and past t+24h excluded")
+    assert(out.getLong(1) === 250L)
+  }
+
   test("localKMeans recovers well-separated clusters deterministically") {
     val rnd = new scala.util.Random(7)
     val pts = Array.tabulate(300) { i =>
