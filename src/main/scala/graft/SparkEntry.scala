@@ -1927,9 +1927,12 @@ object SparkEntry {
         .select("event_id", "user_id", "ts")
       val views = ev.filter(col("event_type") === "view")
         .select("user_id", "ts", "event_id", "value")
+      // tieBreak pins the winner when two views share (user_id, ts):
+      // without it both Spark's running-last and DuckDB's ASOF pick an
+      // arbitrary equal-ts row and the hash compare can flake
       val j = graft.ops.PointInTimeJoin.asOfWithTolerance(clicks, "ts",
         views, "ts", Seq("user_id"), Seq("user_id"), prefix = "view_",
-        toleranceUs = 86400000000L)
+        toleranceUs = 86400000000L, tieBreak = Some("event_id"))
       j.select(col("event_id"), col("user_id"),
           TimeFunctions.eventTimeToMicros(j, "ts").as("ts_us"),
           TimeFunctions.eventTimeToMicros(j, "view_ts").as("view_ts_us"),
@@ -3998,9 +4001,19 @@ object SparkEntry {
          ORDER BY user_id, session_idx""",
     // DuckDB ASOF gives latest-at-or-before; the 24h staleness bound then
     // nulls every payload column of a stale match (a NULL v.ts never
-    // satisfies the CASE, so no-match rows stay null too)
+    // satisfies the CASE, so no-match rows stay null too). Views are
+    // pre-deduped to the max event_id per (user_id, ts) — the same
+    // tie rule the Spark side encodes via tieBreak = Some("event_id") —
+    // so equal-timestamp ties can never make the compare nondeterministic
     "q103_pit_tolerance" ->
-      """SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+      """WITH v AS (
+           SELECT user_id, ts, event_id, value FROM (
+             SELECT user_id, ts, event_id, value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'view')
+           WHERE rn = 1)
+         SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
                 CASE WHEN epoch_us(s.ts) - epoch_us(v.ts) <= 86400000000
                      THEN epoch_us(v.ts) END AS view_ts_us,
                 CASE WHEN epoch_us(s.ts) - epoch_us(v.ts) <= 86400000000
@@ -4008,7 +4021,7 @@ object SparkEntry {
                 CASE WHEN epoch_us(s.ts) - epoch_us(v.ts) <= 86400000000
                      THEN v.value END AS view_value
          FROM (SELECT * FROM events WHERE event_type = 'click') s
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ASOF LEFT JOIN v
            ON s.user_id = v.user_id AND v.ts <= s.ts
          ORDER BY s.event_id""",
     // binned ECDFs via window cumsums over the seen bins only — the ECDF
@@ -4042,7 +4055,9 @@ object SparkEntry {
                 CAST(max(dt) AS BIGINT) AS det_total
          FROM t GROUP BY event_type ORDER BY event_type""",
     // pooled-distribution expected counts, both windows' cells summed,
-    // dof = (categories - 1) for the two-sample table
+    // dof = (grouped cells - 1): count(*) over the per-(cohort, category)
+    // frame, the same cell set the chi2 sum folds (a null category would
+    // be a real cell on both sides — missingness drift is drift)
     "q105_chi2_drift" ->
       """WITH e AS (
            SELECT user_id % 4 AS cohort, event_type,
@@ -4065,7 +4080,7 @@ object SparkEntry {
                   * (det_n - (ref_n + det_n) * CAST(dt AS DOUBLE) / (rt + dt))
                   / ((ref_n + det_n) * CAST(dt AS DOUBLE) / (rt + dt))), 4)
                   AS chi2,
-                CAST(count(DISTINCT category) - 1 AS BIGINT) AS dof,
+                CAST(count(*) - 1 AS BIGINT) AS dof,
                 CAST(max(rt) AS BIGINT) AS ref_total,
                 CAST(max(dt) AS BIGINT) AS det_total
          FROM t GROUP BY cohort ORDER BY cohort""",

@@ -268,16 +268,23 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // LAZY localCheckpoint + fingerprint: the fingerprint action both
+    // materializes the round's frontier blocks (truncating lineage, so
+    // no round ever re-reads the pair history) AND collects the
+    // convergence check — ONE sequential driver round-trip per star
+    // round instead of the two an eager checkpoint + separate collect
+    // would pay. The loop's wall-clock is exactly its sequential
+    // actions, so halving them halves the suite's noise exposure.
     var edges = dedupEdges(pairs
       .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
         col(idACol) =!= col(idBCol))
       .select(col(idACol).as("u"), col(idBCol).as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var fp = fingerprint(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       edges = next

@@ -25,11 +25,19 @@ object IncrementalStats {
 
   /** Exact mergeable moments per (keys..., bucket). `scaled` must be an
     * integral-valued column (the caller picks the fixed-point scale).
+    *
+    * Null contract: rows with a null `scaled` are filtered BEFORE the
+    * groupBy, so `n`, the moment sums, min/max, and the bucket row set
+    * all describe the same (non-null) population — a merged `n` always
+    * equals what a rescan of the contributing rows would count, and an
+    * all-null bucket emits no partial row (it would otherwise inflate
+    * `n_buckets` with an n=0 row carrying null moments).
     */
   def partials(df: DataFrame, keys: Seq[String], bucket: Column,
                scaled: Column): DataFrame =
-    df.groupBy((keys.map(col) :+ bucket.as("bucket")): _*)
-      .agg(count(scaled).as("n"),
+    df.filter(scaled.isNotNull)
+      .groupBy((keys.map(col) :+ bucket.as("bucket")): _*)
+      .agg(count(lit(1)).as("n"),
         sum(scaled).as("sum_v"),
         sum(scaled * scaled).as("sum_sq"),
         min(scaled).as("min_v"),

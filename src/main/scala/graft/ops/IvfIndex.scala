@@ -133,16 +133,26 @@ object IvfIndex {
       var cc = 0
       while (cc < k) {
         if (counts(cc) == 0) {
-          // reseed an empty cell from the globally worst-fit point
-          var worst = 0; var worstD = -1.0; var p = 0
+          // reseed an empty cell from the globally worst-fit point,
+          // skipping points already claimed as a reseed THIS iteration
+          // (assign(p) == an earlier empty cell): without the skip, two
+          // empty cells in one Lloyd pass both grab the same worst point
+          // and converge as duplicate centroids
+          var worst = -1; var worstD = -1.0; var p = 0
           while (p < points.length) {
             val d = d2(points(p), centers(assign(p)))
             if (d > worstD) { worstD = d; worst = p }
             p += 1
           }
-          var j = 0
-          while (j < dim) { sums(cc)(j) = points(worst)(j); j += 1 }
-          counts(cc) = 1
+          if (worst >= 0) {
+            var j = 0
+            while (j < dim) { sums(cc)(j) = points(worst)(j); j += 1 }
+            counts(cc) = 1
+            // claim the point: centers(cc) becomes exactly this point
+            // below, so its d2 under the new assignment is 0 and the
+            // next empty cell's worst-point scan can never re-pick it
+            assign(worst) = cc
+          }
         }
         var delta = 0.0; var j = 0
         while (j < dim) {

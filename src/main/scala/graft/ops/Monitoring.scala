@@ -269,7 +269,11 @@ object Monitoring {
     * to |keys × categories| rows; everything after is tiny-frame
     * algebra. Categories absent from one window contribute their full
     * expected mass (no grid completion needed — the observed 0 is a
-    * real cell of the seen-category table).
+    * real cell of the seen-category table). A null category is a real
+    * cell too (missingness drift is drift), so dof counts GROUPED CELLS
+    * minus one — `count(*) - 1` over the per-(key, category) frame, not
+    * `countDistinct` (which skips nulls and would leave chi2 and dof
+    * internally inconsistent whenever nulls are present).
     */
   def chiSquareDrift(df: DataFrame, keys: Seq[String],
                      categoryCol: org.apache.spark.sql.Column,
@@ -291,7 +295,7 @@ object Monitoring {
     t.groupBy(keys.map(col): _*)
       .agg(round(sum(term(col("ref_n"), col("_rt"))
           + term(col("det_n"), col("_dt"))), 4).as("chi2"),
-        (countDistinct(col("category")) - 1).as("dof"),
+        (count(lit(1)) - 1).as("dof"),
         max(col("_rt")).as("ref_total"),
         max(col("_dt")).as("det_total"))
   }
@@ -360,8 +364,13 @@ object Monitoring {
       .groupBy((keys.map(col) :+ col("_v")): _*)
       .agg(count(lit(1)).as("_c"), max(col("_med")).as("_med"))
       // consumed twice (MAD fold + summary) — tiny, but its lineage is a
-      // full data pass; cache so the pass runs once
-      .cache()
+      // full data pass. localCheckpoint (eager) instead of cache: same
+      // one-pass guarantee, but the blocks are reclaimed by the context
+      // cleaner when the frame is dropped, so repeated calls in a
+      // long-lived monitoring session can't accumulate pinned cache
+      // entries (cache() registrations live until an explicit unpersist,
+      // which a lazily-returned result can never safely schedule)
+      .localCheckpoint()
     val mad = Splits.lowerMedianFromCounts(
         devCounts.select((keys.map(col) :+ col("_v") :+ col("_c")): _*),
         keys)

@@ -357,6 +357,28 @@ object Splits {
       .agg(min(col("_v")).as("quantile"))
   }
 
+  /** Approximate per-key quantile with the SAME output schema as
+    * [[lowerQuantileFromCounts]] (`keys..., quantile`) — the escape
+    * hatch for UNBOUNDED value domains. The exact path's count frame is
+    * |keys × distinct values|-sized, which is the right trade on
+    * rounded/bucketed columns (bit-replayable, oracle-provable) but
+    * degenerates to data-sized on a raw continuous double at 100 TB;
+    * this variant runs `percentile_approx` (mergeable relative-error
+    * sketch, one map-side-combined pass, memory bounded by `accuracy`
+    * regardless of cardinality) straight over the data. Not
+    * bit-replayable — use exact when the domain is bounded.
+    */
+  def approxQuantileByKey(df: DataFrame, keys: Seq[String],
+                          valueCol: Column, num: Int, den: Int,
+                          accuracy: Int = 10000): DataFrame = {
+    require(den > 0 && num > 0 && num <= den,
+      s"quantile position must satisfy 0 < num/den <= 1, got $num/$den")
+    df.filter(valueCol.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(percentile_approx(valueCol.cast("double"),
+        lit(num.toDouble / den), lit(accuracy)).as("quantile"))
+  }
+
   /** Deterministic hash-threshold stratified sampling: keep a row of
     * stratum s iff `hash(id) mod scale < floor(fractions(s) * scale)`.
     *

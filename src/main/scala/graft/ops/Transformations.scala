@@ -127,6 +127,20 @@ object Transformations {
     * bounds; the clip joins the |keys|-row bounds table back (AQE
     * broadcasts it) — fit once, apply anywhere, like every transform
     * here.
+    *
+    * Null contract: rows with a null `valueCol` never contribute to the
+    * fit AND are dropped from the output (the inner bounds join keeps
+    * only rows with a fitted key; a null value has no defensible clipped
+    * value, and emitting it as null would silently change the row count
+    * downstream consumers see vs the fitted population). Callers who
+    * need null rows preserved should split them off before the call.
+    *
+    * Bounded-distinct contract: the count frame is |keys × distinct
+    * values|-sized. Exactness (bit-replayable bounds) is the point, but
+    * on a CONTINUOUS double column at 100 TB that frame degenerates to
+    * data-sized — round/bucket the column first, or use
+    * [[winsorizeApprox]] (same output schema, `percentile_approx`-backed)
+    * when the value domain is unbounded.
     */
   def winsorize(df: DataFrame, keys: Seq[String], valueCol: Column,
                 lowNum: Int, highNum: Int, den: Int): DataFrame = {
@@ -134,14 +148,46 @@ object Transformations {
     val counts = df.filter(valueCol.isNotNull)
       .groupBy((keys.map(col) :+ valueCol.cast("double").as("_v")): _*)
       .agg(count(lit(1)).as("_c"))
-      // both quantile folds read this frame; cache so the data pass
-      // runs once
-      .cache()
+      // both quantile folds read this frame; localCheckpoint (eager) so
+      // the data pass runs once AND the tiny count blocks are reclaimable
+      // by the context cleaner once the fit is dropped — a cache() here
+      // would pin partitions for the life of the session because the
+      // lazily-returned result has no safe point to unpersist
+      .localCheckpoint()
     val lo = Splits.lowerQuantileFromCounts(counts, keys, lowNum, den)
       .withColumnRenamed("quantile", "_lo")
     val hi = Splits.lowerQuantileFromCounts(counts, keys, highNum, den)
       .withColumnRenamed("quantile", "_hi")
-    df.join(lo, keys).join(hi, keys)
+    df.filter(valueCol.isNotNull).join(lo, keys).join(hi, keys)
+      .withColumn("value_wins",
+        least(greatest(valueCol.cast("double"), col("_lo")), col("_hi")))
+      .withColumnRenamed("_lo", "q_low")
+      .withColumnRenamed("_hi", "q_high")
+  }
+
+  /** [[winsorize]] for UNBOUNDED value domains: identical output schema
+    * and clip semantics, but the bounds come from `percentile_approx`
+    * (relative-error sketch, mergeable, one map-side-combined pass) so
+    * the fit never materializes a per-distinct-value frame. The bounds
+    * are approximate — use the exact variant when the domain is bounded
+    * (rounded/bucketed/categorical-numeric) and bit-replayability
+    * matters; use this one for raw continuous columns at 100 TB.
+    *
+    * `accuracy` is Spark's percentile_approx knob (default 10000 ≈
+    * 1/10000 relative rank error).
+    */
+  def winsorizeApprox(df: DataFrame, keys: Seq[String], valueCol: Column,
+                      lowNum: Int, highNum: Int, den: Int,
+                      accuracy: Int = 10000): DataFrame = {
+    require(lowNum <= highNum, "low quantile must not exceed high")
+    val bounds = df.filter(valueCol.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        percentile_approx(valueCol.cast("double"),
+          lit(lowNum.toDouble / den), lit(accuracy)).as("_lo"),
+        percentile_approx(valueCol.cast("double"),
+          lit(highNum.toDouble / den), lit(accuracy)).as("_hi"))
+    df.filter(valueCol.isNotNull).join(bounds, keys)
       .withColumn("value_wins",
         least(greatest(valueCol.cast("double"), col("_lo")), col("_hi")))
       .withColumnRenamed("_lo", "q_low")

@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.AvroCodec
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+import org.apache.avro.io.EncoderFactory
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-level contract of the binary-Avro wire codec: hand-computed
+  * expected bytes (the spec-defined zigzag/union/length layout), parity
+  * with stock Avro's own encoder over the same schema JSON, and the
+  * decode round trip — the verification JSON-shape parity could never
+  * give (VERDICT r8 #4).
+  */
+class AvroCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("score", DoubleType),
+    StructField("name", StringType)))
+
+  test("value bytes match the hand-computed binary-Avro layout") {
+    val df = Seq((1L, 2.5, "ab")).toDF("id", "score", "name")
+    val wire = AvroCodec.toAvroWire(df, Seq("id")).collect().head
+    val value = wire.getAs[Array[Byte]]("value")
+    // field id: union branch 1 (zigzag 2) + long 1 (zigzag 2)
+    // field score: union branch 1 + 8 little-endian IEEE-754 bytes of 2.5
+    // field name: union branch 1 + length 2 (zigzag 4) + 'a' 'b'
+    val le = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(2.5).array()
+    val expected = Array[Byte](0x02, 0x02, 0x02) ++ le ++
+      Array[Byte](0x02, 0x04, 'a'.toByte, 'b'.toByte)
+    assert(value.toSeq == expected.toSeq,
+      s"got ${value.map("%02x".format(_)).mkString(" ")}")
+    // key: avro string of "1" → length 1 (zigzag 2) + '1'
+    val key = wire.getAs[Array[Byte]]("key")
+    assert(key.toSeq == Seq[Byte](0x02, '1'.toByte))
+  }
+
+  test("null fields encode as the 1-byte null union branch") {
+    val df = Seq((7L, Option.empty[Double], Option.empty[String]))
+      .toDF("id", "score", "name")
+    val value = AvroCodec.toAvroWire(df, Seq("id")).collect().head
+      .getAs[Array[Byte]]("value")
+    // id: 0x02 0x0e (zigzag 14); score: 0x00; name: 0x00
+    assert(value.toSeq == Seq[Byte](0x02, 0x0e, 0x00, 0x00))
+  }
+
+  test("bytes are identical to stock Avro encoding the same record") {
+    val rows = Seq((42L, 3.75, "hello"), (-3L, -0.5, ""),
+      (1234567L, 0.0, "κλμ"))
+    val df = rows.toDF("id", "score", "name")
+    val ours = AvroCodec.toAvroWire(df, Seq("id"))
+      .select("value").collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    val avroSchema =
+      new Schema.Parser().parse(AvroCodec.avroSchemaJson(schema, "t"))
+    val writer = new GenericDatumWriter[GenericData.Record](avroSchema)
+    val reference = rows.map { case (id, score, name) =>
+      val rec = new GenericData.Record(avroSchema)
+      rec.put(0, java.lang.Long.valueOf(id))
+      rec.put(1, java.lang.Double.valueOf(score))
+      rec.put(2, new Utf8(name))
+      val buf = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(buf, null)
+      writer.write(rec, enc); enc.flush()
+      buf.toByteArray.toSeq
+    }.toSet
+    assert(ours == reference)
+  }
+
+  test("wire round trip: decode(encode(df)) == df, including nulls") {
+    val df = Seq(
+      (1L, Some(2.5), Some("ab")),
+      (2L, None, Some("x")),
+      (3L, Some(-1.25), None))
+      .toDF("id", "score", "name")
+    val wired = AvroCodec.toAvroWire(df, Seq("id"),
+      headers = Map("projectId" -> "7"))
+    assert(wired.columns.toSeq == Seq("key", "value", "headers"))
+    val back = AvroCodec.fromAvroWire(wired, df.schema)
+      .orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(back.toSeq == orig.toSeq)
+  }
+
+  test("timestamps round-trip as timestamp-micros logical longs") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")))
+      .toDF("id", "ts")
+    val back = AvroCodec.fromAvroWire(
+      AvroCodec.toAvroWire(df, Seq("id")), df.schema).collect().head
+    assert(back.getAs[java.sql.Timestamp]("ts") ==
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"))
+  }
+
+  test("undecodable payloads surface as all-null rows, not exceptions") {
+    val junk = Seq(Tuple1(Array[Byte](0x02, 0x7f, 0x7f))).toDF("value")
+    val out = AvroCodec.fromAvroWire(junk, schema).collect()
+    assert(out.length == 1 && (0 until 3).forall(out.head.isNullAt))
+  }
+
+  test("keepCols carry consumer metadata through the decode") {
+    val df = Seq((5L, 1.0, "z")).toDF("id", "score", "name")
+    val wired = AvroCodec.toAvroWire(df, Seq("id"))
+      .withColumn("offset", lit(99L))
+    val out = AvroCodec.fromAvroWire(wired, df.schema,
+      keepCols = Seq("offset")).collect().head
+    assert(out.getAs[Long]("offset") == 99L && out.getAs[Long]("id") == 5L)
+  }
+}
