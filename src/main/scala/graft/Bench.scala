@@ -49,6 +49,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = args match {
     case Array("one", name) => childMain(name)
+    case Array("probe", name) => probeChildMain(name)
+    case Array("probe") => probeOrchestrate()
     case _ => orchestrate()
   }
 
@@ -98,14 +100,51 @@ object Bench {
     if (t.startsWith("ERR:")) Left(t.stripPrefix("ERR:"))
     else Right(t.toDouble)
 
+  /** Structured Streaming queries: their first run in a JVM pays the
+    * streaming engine's one-time costs (streaming planner + state-store
+    * provider class loading, codegen of the stateful operators) on top
+    * of the per-run query lifecycle. That first-run surcharge is session
+    * fixed cost in exactly the sense JVM startup is — so the warmup
+    * below runs a tiny end-to-end streaming job for these queries and
+    * the surcharge lands in `S:` instead of inflating the measured min
+    * (round-8 verdict #3: ~3 s × 4 queries ≈ 10% of the sweep was
+    * state-store spin-up, not plan cost).
+    */
+  private val StreamingQueries = Set("q34_stream_agg", "q48_sessionization",
+    "q52_session_window", "q73_stream_dedup_history",
+    "q83_stream_materialize")
+
   /** JVM/codegen + parquet-reader warmup so the first measured run isn't
     * charged for session startup. Timed separately (see childMain) so the
     * sweep reports operator time and harness fixed cost as two numbers.
+    * For streaming queries, also spins one minimal stateful streaming
+    * query (2-row parquet source → session_window agg → memory sink) so
+    * the streaming engine's class-load/codegen fixed cost is startup.
     */
-  private def warmup(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def warmup(spark: org.apache.spark.sql.SparkSession,
+                     name: String = ""): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    if (StreamingQueries.contains(name)) {
+      try {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stream_warm").toString
+        spark.sql("SELECT 1L AS user_id, TIMESTAMP'2024-01-01' AS ts2, " +
+            "1.0 AS value UNION ALL SELECT 2L, TIMESTAMP'2024-01-02', 2.0")
+          .write.mode("overwrite").parquet(dir)
+        val schema = spark.read.parquet(dir).schema
+        val stream = graft.streaming.Streaming.readStream(
+          spark, "parquet", Some(dir), schema = Some(schema))
+        val sessions = graft.streaming.Streaming.sessionizeNative(
+          stream, "user_id", "ts2", "value",
+          gapMillis = 1000L, watermark = "0 seconds")
+        graft.streaming.Streaming.runToMemory(sessions, "warm_", "append")
+          .collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming warmup skipped: $e")
+      }
+    }
   }
 
   /** Convergence test for the adaptive rep loop: true once MinReps have
@@ -165,7 +204,7 @@ object Bench {
   private def childMain(name: String): Unit = {
     val t0 = System.nanoTime()
     val spark = SparkSessions.local(cpus, s"graft-bench-$name")
-    warmup(spark)
+    warmup(spark, name)
     val startup = (System.nanoTime() - t0) / 1e9
     val times = measure(spark, name)
     println(s"$Marker $name S:$startup ${times.map(repToken).mkString(" ")}")
@@ -219,7 +258,7 @@ object Bench {
     val t0 = System.nanoTime()
     val spark = SparkSessions.local(cpus, s"graft-bench-$name")
     try {
-      warmup(spark)
+      warmup(spark, name)
       val startup = (System.nanoTime() - t0) / 1e9
       (Some(startup), measure(spark, name))
     } finally spark.stop()
@@ -286,6 +325,110 @@ object Bench {
     // cross-round total comparison detect a shrunken denominator even if
     // the errors map is dropped downstream
     s"""{"metric":"total","value":$total,"unit":"sec","declared":${queries.size},"queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"startup":$startupJson,"startup_total":$startupTotal$calibJson,"isolation":"jvm-per-query","action":"noop-write","reps":"adaptive-$MinReps-$MaxReps-converge${(ConvergeFrac * 100).toInt}pct"}"""
+  }
+
+  /** Probe child: calibration-INTERLEAVED single-query measurement in a
+    * fresh JVM. The round-8 verdict's open question was two queries whose
+    * driver-rerun times tripled while the sweep's single up-front
+    * calibration stayed ambiguous about WHEN the machine was slow; this
+    * mode brackets every query measurement with its own calibration pair
+    * (one untimed JIT pass, then a timed run, before AND after), so each
+    * rep carries its local machine speed and a slow rep is attributable:
+    * calibration moved with it → machine; calibration flat → plan.
+    */
+  private def probeChildMain(name: String): Unit = {
+    val spark = SparkSessions.local(cpus, s"graft-probe-$name")
+    warmup(spark, name)
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      calibrationDf(spark).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // untimed JIT pass for the calibration plan itself
+    val cb = calibOnce()
+    val times = measure(spark, name)
+    val ca = calibOnce()
+    println(s"$Marker $name CB:$cb CA:$ca ${times.map(repToken).mkString(" ")}")
+    spark.stop()
+    sys.exit(0)
+  }
+
+  /** Probe orchestrator (`runMain graft.Bench probe`): for each query in
+    * SPARK_GRAFT_BENCH_PROBE (default the round-9 watch set), run
+    * SPARK_GRAFT_BENCH_PROBE_REPS (default 5) FRESH-JVM probe children
+    * and emit one JSON line with every rep's (calib-before, query reps,
+    * calib-after) plus per-query medians — written to
+    * bench_out/probe_latest.json.
+    */
+  private def probeOrchestrate(): Unit = {
+    val names = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE",
+        "q63_corpus_pipeline_v2,q67_fg_statistics,q107_robust_anomalies")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_REPS", "5").toInt
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val all = names.map { name =>
+      val repRows = (1 to reps).map { i =>
+        System.err.println(s"[probe] $name rep $i/$reps ...")
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", cp, "graft.Bench", "probe", name)
+        val pb = new ProcessBuilder(cmd.asJava).redirectErrorStream(true)
+        val proc = pb.start()
+        val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val reader = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream))
+          var l = br.readLine()
+          while (l != null) { lines.add(l); l = br.readLine() }
+        })
+        reader.setDaemon(true); reader.start()
+        val done = proc.waitFor(ChildTimeoutSec,
+          java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { proc.destroyForcibly(); proc.waitFor() }
+        reader.join(5000)
+        val parsed = lines.asScala.find(_.startsWith(s"$Marker $name "))
+          .map { l =>
+            val toks = l.stripPrefix(s"$Marker $name ").trim
+              .split("\\s+").toSeq
+            val cb = toks.find(_.startsWith("CB:")).map(_.drop(3).toDouble)
+            val ca = toks.find(_.startsWith("CA:")).map(_.drop(3).toDouble)
+            val ts = toks.filterNot(t => t.startsWith("CB:") ||
+              t.startsWith("CA:")).map(parseToken)
+            (cb, ca, ts)
+          }
+        System.err.println(s"[probe] $name rep $i -> " + parsed.map {
+          case (cb, ca, ts) => f"CB:${cb.getOrElse(-1.0)}%.2f " +
+            f"CA:${ca.getOrElse(-1.0)}%.2f " + ts.map(repToken).mkString(" ")
+        }.getOrElse("CHILD FAILED"))
+        parsed
+      }
+      name -> repRows
+    }
+    val json = all.map { case (name, rows) =>
+      val rowsJson = rows.map {
+        case Some((cb, ca, ts)) =>
+          val tsJson = ts.map {
+            case Right(t) => t.toString
+            case Left(m) => jsonStr("ERR: " + m)
+          }.mkString("[", ",", "]")
+          s"""{"calib_before":${cb.getOrElse(-1.0)},""" +
+            s""""calib_after":${ca.getOrElse(-1.0)},"times":$tsJson}"""
+        case None => """{"error":"child failed"}"""
+      }.mkString("[", ",", "]")
+      val mins = rows.flatten.flatMap(_._3.collect { case Right(t) => t })
+      val minJson = if (mins.nonEmpty) mins.min.toString else "null"
+      jsonStr(name) + s""":{"reps":$rowsJson,"min":$minJson}"""
+    }.mkString("{\"probe\":{", ",", s"""},"sf":"$sfDir"}""")
+    try {
+      val out = java.nio.file.Paths.get("bench_out/probe_latest.json")
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[probe] could not write probe_latest.json: $e")
+    }
+    println(json)
   }
 
   private def orchestrate(): Unit = {

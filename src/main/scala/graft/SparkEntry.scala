@@ -2079,6 +2079,52 @@ object SparkEntry {
           TimeFunctions.eventTimeToMicros(ev, "ts"),
           bucketUs = 604800000000L)
         .orderBy("cohort", "offset")
+    }),
+
+    // Steady-state ingest capstone: three consecutive batches fold
+    // through the bounded fingerprint store (dedup never rescans
+    // history) AND the mergeable-moments store (stats never rescan
+    // accepted data) — the two round-8 "never rescan" designs composed
+    // as the actual 100 TB ingest loop. Cross-batch duplicates are
+    // planted by re-arriving docs 0-39 under shifted ids (the +10000
+    // shift moves each copy to the cyclically-next batch, so copies
+    // arriving later die and one cohort of ORIGINALS dies to its
+    // earlier-arriving copy — both directions exercised).
+    "q113_ingest_loop" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val corpus = docs.unionByName(docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("lang"), col("n_chars")))
+        .withColumn("b", pmod(col("doc_id"), lit(3)).cast("long"))
+      val batches = (0L to 2L).map(i => corpus.filter(col("b") === i))
+      val (_, merged, _) = graft.ops.Ingest.ingestAll(batches, "text",
+        Seq("lang"), col("b"), col("n_chars"), expectedItems = 20000L)
+      merged.select(col("lang"), col("n"), col("sum_v"), col("sum_sq"),
+          col("min_v"), col("max_v"), col("n_buckets"))
+        .orderBy("lang")
+    }),
+
+    // Binary-Avro Kafka wire: encode (key = avro string of the PK
+    // concat, value = nullable-union record), measure the exact wire
+    // byte lengths, decode back. The oracle replays the BYTE LAYOUT —
+    // zigzag varint widths, union branch bytes, IEEE-754 width, UTF-8
+    // string framing — in SQL arithmetic, so parity proves the encoding
+    // structure, not just the content round trip.
+    "q114_avro_wire" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_type") === "click", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"))
+      val wired = graft.functions.AvroCodec.toAvroWire(base, Seq("event_id"))
+        .select(col("value"),
+          length(col("key")).cast("long").as("key_len"),
+          length(col("value")).cast("long").as("value_len"))
+      graft.functions.AvroCodec.fromAvroWire(wired, base.schema,
+          keepCols = Seq("key_len", "value_len"))
+        .select(col("event_id"), col("key_len"), col("value_len"),
+          col("user_id"), col("value"), col("etype"))
+        .orderBy("event_id")
     })
   )
 
@@ -4253,6 +4299,79 @@ object SparkEntry {
                 round(CAST(o.n_active AS DOUBLE) / s.n_cohort, 4)
                   AS retention
          FROM o JOIN s ON o.cohort = s.cohort
-         ORDER BY o.cohort, o.offset"""
+         ORDER BY o.cohort, o.offset""",
+    // replay the ingest loop set-theoretically: a doc is accepted iff no
+    // SAME-FINGERPRINT doc arrived in an earlier batch (dropped docs'
+    // fingerprints are in the store by construction, so store membership
+    // ≡ "any earlier batch contained this fingerprint"); the merged
+    // moments are then plain aggregates over the accepted set, with
+    // n_buckets = count of batches contributing ≥1 accepted doc
+    "q113_ingest_loop" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, lang, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text, lang, n_chars FROM documents
+           WHERE doc_id < 40),
+         f AS (
+           SELECT doc_id, lang, n_chars, doc_id % 3 AS b,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS fp
+           FROM (SELECT doc_id, lang, n_chars,
+                   array_to_string(
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> len(x) > 0), ' ') AS s
+                 FROM corpus)),
+         acc AS (SELECT * FROM f d WHERE NOT EXISTS
+                  (SELECT 1 FROM f e WHERE e.fp = d.fp AND e.b < d.b))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_v,
+                CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq,
+                CAST(min(n_chars) AS BIGINT) AS min_v,
+                CAST(max(n_chars) AS BIGINT) AS max_v,
+                CAST(count(DISTINCT b) AS BIGINT) AS n_buckets
+         FROM acc GROUP BY lang ORDER BY lang""",
+    // the binary-Avro byte layout in SQL: per nullable-union field one
+    // branch byte + (null: nothing | long: zigzag varint width | double:
+    // 8 | string: length-varint + UTF-8 bytes); key = bare avro string
+    // of the PK rendered as text
+    "q114_avro_wire" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  CASE WHEN event_type = 'click' THEN NULL
+                       ELSE event_type END AS etype
+           FROM events),
+         z AS (
+           SELECT *,
+             CASE WHEN event_id >= 0 THEN 2 * event_id
+                  ELSE -2 * event_id - 1 END AS z1,
+             CASE WHEN user_id >= 0 THEN 2 * user_id
+                  ELSE -2 * user_id - 1 END AS z2,
+             strlen(CAST(event_id AS VARCHAR)) AS klen,
+             CASE WHEN etype IS NULL THEN NULL
+                  ELSE strlen(etype) END AS slen
+           FROM e)
+         SELECT event_id,
+           CAST(CASE WHEN 2 * klen < 128 THEN 1 ELSE 2 END + klen
+                AS BIGINT) AS key_len,
+           CAST(
+             1 + CASE WHEN z1 < 128 THEN 1 WHEN z1 < 16384 THEN 2
+                      WHEN z1 < 2097152 THEN 3 WHEN z1 < 268435456 THEN 4
+                      WHEN z1 < 34359738368 THEN 5
+                      WHEN z1 < 4398046511104 THEN 6
+                      WHEN z1 < 562949953421312 THEN 7
+                      WHEN z1 < 72057594037927936 THEN 8 ELSE 9 END
+             + 1 + CASE WHEN z2 < 128 THEN 1 WHEN z2 < 16384 THEN 2
+                      WHEN z2 < 2097152 THEN 3 WHEN z2 < 268435456 THEN 4
+                      WHEN z2 < 34359738368 THEN 5
+                      WHEN z2 < 4398046511104 THEN 6
+                      WHEN z2 < 562949953421312 THEN 7
+                      WHEN z2 < 72057594037927936 THEN 8 ELSE 9 END
+             + CASE WHEN value IS NULL THEN 1 ELSE 9 END
+             + CASE WHEN slen IS NULL THEN 1
+                    WHEN 2 * slen < 128 THEN 2 + slen
+                    ELSE 3 + slen END AS BIGINT) AS value_len,
+           user_id, value, etype
+         FROM z ORDER BY event_id"""
   )
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The steady-state ingest loop at 100 TB: each arriving batch is
+  * deduplicated against a BOUNDED fingerprint store (never the raw
+  * history — [[Dedup.dedupAgainstHistoryFingerprints]]), contributes one
+  * set of mergeable stat partials ([[IncrementalStats]]), and extends
+  * the store with the accepted fingerprints. History is scanned exactly
+  * once — when it was itself the arriving batch; afterwards only its
+  * fingerprints (|distinct docs| longs) and stat partials (|keys ×
+  * batches| rows) are ever read again. This is the composition the
+  * reference's recompute-per-window statistics engine
+  * (`core/statistics_engine.py`) and insert-time dedup cannot express
+  * without rescanning the accumulated feature data.
+  *
+  * Scale shape per batch: one scan of the batch (checkpointed inside the
+  * dedup so the bloom split evaluates it exactly once), one bloom build
+  * over the store (tiny), one anti-join of the bloom-positive sliver
+  * against the store, one map-side-combined groupBy for the partials.
+  * The store and the partials are localCheckpoint'ed after each step, so
+  * no later batch's plan can reach back past them into raw history.
+  */
+object Ingest {
+
+  /** Outcome of one ingest step: the accepted (non-duplicate) rows, the
+    * extended fingerprint store, and this batch's stat partials — all
+    * with lineage severed from the batch's upstream, so consumers and
+    * later batches never re-trigger its scan.
+    */
+  final case class BatchResult(accepted: DataFrame, store: DataFrame,
+                               partials: DataFrame)
+
+  /** Empty fingerprint store (column `fp: long`) to seed a fresh loop. */
+  def emptyStore(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("fp", LongType))))
+
+  /** One steady-state step: dedup `batch` against `store` (fingerprints
+    * under column `fp`), compute this batch's mergeable moments of
+    * `statScaled` per (`statKeys`, `statBucket`), and extend the store.
+    * In-batch duplicates are both kept (same contract as
+    * [[Dedup.dedupAgainstHistory]] — in-batch dedup is [[Dedup.exact]]'s
+    * job, composed upstream when wanted).
+    */
+  def processBatch(batch: DataFrame, store: DataFrame, textCol: String,
+                   statKeys: Seq[String], statBucket: Column,
+                   statScaled: Column,
+                   expectedItems: Long = 10000000L,
+                   fpp: Double = 0.03): BatchResult = {
+    // an empty store accepts everything — and Spark's bloomFilter over a
+    // zero-partition frame yields a null-buffer filter, so don't build one
+    val accepted =
+      if (store.isEmpty) batch
+      else Dedup.dedupAgainstHistoryFingerprints(
+        batch, store, "fp", textCol, expectedItems, fpp)
+    // the accepted rows' fingerprints extend the store; dropped rows'
+    // fingerprints are already in it by construction. Checkpoint: the
+    // store is the loop-carried frame — its lineage must stay
+    // |store|-sized, never grow a per-batch tail of bloom splits
+    val newStore = store.unionByName(
+        accepted.select(TextAnalysis.fingerprint(col(textCol)).as("fp")))
+      .distinct()
+      .localCheckpoint(true)
+    // partials are the other loop-carried frame — same treatment
+    val partials = IncrementalStats.partials(
+        accepted, statKeys, statBucket, statScaled)
+      .localCheckpoint(true)
+    BatchResult(accepted, newStore, partials)
+  }
+
+  /** Fold a sequence of batches through [[processBatch]] from an empty
+    * store. Returns (all accepted rows unioned, merged statistics per
+    * key, final store). The merged statistics read ONLY the per-batch
+    * partial rows — adding batch N+1 costs one scan of batch N+1 and a
+    * |partials|-row fold, independent of history size.
+    */
+  def ingestAll(batches: Seq[DataFrame], textCol: String,
+                statKeys: Seq[String], statBucket: Column,
+                statScaled: Column,
+                expectedItems: Long = 10000000L,
+                fpp: Double = 0.03): (DataFrame, DataFrame, DataFrame) = {
+    require(batches.nonEmpty, "ingestAll needs at least one batch")
+    val init = (List.empty[BatchResult],
+      emptyStore(batches.head.sparkSession))
+    val (results, finalStore) = batches.foldLeft(init) {
+      case ((acc, store), batch) =>
+        val r = processBatch(batch, store, textCol, statKeys, statBucket,
+          statScaled, expectedItems, fpp)
+        (r :: acc, r.store)
+    }
+    val ordered = results.reverse
+    val accepted = ordered.map(_.accepted).reduce(_ unionByName _)
+    val merged = IncrementalStats.merge(
+      ordered.map(_.partials).reduce(_ unionByName _), statKeys)
+    (accepted, merged, finalStore)
+  }
+}
