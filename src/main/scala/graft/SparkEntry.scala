@@ -2125,6 +2125,21 @@ object SparkEntry {
         .select(col("event_id"), col("key_len"), col("value_len"),
           col("user_id"), col("value"), col("etype"))
         .orderBy("event_id")
+    }),
+
+    // Avro CONTAINER-FILE training-dataset round trip: distributed write
+    // of real Object Container Files (core Avro runtime, no datasource
+    // jar), read back via the schema embedded in the container header.
+    // The oracle is the plain projection — parity proves the container
+    // write/read is lossless end to end under the driver's hash gate.
+    "q115_avro_td" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("n_chars") / 7.0, 3).as("score"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q115").toString + "/td"
+      graft.sources.AvroFiles.write(docs, path)
+      graft.sources.AvroFiles.read(s, path).orderBy("doc_id")
     })
   )
 
@@ -4372,6 +4387,11 @@ object SparkEntry {
                     WHEN 2 * slen < 128 THEN 2 + slen
                     ELSE 3 + slen END AS BIGINT) AS value_len,
            user_id, value, etype
-         FROM z ORDER BY event_id"""
+         FROM z ORDER BY event_id""",
+    // the avro container round trip is lossless, so the oracle is the
+    // projection itself
+    "q115_avro_td" ->
+      """SELECT doc_id, lang, n_chars, round(n_chars / 7.0, 3) AS score
+         FROM documents ORDER BY doc_id"""
   )
 }

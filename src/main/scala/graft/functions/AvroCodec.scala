@@ -70,7 +70,7 @@ object AvroCodec {
   private def parse(json: String): Schema = new Schema.Parser().parse(json)
 
   /** Row value → Avro datum for the union branch of `dt`. */
-  private def toDatum(v: Any, dt: DataType): AnyRef = (v, dt) match {
+  private[graft] def toDatum(v: Any, dt: DataType): AnyRef = (v, dt) match {
     case (null, _) => null
     case (x: Long, TimestampType) => java.lang.Long.valueOf(x)
     case (t: java.sql.Timestamp, TimestampType) =>
@@ -92,7 +92,7 @@ object AvroCodec {
   }
 
   /** Avro datum → Spark row value for `dt`. */
-  private def fromDatum(v: AnyRef, dt: DataType): Any = (v, dt) match {
+  private[graft] def fromDatum(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (u: Utf8, StringType) => u.toString
     case (s: CharSequence, StringType) => s.toString

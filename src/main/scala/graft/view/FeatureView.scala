@@ -164,7 +164,9 @@ object TrainingDataset {
   /** Per-split file write: format ∈ {csv, tsv, parquet, orc, json, avro,
     * tfrecord}, per-split subdirectories, overwrite/append, optional
     * coalesce(1) (engine/spark.py:865-919 + default write options
-    * :1111-1127). avro/tfrecord need their datasource jars on the cluster.
+    * :1111-1127). avro routes through [[graft.sources.AvroFiles]] (real
+    * container files on the core Avro runtime — no datasource jar
+    * needed, r9); tfrecord still needs its datasource jar.
     */
   def write(result: Result, path: String, format: String = "parquet",
             mode: String = "overwrite", coalesce: Boolean = false,
@@ -179,7 +181,12 @@ object TrainingDataset {
     result.splits.foreach { case (name, df) =>
       val out = if (result.splits.size == 1) path else s"$path/$name"
       val d = if (coalesce) df.coalesce(1) else df
-      d.write.format(fmt).options(defaultOpts ++ options).mode(mode).save(out)
+      if (fmt == "avro")
+        graft.sources.AvroFiles.write(d, out, mode,
+          codec = options.getOrElse("codec", "deflate"))
+      else
+        d.write.format(fmt).options(defaultOpts ++ options).mode(mode)
+          .save(out)
     }
   }
 
@@ -187,6 +194,7 @@ object TrainingDataset {
   def read(spark: SparkSession, path: String, format: String = "parquet",
            options: Map[String, String] = Map()): DataFrame = {
     val fmt = formatAliases.getOrElse(format, format)
+    if (fmt == "avro") return graft.sources.AvroFiles.read(spark, path)
     val defaultOpts: Map[String, String] = fmt match {
       case "csv" => Map("header" -> "true", "inferSchema" -> "true") ++
         (if (format == "tsv") Map("delimiter" -> "\t") else Map())
