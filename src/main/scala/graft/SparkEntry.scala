@@ -2140,6 +2140,22 @@ object SparkEntry {
         .createTempDirectory("graft_q115").toString + "/td"
       graft.sources.AvroFiles.write(docs, path)
       graft.sources.AvroFiles.read(s, path).orderBy("doc_id")
+    }),
+
+    // TFRecord training-dataset round trip: hand-built tf.train.Example
+    // protobuf + CRC32C framing (no connector jar), schema re-declared
+    // at read like the reference's connector requires. score is chosen
+    // float32-exact (eighths of a small integer), so the float_list
+    // narrowing is lossless and the oracle is the plain projection.
+    "q116_tfrecord_td" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") / 8.0).as("score"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q116").toString + "/td"
+      graft.sources.TfRecordFiles.write(docs, path)
+      graft.sources.TfRecordFiles.read(s, path, docs.schema)
+        .orderBy("doc_id")
     })
   )
 
@@ -4392,6 +4408,10 @@ object SparkEntry {
     // projection itself
     "q115_avro_td" ->
       """SELECT doc_id, lang, n_chars, round(n_chars / 7.0, 3) AS score
+         FROM documents ORDER BY doc_id""",
+    // float32-exact values → the tfrecord round trip is lossless too
+    "q116_tfrecord_td" ->
+      """SELECT doc_id, lang, n_chars, n_chars / 8.0 AS score
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -184,17 +184,27 @@ object TrainingDataset {
       if (fmt == "avro")
         graft.sources.AvroFiles.write(d, out, mode,
           codec = options.getOrElse("codec", "deflate"))
+      else if (fmt == "tfrecord")
+        graft.sources.TfRecordFiles.write(d, out, mode)
       else
         d.write.format(fmt).options(defaultOpts ++ options).mode(mode)
           .save(out)
     }
   }
 
-  /** Read back a written training dataset (engine/spark.py:921-949). */
+  /** Read back a written training dataset (engine/spark.py:921-949).
+    * tfrecord carries no schema in the files — pass the declared one
+    * (the reference's connector requires the same).
+    */
   def read(spark: SparkSession, path: String, format: String = "parquet",
-           options: Map[String, String] = Map()): DataFrame = {
+           options: Map[String, String] = Map(),
+           schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val fmt = formatAliases.getOrElse(format, format)
     if (fmt == "avro") return graft.sources.AvroFiles.read(spark, path)
+    if (fmt == "tfrecord") return graft.sources.TfRecordFiles.read(spark,
+      path, schema.getOrElse(throw new IllegalArgumentException(
+        "tfrecord read needs the declared schema — the format stores none")))
     val defaultOpts: Map[String, String] = fmt match {
       case "csv" => Map("header" -> "true", "inferSchema" -> "true") ++
         (if (format == "tsv") Map("delimiter" -> "\t") else Map())
