@@ -2156,6 +2156,23 @@ object SparkEntry {
       graft.sources.TfRecordFiles.write(docs, path)
       graft.sources.TfRecordFiles.read(s, path, docs.schema)
         .orderBy("doc_id")
+    }),
+
+    // Metastore-backed catalog: save a managed table through the REAL
+    // HiveExternalCatalog (embedded Derby — the session factory is
+    // hive-backed; restart persistence proven across forked JVMs in
+    // MetastoreSpec), read it back via spark.table, and aggregate. The
+    // oracle replays the aggregate over the raw parquet — parity proves
+    // the catalog round trip is lossless.
+    "q117_metastore" -> ((s, dir) => {
+      val cust = s.read.parquet(TestTables.parquet(dir, "customer"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      graft.catalog.Metastore.saveManaged(cust, "graft_q117_customer")
+      graft.catalog.Metastore.readTable(s, "graft_q117_customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -4412,6 +4429,12 @@ object SparkEntry {
     // float32-exact values → the tfrecord round trip is lossless too
     "q116_tfrecord_td" ->
       """SELECT doc_id, lang, n_chars, n_chars / 8.0 AS score
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // the metastore round trip is lossless, so the oracle aggregates the
+    // raw parquet directly
+    "q117_metastore" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+                round(sum(c_acctbal), 2) + 0.0 AS total_bal
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
   )
 }

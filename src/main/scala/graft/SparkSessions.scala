@@ -21,7 +21,25 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkSessions {
 
-  def local(cpus: String, appName: String = "graft"): SparkSession = {
+  def local(cpus: String, appName: String = "graft"): SparkSession =
+    local(cpus, appName, metastoreDir = None)
+
+  /** `metastoreDir`: where the HIVE METASTORE (embedded Derby) and the
+    * managed-table warehouse live. Default = a fresh per-JVM temp dir —
+    * Derby allows ONE JVM per database, so concurrent Verify/Bench/test
+    * JVMs must not share one. Pass a fixed dir to prove metastore
+    * persistence across real process restarts
+    * ([[graft.tools.MetastoreCheck]]). Catalog implementation is `hive`
+    * (the jars ship in /opt/spark/jars): `saveAsTable`/`spark.table`
+    * hit a real HiveExternalCatalog, the reference's
+    * `engine/spark.py:160-163` storage path. The catalog initializes
+    * LAZILY — parquet-scan/temp-view queries never touch Derby, so the
+    * other 116 queries' plans and costs are unchanged.
+    */
+  def local(cpus: String, appName: String,
+            metastoreDir: Option[String]): SparkSession = {
+    val msDir = metastoreDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_metastore").toString)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -34,6 +52,10 @@ object SparkSessions {
       // instead of one per partial session
       .config("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("spark.sql.warehouse.dir", s"$msDir/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$msDir/metastore_db;create=true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
