@@ -2173,6 +2173,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("c_acctbal")), 2).as("total_bal"))
         .orderBy("c_nationkey")
+    }),
+
+    // Protocol-level Delta table lifecycle: create → append → append →
+    // overwrite through a real `_delta_log` (published PROTOCOL.md
+    // layout — DeltaLiteSpec asserts the action shapes), then four reads
+    // — two time-travel snapshots, an incremental (from, to] read, and
+    // the post-overwrite head — each tagged and unioned. The oracle
+    // replays every read as a literal selection over the source rows.
+    "q118_delta_log" -> ((s, dir) => {
+      val nation = s.read.parquet(TestTables.parquet(dir, "nation"))
+        .select(col("n_nationkey"), col("n_name"))
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_q118").toString + "/tbl"
+      graft.sources.DeltaLite.create(
+        nation.filter(col("n_nationkey") < 10), t)
+      graft.sources.DeltaLite.append(
+        nation.filter(col("n_nationkey") >= 10 &&
+          col("n_nationkey") < 20), t)
+      graft.sources.DeltaLite.append(
+        nation.filter(col("n_nationkey") >= 20), t)
+      graft.sources.DeltaLite.overwrite(
+        nation.filter(col("n_nationkey") < 5), t)
+      def tag(df: org.apache.spark.sql.DataFrame, l: String) =
+        df.select(lit(l).as("tag"), col("n_nationkey"), col("n_name"))
+      tag(graft.sources.DeltaLite.snapshot(s, t, Some(0L)), "v0")
+        .unionByName(tag(graft.sources.DeltaLite.snapshot(s, t, Some(2L)),
+          "v2"))
+        .unionByName(tag(graft.sources.DeltaLite.readChanges(s, t, 0L, 2L),
+          "changes_0_2"))
+        .unionByName(tag(graft.sources.DeltaLite.snapshot(s, t), "head"))
+        .orderBy("tag", "n_nationkey")
     })
   )
 
@@ -4435,6 +4466,20 @@ object SparkEntry {
     "q117_metastore" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
                 round(sum(c_acctbal), 2) + 0.0 AS total_bal
-         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // literal replay of each delta-log read: v0 = keys < 10, v2 = all,
+    // changes (0,2] = keys >= 10, head = post-overwrite keys < 5
+    "q118_delta_log" ->
+      """SELECT 'v0' AS tag, n_nationkey, n_name FROM nation
+         WHERE n_nationkey < 10
+         UNION ALL
+         SELECT 'v2', n_nationkey, n_name FROM nation
+         UNION ALL
+         SELECT 'changes_0_2', n_nationkey, n_name FROM nation
+         WHERE n_nationkey >= 10
+         UNION ALL
+         SELECT 'head', n_nationkey, n_name FROM nation
+         WHERE n_nationkey < 5
+         ORDER BY tag, n_nationkey"""
   )
 }
