@@ -2204,6 +2204,31 @@ object SparkEntry {
           "changes_0_2"))
         .unionByName(tag(graft.sources.DeltaLite.snapshot(s, t), "head"))
         .orderBy("tag", "n_nationkey")
+    }),
+
+    // Overlapping token-window chunking (RAG / context-window prep):
+    // 64-token chunks advancing by 48 (16-token overlap), row-local
+    // array HOFs, one posexplode, zero shuffle. The oracle replays the
+    // identical slicing with list lambdas.
+    "q119_chunking" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      graft.ops.TextAnalysis.chunkTokens(docs, "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Deterministic weighted sampling (Efraimidis-Spirakis A-ES): top-20
+    // docs per language by quantized priority u^(1/n_chars) — inclusion
+    // ∝ length weight, yet a pure function of (doc_id, salt) the oracle
+    // recomputes term for term (the quantization + id tie-break is what
+    // makes a transcendental-priority draw engine-replayable).
+    "q120_weighted_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.ops.Splits.weightedSample(docs, "doc_id", col("n_chars"),
+          k = 20, keys = Seq("lang"))
+        .orderBy("lang", "doc_id")
     })
   )
 
@@ -4480,6 +4505,47 @@ object SparkEntry {
          UNION ALL
          SELECT 'head', n_nationkey, n_name FROM nation
          WHERE n_nationkey < 5
-         ORDER BY tag, n_nationkey"""
+         ORDER BY tag, n_nationkey""",
+    // identical tokenize + slice algebra: starts 0,48,96,… while < n,
+    // 64-token windows, short tails kept, empty docs one empty chunk
+    "q119_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks, greatest(len(toks), 1) AS n FROM t),
+         u AS (SELECT doc_id, toks,
+                      unnest(range(0,
+                        CAST(floor((n - 1) / 48.0) AS BIGINT) + 1)) AS i
+               FROM c),
+         s AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                      toks[(i*48 + 1):least(i*48 + 64, len(toks))] AS chunk
+               FROM u)
+         SELECT doc_id, chunk_idx,
+                CAST(len(chunk) AS INT) AS n_tokens,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_idx""",
+    // the A-ES draw replayed: u from the 52-bit char-poly hash of
+    // "<id>|aes", priority round(u^(1/w), 9), top 20 per lang by
+    // (priority DESC, doc_id ASC)
+    "q120_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS f
+           FROM (SELECT doc_id, lang, n_chars,
+                   CAST(doc_id AS VARCHAR) || '|aes' AS s
+                 FROM documents WHERE n_chars > 0)),
+         p AS (SELECT doc_id, lang, n_chars,
+                      round(pow((CAST(f AS DOUBLE) + 1.0)
+                          / (CAST(1::BIGINT << 52 AS DOUBLE) + 2.0),
+                        1.0 / n_chars), 9) AS pri
+               FROM h),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                 ORDER BY pri DESC, doc_id ASC) AS rk FROM p)
+         SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20
+         ORDER BY lang, doc_id"""
   )
 }

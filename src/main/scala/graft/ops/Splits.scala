@@ -379,6 +379,53 @@ object Splits {
         lit(num.toDouble / den), lit(accuracy)).as("quantile"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis-
+    * Spirakis A-ES): each row gets priority `u^(1/w)` where `u` is a
+    * uniform derived from a salted hash of its id and `w` its weight;
+    * the top `k` priorities per key group are the sample. Inclusion
+    * probability is weight-proportional (heavier rows draw larger
+    * priorities), yet the draw is a pure function of (id, salt) —
+    * reproducible across runs, engines, and repartitions, unlike
+    * RNG-based sampling. The training-data use: sample a corpus toward
+    * quality/token weights for a mixture without materializing
+    * replicas.
+    *
+    * Scale shape: one zero-shuffle priority projection + one per-key
+    * top-k window (single shuffle on the keys; for ungrouped sampling
+    * pass an empty `keys` and the TakeOrdered path below keeps it off
+    * a single-partition window). The priority is QUANTIZED (rounded to
+    * `priorityDecimals`) with the id as the deterministic tie-break:
+    * `pow` is transcendental, so two engines can disagree in the last
+    * ulp — on a 1e-9 grid an ulp wiggle almost never crosses a grid
+    * edge, and same-bucket ties resolve identically by id, which is
+    * what lets the DuckDB oracle replay the selection exactly.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, keys: Seq[String] = Nil,
+                     salt: String = "aes",
+                     priorityDecimals: Int = 9): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val m = 1L << 52
+    val u = (graft.functions.TextHash.charPolyHash(
+      concat(col(idCol).cast("string"), lit("|" + salt)))
+      .cast("double") + 1.0) / (m.toDouble + 2.0)
+    val pri = round(pow(u, lit(1.0) / weightCol.cast("double")),
+      priorityDecimals)
+    val withPri = df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("_pri", pri)
+    if (keys.isEmpty)
+      // global top-k: orderBy+limit plans as TakeOrderedAndProject —
+      // per-partition heaps + one k-row merge, never a global sort
+      withPri.orderBy(col("_pri").desc, col(idCol).asc).limit(k)
+        .drop("_pri")
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("_pri").desc, col(idCol).asc)
+      withPri.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= k).drop("_pri", "_rk")
+    }
+  }
+
   /** Deterministic hash-threshold stratified sampling: keep a row of
     * stratum s iff `hash(id) mod scale < floor(fractions(s) * scale)`.
     *

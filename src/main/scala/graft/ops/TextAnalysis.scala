@@ -554,4 +554,35 @@ object TextAnalysis {
       .select(col(idCol), col("term"), round(col("_s"), 4).as("tfidf"),
         col("rk"))
   }
+
+  /** Overlapping token-window chunking — the RAG / context-window prep
+    * step: split each document's token stream into chunks of
+    * `chunkSize` tokens advancing by `chunkSize - overlap`, re-joined
+    * with single spaces. Every token lands in at least one chunk; the
+    * final chunk may be short; a document shorter than one chunk is one
+    * chunk. Output: one row per (doc, chunk_idx) with the chunk text
+    * and its token count.
+    *
+    * Scale shape: fully row-local — one tokenize (let-bound), chunk
+    * starts from a `sequence`, slices via the array HOFs, then one
+    * posexplode; zero shuffle, pushes through any downstream plan. All
+    * codegen'd expressions, SQL-replayable (list_slice +
+    * generate_series in the oracle).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $overlap/$chunkSize")
+    val step = chunkSize - overlap
+    val chunks = graft.functions.Exprs.let(tokenized(col(textCol)), toks =>
+      graft.functions.Exprs.let(greatest(size(toks), lit(1)), n =>
+        // starts: 0, step, 2·step, … while start < n (short docs → [0])
+        transform(
+          sequence(lit(0), floor((n - 1) / step).cast("int")),
+          i => slice(toks, i * step + 1, lit(chunkSize)))))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_c")).as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+  }
 }
