@@ -157,8 +157,13 @@ object AvroFiles {
     val fieldTypes = declared.fields.map(_.dataType)
     val parallelism = math.min(files.size,
       spark.sparkContext.defaultParallelism).max(1)
-    spark.createDataset(files)(Encoders.STRING)
-      .repartition(parallelism)
+    val fileList = spark.createDataset(files)(Encoders.STRING)
+    // repartition only when it buys parallel readers — a repartition(1)
+    // of the file LIST is a pointless single-partition exchange that
+    // the plan audit rightly flags
+    val spread =
+      if (parallelism > 1) fileList.repartition(parallelism) else fileList
+    spread
       .mapPartitions { paths =>
         paths.flatMap { f =>
           val reader = new DataFileReader[GenericRecord](
