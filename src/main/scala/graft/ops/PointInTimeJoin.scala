@@ -198,6 +198,67 @@ object PointInTimeJoin {
            spineEventTime: String, rightEventTime: String): DataFrame =
     asOf(spine, spineEventTime, right, rightEventTime, keys, keys)
 
+  /** Validity-interval (SCD-2) temporal join: each dimension row carries its
+    * own `[validFrom, validTo)` window; a spine row at time t gets the
+    * dimension row whose interval contains t — inclusive start, EXCLUSIVE
+    * end, `null` validTo = open-ended — or null payload columns when t
+    * falls in a coverage gap. This is the slowly-changing-dimension shape a
+    * feature store's versioned profile tables have (the reference's PIT
+    * query, python/hsfs/constructor/fs_query.py:32-33, assumes
+    * append-only facts; SCD-2 dimensions add the expiry bound).
+    *
+    * Plan (scale-first): NOT a range join — an equi-key join with
+    * `validFrom <= t < validTo` materializes every (spine × candidate
+    * version) pair before picking one. Instead: [[asOf]] on `validFrom`
+    * (one shuffle of |spine| + |dim|, running-last window, no pair blowup)
+    * finds the latest version STARTING at or before t; a row-local
+    * projection then nulls the payload when t has passed that version's
+    * own `validTo`. With per-key non-overlapping intervals (the SCD-2
+    * invariant — callers with overlapping versions should pre-resolve via
+    * tieBreak on version recency) the containing interval, if any, is
+    * always the one with the greatest `validFrom <= t`, so the two-step
+    * plan is exact.
+    *
+    * `prefix` must be non-empty so the matched row's `validTo` survives
+    * into the joined frame for the expiry test (same contract as
+    * [[asOfWithTolerance]]).
+    */
+  def validAsOf(
+      spine: DataFrame,
+      spineEventTime: String,
+      dim: DataFrame,
+      validFrom: String,
+      validTo: String,
+      spineKeys: Seq[String],
+      dimKeys: Seq[String],
+      prefix: String,
+      tieBreak: Option[String] = None,
+      saltBuckets: Int = 1,
+      maxKeyRowsPerBucket: Long = 4000000L,
+      spineRowsHint: Option[Long] = None): DataFrame = {
+    require(prefix.nonEmpty,
+      "validAsOf needs a prefix so the matched validTo is addressable " +
+        "in the joined output")
+    val joined = asOf(spine, spineEventTime, dim, validFrom,
+      spineKeys, dimKeys, prefix, tieBreak, saltBuckets,
+      maxKeyRowsPerBucket, spineRowsHint)
+    val sUs = graft.functions.TimeFunctions
+      .eventTimeToMicros(joined, spineEventTime)
+    val eUs = graft.functions.TimeFunctions
+      .eventTimeToMicros(joined, prefix + validTo)
+    // matched (validFrom carried through as non-null) AND not yet expired;
+    // a null validTo is an open-ended current version
+    val inWindow = graft.functions.TimeFunctions
+      .eventTimeToMicros(joined, prefix + validFrom).isNotNull &&
+      (eUs.isNull || sUs < eUs)
+    val dimPayloadCols = dim.columns.toSeq.filterNot(dimKeys.contains)
+      .map(prefix + _)
+    joined.select(joined.columns.toSeq.map { c =>
+      if (dimPayloadCols.contains(c)) when(inWindow, col(c)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** Derive the salt bucket count from a cheap key-frequency probe: a
     * seeded random sample of the spine's key columns (column-pruned,
     * bounded at ~`sampleRows` rows) is frequency-counted, the hottest

@@ -199,4 +199,68 @@ class PitJoinSpec extends SparkSpec {
 
     assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
   }
+
+  test("validAsOf: interval containment, gaps, open end, exclusive bound") {
+    // key 1 versions: [10, 20) v1, [20, 25) v2 (expired early — gap
+    // [25, 40)), [40, null) v3 open-ended
+    val dim = Seq(
+      (1L, 10L, Some(20L), "v1"),
+      (1L, 20L, Some(25L), "v2"),
+      (1L, 40L, None: Option[Long], "v3")
+    ).toDF("k", "vf", "vt", "ver")
+    val probes = Seq(
+      (1L, 10L, "at-start"),     // inclusive start → v1
+      (1L, 19L, "inside"),       // → v1
+      (1L, 20L, "boundary"),     // exclusive end of v1, start of v2 → v2
+      (1L, 30L, "in-gap"),       // [25,40) uncovered → null
+      (1L, 500L, "open-ended"),  // → v3
+      (2L, 15L, "no-key")        // → null
+    ).toDF("k", "t", "tag")
+    val out = PointInTimeJoin
+      .validAsOf(probes, "t", dim, "vf", "vt", Seq("k"), Seq("k"),
+        prefix = "d_")
+      .collect()
+    assert(out.length === 6, "exactly one output row per spine row")
+    val got = out.map(r =>
+      r.getAs[String]("tag") -> r.getAs[String]("d_ver")).toMap
+    assert(got === Map("at-start" -> "v1", "inside" -> "v1",
+      "boundary" -> "v2", "in-gap" -> null, "open-ended" -> "v3",
+      "no-key" -> null))
+    // an expired match nulls every dim payload column together
+    val gap = out.find(_.getAs[String]("tag") == "in-gap").get
+    assert(gap.get(gap.fieldIndex("d_vf")) === null &&
+      gap.get(gap.fieldIndex("d_vt")) === null)
+  }
+
+  test("validAsOf matches a naive range join on real data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    val versions = ev.filter($"event_type" === "purchase" &&
+        $"user_id".isNotNull && $"ts".isNotNull)
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("version_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val dim = versions
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to",
+        least(coalesce(lead($"ts", 1).over(w),
+            $"ts" + expr("INTERVAL 3 DAYS")),
+          $"ts" + expr("INTERVAL 3 DAYS")))
+      .select($"user_id", $"valid_from", $"valid_to", $"version_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+
+    val fast = PointInTimeJoin
+      .validAsOf(clicks, "ts", dim, "valid_from", "valid_to",
+        Seq("user_id"), Seq("user_id"), prefix = "d_")
+      .select($"event_id", $"d_version_id")
+    val naive = clicks.alias("l")
+      .join(dim.alias("r"),
+        $"l.user_id" === $"r.user_id" &&
+          $"l.ts" >= $"r.valid_from" && $"l.ts" < $"r.valid_to", "left")
+      .select($"event_id", $"version_id".as("d_version_id"))
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
 }
