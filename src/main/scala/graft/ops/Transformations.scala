@@ -194,6 +194,100 @@ object Transformations {
       .withColumnRenamed("_hi", "q_high")
   }
 
+  /** Leakage-safe (out-of-fold) smoothed target encoding: each row's
+    * categorical value is replaced by the smoothed mean of the target over
+    * every OTHER fold —
+    *
+    * {{{ enc = (S_cat − S_cat,fold + m · prior) / (n_cat − n_cat,fold + m)
+    *     prior = (S − S_fold) / (N − N_fold) }}}
+    *
+    * so a row never sees its own fold's targets (the standard remedy for
+    * target leakage in mean encoding; the reference's transformation
+    * framework, python/hsfs/hopsworks_udf.py, has statistics-parameterized
+    * transforms but no out-of-fold variant — this is the training-pipeline
+    * extension). `m` (`smoothing`) is the pseudo-count pulling rare
+    * categories toward the out-of-fold global prior.
+    *
+    * Scale shape: ONE map-side-combined groupBy of the data to a
+    * |categories × folds| frame; category totals, global totals, and the
+    * per-(category, fold) encodings all fold from that tiny frame; the
+    * encoding joins back BROADCAST on (category, fold). The big table is
+    * never shuffled. Null categories form their own encoding group
+    * (null-safe join), null targets count toward n but not S — document
+    * targets as non-null for exact parity.
+    *
+    * Determinism: with an integral target the sums are exact, and the
+    * encoding is a fixed dag of double ops over exact integers — bit-equal
+    * across engines, so the oracle replays it term for term.
+    */
+  def targetEncodeOutOfFold(df: DataFrame, categoryCol: String,
+                            target: Column, foldCol: String,
+                            smoothing: Double,
+                            outCol: String = "target_enc"): DataFrame = {
+    require(smoothing > 0, "smoothing pseudo-count must be positive")
+    val perCatFold = df
+      .groupBy(col(categoryCol).as("_te_cat"), col(foldCol).as("_te_fold"))
+      .agg(sum(target.cast("long")).as("_te_s"),
+        count(lit(1)).as("_te_n"))
+      .localCheckpoint()
+    // category / fold / global totals are re-aggregations of the tiny
+    // per-(cat, fold) frame joined back broadcast — no second scan of
+    // the data, no driver collect, no single-partition window; the
+    // prior excludes the row's ENTIRE fold (not just its cell), the
+    // textbook out-of-fold contract
+    val catTotals = perCatFold.groupBy(col("_te_cat").as("_te_cat2"))
+      .agg(sum(col("_te_s")).as("_te_sc"), sum(col("_te_n")).as("_te_nc"))
+    val foldTotals = perCatFold.groupBy(col("_te_fold").as("_te_fold2"))
+      .agg(sum(col("_te_s")).as("_te_sf"), sum(col("_te_n")).as("_te_nf"))
+    val globalTotals = perCatFold
+      .agg(sum(col("_te_s")).as("_te_sg"), sum(col("_te_n")).as("_te_ng"))
+    val enc = perCatFold
+      .join(broadcast(catTotals), col("_te_cat") <=> col("_te_cat2"))
+      .join(broadcast(foldTotals), col("_te_fold") === col("_te_fold2"))
+      .crossJoin(broadcast(globalTotals))
+      .select(col("_te_cat"), col("_te_fold"),
+        round(
+          ((col("_te_sc") - col("_te_s")).cast("double") +
+            lit(smoothing) *
+              ((col("_te_sg") - col("_te_sf")).cast("double") /
+                (col("_te_ng") - col("_te_nf")).cast("double"))) /
+            ((col("_te_nc") - col("_te_n")).cast("double") + lit(smoothing)),
+          9).as(outCol))
+    df.join(broadcast(enc),
+      col(categoryCol) <=> col("_te_cat") && col(foldCol) === col("_te_fold"),
+      "left")
+      .drop("_te_cat", "_te_fold")
+  }
+
+  /** Hashed feature cross (the "hashing trick"): combine categorical
+    * columns into one bounded-cardinality bucket id,
+    * `pmod(charPolyHash(c1 ⊕ sep ⊕ c2 ⊕ …), nBuckets)` — the classic
+    * wide-model cross feature (cf. TensorFlow's
+    * `crossed_column`) without a vocabulary fit or a distinct pass.
+    * Nulls are encoded as an explicit `\u0002` sentinel BEFORE joining
+    * with the `\u0001` separator, so `(a, null)` and `(anull,)`-style
+    * concatenation ambiguities cannot collide and null never silently
+    * equals empty-string. (`\u0000` would NOT work as the sentinel: the
+    * polynomial starts at h = 0, so a leading NUL is absorbed —
+    * `hash("\u0000x") == hash("x")` — and null would collide with
+    * empty-string in the first column.)
+    *
+    * Row-local and codegen'd end-to-end (the hash is a native
+    * [[graft.functions.TextHash.CharPolyHash]] expression): zero
+    * shuffle, zero fit state, and — because the hash is the
+    * SQL-replayable 52-bit char polynomial, not xxhash — an external
+    * engine can reproduce every bucket id exactly.
+    */
+  def hashedCross(cols: Seq[Column], nBuckets: Int,
+                  sep: String = "\u0001"): Column = {
+    require(cols.size >= 2, "a cross needs at least two columns")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val parts = cols.map(c => coalesce(c.cast("string"), lit("\u0002")))
+    val joined = parts.reduce((a, b) => concat(a, lit(sep), b))
+    pmod(graft.functions.TextHash.charPolyHash(joined),
+      lit(nBuckets.toLong)).cast("int")
+  }
+
   def labelEncoder(c: Column, s: FeatureStatistics): Column = {
     val sortedVals = s.uniqueValues.map(v => lit(v))
     array_position(array(sortedVals: _*), c).cast("int") - 1

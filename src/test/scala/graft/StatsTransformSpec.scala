@@ -184,4 +184,75 @@ class StatsTransformSpec extends SparkSpec {
     val (d, s) = Statistics.differenceAndShift(5.0, 0.0, 1.0, relative = true)
     assert(d.isPosInfinity && s)
   }
+
+  test("out-of-fold target encoding: hand-computed cells, no self-fold") {
+    // (cat, fold) cells: (a,0) y=[1,0]; (a,1) y=[1,1]; (b,0) y=[0];
+    // (b,1) y=[1] → S_a=3 n_a=4, S_b=1 n_b=2, S_f0=1 n_f0=3,
+    // S_f1=3 n_f1=3, S=4 N=6; m=1
+    val df = Seq(
+      ("a", 0, 1), ("a", 0, 0), ("a", 1, 1), ("a", 1, 1),
+      ("b", 0, 0), ("b", 1, 1)
+    ).toDF("cat", "fold", "y")
+    val out = Transformations
+      .targetEncodeOutOfFold(df, "cat", col("y"), "fold", smoothing = 1.0)
+      .collect()
+    assert(out.length === 6, "row count preserved")
+    val enc = out.map(r => (r.getAs[String]("cat"), r.getAs[Int]("fold")) ->
+      r.getAs[Double]("target_enc")).toMap
+    // enc(a,0) = ((3-1) + (4-1)/(6-3)) / ((4-2)+1) = 3/3 = 1.0
+    assert(enc(("a", 0)) === 1.0)
+    // enc(a,1) = ((3-2) + (4-3)/(6-3)) / ((4-2)+1) = (1+1/3)/3
+    assert(enc(("a", 1)) === 0.444444444)
+    // enc(b,0) = ((1-0) + (4-1)/(6-3)) / ((2-1)+1) = 2/2 = 1.0
+    assert(enc(("b", 0)) === 1.0)
+    // enc(b,1) = ((1-1) + (4-3)/(6-3)) / ((2-1)+1) = (1/3)/2
+    assert(enc(("b", 1)) === 0.166666667)
+  }
+
+  test("target encoding: null category is its own group; broadcast plan") {
+    val df = Seq(
+      (Some("a"), 0, 1), (Some("a"), 1, 0),
+      (None, 0, 1), (None, 1, 1)
+    ).toDF("cat", "fold", "y")
+    val out = Transformations
+      .targetEncodeOutOfFold(df, "cat", col("y"), "fold", smoothing = 2.0)
+    val rows = out.collect()
+    assert(rows.length === 4)
+    // null-category rows joined (null-safe) — encoding present
+    assert(rows.filter(_.isNullAt(0)).forall(!_.isNullAt(rows.head.fieldIndex("target_enc"))))
+    // the join back onto the data is a broadcast — the big side is
+    // never shuffled for the encoding
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("hashed cross: in range, deterministic, null != empty-string") {
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("a"), Some(1L)), // identical cross
+      (Some("a"), Some(2L)),
+      (None: Option[String], Some(1L)),             // null left
+      (Some(""), Some(1L))                          // empty string left
+    ).toDF("c1", "c2")
+    val out = df.withColumn("b",
+        Transformations.hashedCross(Seq(col("c1"), col("c2")), 64))
+      .collect().map(_.getAs[Int]("b"))
+    assert(out.forall(b => b >= 0 && b < 64))
+    assert(out(0) === out(1), "same inputs → same bucket")
+    // the \u0002 sentinel separates null from empty string: the pair
+    // (null, 1) must not collide with ("", 1) by construction — and the
+    // sentinel must not be \u0000, which the polynomial absorbs when
+    // leading (h starts at 0, so hash("\u0000x") == hash("x"))
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long =
+      graft.functions.TextHash.charPolyHash(UTF8String.fromString(s))
+    assert(h("\u0000\u00011") === h("\u00011"), "NUL is absorbing")
+    assert(h("\u0002\u00011") !== h("\u00011"), "STX sentinel is not")
+    // concat ambiguity: ("ab", "c") vs ("a", "bc") differ via separator
+    val amb = Seq(("ab", "c"), ("a", "bc")).toDF("c1", "c2")
+      .withColumn("b",
+        Transformations.hashedCross(Seq(col("c1"), col("c2")), 1 << 20))
+      .collect().map(_.getAs[Int]("b"))
+    assert(amb(0) !== amb(1))
+  }
 }
