@@ -279,4 +279,39 @@ object Streaming {
         unix_millis(max(col("et"))).as("sessionEnd"),
         count(lit(1)).as("nEvents"), sum(col("v")).as("total"))
       .select("key", "sessionStart", "sessionEnd", "nEvents", "total")
+
+  /** Stream-stream interval join: match left rows to right rows on equal
+    * keys with the right event time inside
+    * `[leftTime − lookback, leftTime]` — the online feature-enrichment
+    * join ("attach the views of the last hour to each click") run
+    * CONTINUOUSLY, Structured Streaming's stream-stream join with the
+    * time-range condition that lets the engine expire join state: each
+    * side buffers only `watermark + lookback` of history, so state is
+    * rate-bounded, not stream-length-bounded — the property that makes
+    * the join runnable forever at 100 TB/day. Without the range
+    * condition Spark would have to keep EVERY past row of both streams.
+    *
+    * Column name collisions between the two sides must be resolved by
+    * the caller before the join (standard Spark contract); both inputs
+    * must carry event-time columns of timestamp type. Inner joins emit
+    * eagerly per micro-batch; `left_outer` additionally emits
+    * null-padded rows once the watermark passes (outer results are
+    * therefore only complete after watermark advance).
+    */
+  def intervalJoin(left: DataFrame, leftTime: String, leftWatermark: String,
+                   right: DataFrame, rightTime: String,
+                   rightWatermark: String,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   lookback: String,
+                   joinType: String = "inner"): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "interval join needs matching non-empty key lists")
+    val l = left.withWatermark(leftTime, leftWatermark)
+    val r = right.withWatermark(rightTime, rightWatermark)
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+    val timeCond = r(rightTime) >= l(leftTime) - expr(s"INTERVAL $lookback") &&
+      r(rightTime) <= l(leftTime)
+    l.join(r, keyCond && timeCond, joinType)
+  }
 }
