@@ -582,4 +582,34 @@ object Monitoring {
     // zero sketch rows in range → NULL union → 0 distinct, not an NPE
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
+
+  /** Calibration (reliability) bins for a deployed model's scores: cut
+    * `[0, 1)` into `bins` equal cells and report, per cell, the count,
+    * the mean predicted score, and the observed positive rate — the
+    * table behind a reliability diagram and the ECE metric, i.e. "does
+    * a 0.8 score win 80% of the time". This is model-quality
+    * monitoring, one step past the reference's feature-drift metrics
+    * (python/hsfs/core/feature_monitoring_config_engine.py) — the same
+    * scheduled-monitoring shape, applied to predictions.
+    *
+    * One map-side-combined groupBy to a ≤ `bins`-row frame; exact
+    * integer counts, divisions rounded at 6 (the repo's float-oracle
+    * convention). Scores outside [0, 1) clamp into the edge cells;
+    * null scores/labels are excluded listwise.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
+                      labelCol: org.apache.spark.sql.Column,
+                      bins: Int): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val bin = least(greatest(
+      floor(scoreCol.cast("double") * bins), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(scoreCol.cast("double")) / count(lit(1)), 6)
+          .as("mean_score"),
+        round(sum(labelCol.cast("long")).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"))
+  }
 }

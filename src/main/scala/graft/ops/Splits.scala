@@ -495,4 +495,51 @@ object Splits {
     }
     stratifiedDeterministic(df, idCol, stratumCol, fractions, hashFn, scale)
   }
+
+  /** Purged time-series K-fold cross-validation (the financial-ML split:
+    * López de Prado 2018, ch. 7 — public method, not reference code):
+    * the time axis is cut into `k` contiguous test folds; for fold f,
+    * rows within `embargoMillis` of the fold's bounds are PURGED from
+    * its training set, so features computed over trailing windows can
+    * never straddle the train/test boundary — the leakage mode plain
+    * K-fold has on serially-correlated data.
+    *
+    * Output: `k` rows per input row (one per fold), each labeled
+    * `cv_fold` + `cv_role` ∈ train | test | purged. Fold bounds are
+    * INTEGER millisecond arithmetic over the [min, max] span —
+    * `lo + ceil(span·f/k)` — so the assignment replays exactly in SQL;
+    * the span fetch is the only action (2-value scalar aggregate).
+    *
+    * Scale shape: the fold explode is ×k on a row-local basis (k is
+    * 3-10 in practice), everything else is a projection — no shuffle,
+    * no window. Callers filter `cv_role` per fold; a fold's train set
+    * is never materialized k times unless asked for.
+    */
+  def purgedTimeFolds(df: DataFrame, eventTimeCol: String, k: Int,
+                      embargoMillis: Long): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    require(embargoMillis >= 0, "embargo must be non-negative")
+    val et = eventTimeMillisCol(df, eventTimeCol)
+    val r = df.agg(min(et), max(et)).collect().head
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "purgedTimeFolds needs at least one non-null event time")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1 // [lo, hi] inclusive → k half-open cells
+    def bound(f: Int): Long = lo + (span * f + k - 1) / k // ceil
+    val withT = df.withColumn("_cv_t", et)
+    val folded = withT.select(col("*"),
+      explode(array((0 until k).map(lit): _*)).as("cv_fold"))
+    val foldStart = (0 until k).map(bound)
+    val foldEnd = (1 to k).map(bound)
+    val startCol = element_at(
+      array(foldStart.map(lit): _*), col("cv_fold") + 1)
+    val endCol = element_at(
+      array(foldEnd.map(lit): _*), col("cv_fold") + 1)
+    folded.withColumn("cv_role",
+        when(col("_cv_t") >= startCol && col("_cv_t") < endCol, "test")
+          .when(col("_cv_t") >= startCol - lit(embargoMillis) &&
+            col("_cv_t") < endCol + lit(embargoMillis), "purged")
+          .otherwise("train"))
+      .drop("_cv_t")
+  }
 }

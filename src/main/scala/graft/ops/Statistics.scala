@@ -233,4 +233,42 @@ object Statistics {
       if (strict) math.abs(diff) > threshold else math.abs(diff) >= threshold
     (diff, shifted)
   }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * feature-selection / label-association score the reference's
+    * statistics engine stops short of (it has correlation only,
+    * core/statistics_engine.py): `I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))`
+    * over the joint count table, computed exactly from integer counts.
+    * Rows with a null in either column are excluded (standard listwise
+    * contract, same as [[correlations]]).
+    *
+    * One map-side-combined groupBy of the data to the |X×Y| joint-count
+    * frame; the marginals re-aggregate that tiny frame and join back
+    * broadcast; the MI fold is a scalar aggregate over |X×Y| rows. The
+    * data is scanned once and never shuffled beyond the joint counts.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("_mi_x"), col(yCol).as("_mi_y"))
+      .agg(count(lit(1)).as("_mi_nxy"))
+      .localCheckpoint()
+    val mx = joint.groupBy(col("_mi_x").as("_mi_x2"))
+      .agg(sum("_mi_nxy").as("_mi_nx"))
+    val my = joint.groupBy(col("_mi_y").as("_mi_y2"))
+      .agg(sum("_mi_nxy").as("_mi_ny"))
+    val n = joint.agg(sum("_mi_nxy").as("_mi_n"))
+    joint
+      .join(broadcast(mx), col("_mi_x") === col("_mi_x2"))
+      .join(broadcast(my), col("_mi_y") === col("_mi_y2"))
+      .crossJoin(broadcast(n))
+      .agg(
+        // doubles from the start: nxy·n would overflow a long on a
+        // 100 TB-scale N, and the double dag must match the oracle's
+        round(sum((col("_mi_nxy").cast("double") / col("_mi_n").cast("double")) *
+          log((col("_mi_nxy").cast("double") * col("_mi_n").cast("double")) /
+            (col("_mi_nx").cast("double") * col("_mi_ny").cast("double")))),
+          6).as("mi_nats"),
+        count(lit(1)).as("n_cells"),
+        max(col("_mi_n")).cast("long").as("n_rows"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity temporal feature constructors — the event-stream → feature
+  * transforms a training pipeline derives from raw activity (reference
+  * feature views compute joins/aggregations, python/hsfs/feature_view.py;
+  * these are the standard derived-feature recipes on top).
+  */
+object TemporalFeatures {
+
+  /** Trailing exponentially-weighted moving average per key: for each
+    * row, fold the last `window` values (ordered by `orderCols`) through
+    * `s ← α·x + (1−α)·s`, seeded with the oldest value in the frame —
+    * the classic recency-weighted activity feature.
+    *
+    * The fold runs over a bounded `collect_list` window frame (≤ `window`
+    * doubles per row) with `aggregate`, a row-local HOF — deterministic
+    * left-to-right order, so the exact double dag replays in external
+    * SQL (`list_reduce` folds the same way). `1 − α` is computed at plan
+    * time from the same literal on both engines. One window shuffle on
+    * `keys`; no data-sized state.
+    *
+    * Null contract: null values must be filtered upstream (a null inside
+    * the frame would silently shrink `collect_list` and misalign the
+    * fold); enforced here with a require on the column's nullability
+    * being handled by the caller is impossible, so nulls are dropped
+    * WITH their rows by an explicit filter.
+    */
+  def ewmaTrailing(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+                   valueCol: Column, alpha: Double, window: Int,
+                   out: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(window >= 1, "window must be at least 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val vals = collect_list(valueCol.cast("double")).over(w)
+    df.filter(valueCol.isNotNull)
+      .withColumn("_ew_v", vals)
+      .withColumn(out,
+        aggregate(
+          slice(col("_ew_v"), lit(2), greatest(size(col("_ew_v")) - 1, lit(0))),
+          element_at(col("_ew_v"), 1),
+          (acc, x) => lit(alpha) * x + (lit(1.0) - lit(alpha)) * acc))
+      .drop("_ew_v")
+  }
+
+  /** Activity pivot: one row per key with `(count, sum)` feature columns
+    * per pivot value — `{value}_n`, `{value}_total` — the "user activity
+    * profile" feature view. `values` must be the explicit pivot domain
+    * (deterministic column set, no distinct pass, exactly Spark's
+    * recommended large-scale pivot form); unseen values yield 0 counts.
+    * One map-side-combined groupBy; no second scan.
+    */
+  def activityPivot(df: DataFrame, keys: Seq[String], pivotCol: String,
+                    values: Seq[String], valueCol: Column): DataFrame = {
+    require(values.nonEmpty, "explicit pivot values required")
+    df.groupBy(keys.map(col): _*)
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)).as("n"),
+        round(sum(valueCol), 2).as("total"))
+      .na.fill(0L, values.map(_ + "_n"))
+  }
+}
