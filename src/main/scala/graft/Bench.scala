@@ -112,7 +112,7 @@ object Bench {
     */
   private val StreamingQueries = Set("q34_stream_agg", "q48_sessionization",
     "q52_session_window", "q73_stream_dedup_history",
-    "q83_stream_materialize")
+    "q83_stream_materialize", "q125_stream_interval_join")
 
   /** JVM/codegen + parquet-reader warmup so the first measured run isn't
     * charged for session startup. Timed separately (see childMain) so the

@@ -2229,6 +2229,204 @@ object SparkEntry {
       graft.ops.Splits.weightedSample(docs, "doc_id", col("n_chars"),
           k = 20, keys = Seq("lang"))
         .orderBy("lang", "doc_id")
+    }),
+
+    // SCD-2 validity-interval join: purchases open per-user "plan
+    // versions" valid [ts, min(next purchase, ts + 3 days)) — real
+    // expiry gaps, per-row end bounds — and every click is served the
+    // version covering its instant (or nulls in a gap). Plan: as-of on
+    // valid_from + row-local expiry projection — one shuffle of
+    // |spine| + |dim|, never a range-join pair blowup.
+    "q121_validity_join" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val versions = ev
+        .filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("version_id"),
+          max(struct(col("event_id"), col("value")))
+            .getField("value").as("plan_value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val dim = versions
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to",
+          least(coalesce(lead(col("ts"), 1).over(w),
+              col("ts") + expr("INTERVAL 3 DAYS")),
+            col("ts") + expr("INTERVAL 3 DAYS")))
+        .select("user_id", "valid_from", "valid_to", "version_id",
+          "plan_value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val j = graft.ops.PointInTimeJoin.validAsOf(clicks, "ts",
+        dim, "valid_from", "valid_to", Seq("user_id"), Seq("user_id"),
+        prefix = "v_")
+      j.select(col("event_id"), col("user_id"),
+          TimeFunctions.eventTimeToMicros(j, "ts").as("ts_us"),
+          col("v_version_id"), col("v_plan_value"))
+        .orderBy("event_id")
+    }),
+
+    // Leakage-safe smoothed target encoding: event_type encoded by the
+    // out-of-fold conversion rate (label = high-value event), 5
+    // deterministic folds, pseudo-count 20 pulling rare categories to
+    // the out-of-fold prior. One map-side-combined scan to a
+    // |categories × folds| frame; the big table only takes a broadcast
+    // join — never shuffled.
+    "q122_target_encode" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_id"), col("event_type"),
+        pmod(col("event_id"), lit(5)).cast("int").as("fold"),
+        when(col("value") > 300, 1).otherwise(0).as("label"))
+      graft.ops.Transformations.targetEncodeOutOfFold(base,
+          "event_type", col("label"), "fold", smoothing = 20.0)
+        .select("event_id", "event_type", "fold", "label", "target_enc")
+        .orderBy("event_id")
+    }),
+
+    // Hashed feature cross (hashing trick): event_type × bucketed user
+    // id → 64 cross buckets via the SQL-replayable char-poly hash.
+    // Row-local, codegen'd, zero fit state, zero shuffle.
+    "q123_hashed_cross" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      ev.select(col("event_id"), col("event_type"),
+          pmod(col("user_id"), lit(100)).as("uid_mod"))
+        .withColumn("cross_bucket",
+          graft.ops.Transformations.hashedCross(
+            Seq(col("event_type"), col("uid_mod")), nBuckets = 64))
+        .orderBy("event_id")
+    }),
+
+    // Z-order layout: bucketize (value, user_id) onto an 8-bit × 8-bit
+    // grid, Morton-interleave, and report the per-tile (top-6-bit
+    // prefix) envelope — every tile's min/max is tight on BOTH
+    // dimensions at once, which is exactly why z-sorted files skip on
+    // either filter column. Row-local until the one tile aggregation.
+    "q124_zorder_layout" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val b = ev.select(
+        graft.ops.Layout.bucketize(col("value"), 0.0, 640.0, 8).as("zx"),
+        pmod(col("user_id"), lit(256)).as("zy"))
+      b.withColumn("zv",
+          graft.ops.Layout.zValue(Seq(col("zx"), col("zy")), 8))
+        .groupBy(shiftright(col("zv"), 10).as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min("zx").as("min_x"), max("zx").as("max_x"),
+          min("zy").as("min_y"), max("zy").as("max_y"))
+        .orderBy("tile")
+    }),
+
+    // Count-min sketch: 3×256 counter grid over user activity; every
+    // estimate ≥ the true count (one-sided CMS guarantee), both emitted
+    // side by side. Two data scans total (sketch build + truth counts —
+    // the probe set IS the truth frame); the sketch itself is a
+    // ≤768-row mergeable frame, broadcast for estimation.
+    "q126_cms_counts" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val sketch = graft.ops.CountMinSketch.build(ev, col("user_id"),
+        depth = 3, width = 256)
+      val truth = ev.filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("true_count"))
+      graft.ops.CountMinSketch.estimate(sketch, truth, col("user_id"),
+          depth = 3, width = 256)
+        .select(col("user_id"), col("cms_est"), col("true_count"))
+        .orderBy("user_id")
+    }),
+
+    // Stream-stream interval join: every click enriched with the same
+    // user's views from the trailing hour, as a CONTINUOUS join — the
+    // range condition is what lets Structured Streaming expire join
+    // state (each side buffers watermark + lookback, rate-bounded, not
+    // stream-length-bounded). Self-join of one file stream split into
+    // two sides; driven to completion and compared against the batch
+    // join the oracle runs.
+    "q125_stream_interval_join" -> ((s, dir) => {
+      val batch = s.read.parquet(TestTables.parquet(dir, "events"))
+      val stream0 = graft.streaming.Streaming.readStream(
+        s, "parquet", Some(s"$dir/events.*"), schema = Some(batch.schema))
+      val stream = stream0.withColumn("ts2",
+        TimeFunctions.eventTimeToTimestamp(stream0, "ts"))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts2").as("click_ts"))
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          col("user_id").as("v_user_id"), col("ts2").as("view_ts"))
+      val j = graft.streaming.Streaming.intervalJoin(
+        clicks, "click_ts", "1 day", views, "view_ts", "1 day",
+        Seq("user_id"), Seq("v_user_id"), lookback = "1 HOUR")
+      val out = j.select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
+      graft.streaming.Streaming.runToMemory(out, "q125_sink_", "append")
+        .orderBy("click_id", "view_id")
+    }),
+
+    // Purged time-series 5-fold CV with a 1-day embargo: every row gets
+    // a role per fold, and rows within the embargo of a test fold's
+    // bounds are purged from that fold's training set — the
+    // serial-correlation leakage killer plain K-fold lacks. Integer
+    // millisecond boundary math, replayed exactly.
+    "q127_purged_folds" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val folded = graft.ops.Splits.purgedTimeFolds(ev, "ts", k = 5,
+        embargoMillis = 86400000L)
+      val et = graft.ops.Splits.eventTimeMillisCol(folded, "ts")
+      folded.groupBy("cv_fold", "cv_role")
+        .agg(count(lit(1)).as("n"),
+          min(et).as("t_min"), max(et).as("t_max"))
+        .orderBy("cv_fold", "cv_role")
+    }),
+
+    // Mutual information between event type and the high-value label —
+    // exact integer joint/marginal counts, one data scan, MI folded
+    // over the tiny cell frame.
+    "q128_mutual_info" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_type"),
+        when(col("value") > 300, 1).otherwise(0).as("label"))
+      graft.ops.Statistics.mutualInformation(base, "event_type", "label")
+    }),
+
+    // Trailing EWMA (α = 0.3, last 10 events) of activity value per
+    // user — a bounded row-local HOF fold over a window frame, the
+    // recency-weighted feature classic.
+    "q129_ewma" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("user_id").isNotNull)
+      graft.ops.TemporalFeatures.ewmaTrailing(ev, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), col("value"),
+          alpha = 0.3, window = 10)
+        // RAW double, no rounding: the fold is the identical IEEE op
+        // sequence on both engines (bit-exact), while round() at a
+        // half-boundary digit is where the engines disagree
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy("event_id")
+    }),
+
+    // Per-user activity profile: count + total value per event type as
+    // pivoted feature columns (explicit pivot domain — no distinct
+    // pass), one map-side-combined groupBy.
+    "q130_activity_pivot" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("user_id").isNotNull)
+      graft.ops.TemporalFeatures.activityPivot(ev, Seq("user_id"),
+          "event_type", Seq("click", "view", "purchase", "signup", "error"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
+    // Model calibration bins: pseudo-score value/640 vs the purchase
+    // label over 10 reliability cells — the scheduled-monitoring shape
+    // applied to predictions.
+    "q131_calibration" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val scored = ev.filter(col("value").isNotNull)
+        .select((col("value") / lit(640.0)).as("score"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      graft.ops.Monitoring.calibrationBins(scored, col("score"),
+          col("label"), bins = 10)
+        .orderBy("bin")
     })
   )
 
@@ -4546,6 +4744,274 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY lang
                  ORDER BY pri DESC, doc_id ASC) AS rk FROM p)
          SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20
-         ORDER BY lang, doc_id"""
+         ORDER BY lang, doc_id""",
+    // SCD-2 intervals are per-key disjoint by construction (lead-bounded,
+    // capped at +3 days), so the range predicate matches at most one
+    // version per click; inclusive start, exclusive end — a click at the
+    // exact instant of the next purchase belongs to the NEW version
+    "q121_validity_join" ->
+      """WITH pur AS (
+           SELECT user_id, ts, max(event_id) AS version_id,
+                  max_by(value, event_id) AS plan_value
+           FROM events
+           WHERE event_type = 'purchase'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         dim AS (
+           SELECT user_id, ts AS valid_from,
+                  least(coalesce(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts),
+                                 ts + INTERVAL 3 DAY),
+                        ts + INTERVAL 3 DAY) AS valid_to,
+                  version_id, plan_value
+           FROM pur)
+         SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+                d.version_id AS v_version_id,
+                d.plan_value AS v_plan_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') s
+         LEFT JOIN dim d
+           ON s.user_id = d.user_id
+          AND s.ts >= d.valid_from AND s.ts < d.valid_to
+         ORDER BY s.event_id""",
+    // the OOF encoding replayed term for term: exact integer sums per
+    // (category, fold) cell, category/fold/global totals summed from the
+    // tiny cell frame, then the identical double dag — (S_c − S_cf +
+    // m·prior)/(n_c − n_cf + m), prior excluding the row's whole fold
+    "q122_target_encode" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+                  CAST(((event_id % 5) + 5) % 5 AS INT) AS fold,
+                  CASE WHEN value > 300 THEN 1 ELSE 0 END AS label
+           FROM events),
+         cf AS (
+           SELECT event_type, fold,
+                  CAST(sum(label) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM base GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, fold, s, n,
+                  CAST(sum(s) OVER (PARTITION BY event_type) AS BIGINT) AS sc,
+                  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS nc,
+                  CAST(sum(s) OVER (PARTITION BY fold) AS BIGINT) AS sf,
+                  CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT) AS nf,
+                  CAST(sum(s) OVER () AS BIGINT) AS sg,
+                  CAST(sum(n) OVER () AS BIGINT) AS ng
+           FROM cf),
+         enc AS (
+           SELECT event_type, fold,
+                  round((CAST(sc - s AS DOUBLE)
+                         + 20.0 * (CAST(sg - sf AS DOUBLE)
+                                   / CAST(ng - nf AS DOUBLE)))
+                        / (CAST(nc - n AS DOUBLE) + 20.0), 9) + 0.0
+                    AS target_enc
+           FROM tot)
+         SELECT b.event_id, b.event_type, b.fold, b.label, e.target_enc
+         FROM base b
+         LEFT JOIN enc e
+           ON b.event_type IS NOT DISTINCT FROM e.event_type
+          AND b.fold = e.fold
+         ORDER BY b.event_id""",
+    // the cross string (null → chr(0) sentinel, chr(1) separator) and the
+    // 52-bit char polynomial replayed with list_reduce, then mod 64
+    "q123_hashed_cross" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+                  ((user_id % 100) + 100) % 100 AS uid_mod
+           FROM events),
+         h AS (
+           SELECT event_id, event_type, uid_mod,
+                  coalesce(CAST(event_type AS VARCHAR), chr(2))
+                    || chr(1)
+                    || coalesce(CAST(uid_mod AS VARCHAR), chr(2)) AS s
+           FROM base)
+         SELECT event_id, event_type, uid_mod,
+                CAST(list_reduce(
+                       [0::BIGINT] || list_transform(
+                         range(1, length(s) + 1),
+                         i -> unicode(s[i])::BIGINT),
+                       (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                     % 64 AS INT) AS cross_bucket
+         FROM h ORDER BY event_id""",
+    // the Morton interleave replayed bit by bit (column 0 = high bit of
+    // each pair), then the same top-6-bit tile grouping
+    "q124_zorder_layout" ->
+      """WITH b AS (
+           SELECT CAST(least(greatest(
+                    floor(CAST(value AS DOUBLE) / 2.5), 0), 255) AS BIGINT)
+                    AS zx,
+                  ((user_id % 256) + 256) % 256 AS zy
+           FROM events),
+         z AS (
+           SELECT zx, zy,
+                  (((zx >> 0) & 1) << 1) | (((zy >> 0) & 1) << 0) |
+                  (((zx >> 1) & 1) << 3) | (((zy >> 1) & 1) << 2) |
+                  (((zx >> 2) & 1) << 5) | (((zy >> 2) & 1) << 4) |
+                  (((zx >> 3) & 1) << 7) | (((zy >> 3) & 1) << 6) |
+                  (((zx >> 4) & 1) << 9) | (((zy >> 4) & 1) << 8) |
+                  (((zx >> 5) & 1) << 11) | (((zy >> 5) & 1) << 10) |
+                  (((zx >> 6) & 1) << 13) | (((zy >> 6) & 1) << 12) |
+                  (((zx >> 7) & 1) << 15) | (((zy >> 7) & 1) << 14) AS zv
+           FROM b)
+         SELECT zv >> 10 AS tile, CAST(count(*) AS BIGINT) AS n,
+                min(zx) AS min_x, max(zx) AS max_x,
+                min(zy) AS min_y, max(zy) AS max_y
+         FROM z GROUP BY 1 ORDER BY 1""",
+    // the CMS replayed: ONE char polynomial per item (over
+    // item || '|cms'), row r reading bit slice [8r, 8r+8) — the
+    // bit-slicing that keeps rows independent (a suffixed row salt
+    // would make the linear polynomial collide identically in every
+    // row); counter grid as a GROUP BY, estimate = min over the item's
+    // 3 cells; probe cells reuse the build cells via DISTINCT since
+    // every probed item occurred
+    "q126_cms_counts" ->
+      """WITH ev AS (
+           SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         hashed AS (
+           SELECT user_id,
+                  list_reduce(
+                    [0::BIGINT] || list_transform(
+                      range(1, length(s) + 1),
+                      i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS h
+           FROM (SELECT user_id,
+                        CAST(user_id AS VARCHAR) || '|cms' AS s
+                 FROM ev)),
+         cells AS (
+           SELECT user_id, r,
+                  CAST((h >> (r * 8)) & 255 AS INT) AS cell
+           FROM hashed, range(3) t(r)),
+         sketch AS (
+           SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+         probe AS (SELECT DISTINCT user_id, r, cell FROM cells),
+         est AS (
+           SELECT p.user_id, min(s.cnt) AS cms_est
+           FROM probe p JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+           GROUP BY 1),
+         truth AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+           FROM ev GROUP BY 1)
+         SELECT t.user_id, e.cms_est, t.true_count
+         FROM truth t JOIN est e ON t.user_id = e.user_id
+         ORDER BY t.user_id""",
+    // the streaming interval join's batch equivalent: same keys, same
+    // [t − 1h, t] range, inner semantics (null keys/times never match
+    // on either engine)
+    "q125_stream_interval_join" ->
+      """WITH c AS (
+           SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+         v AS (
+           SELECT event_id AS view_id, user_id, ts FROM events
+           WHERE event_type = 'view')
+         SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+                v.view_id, epoch_us(v.ts) AS view_ts_us
+         FROM c JOIN v
+           ON c.user_id = v.user_id
+          AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+         ORDER BY click_id, view_id""",
+    // the same integer fold-boundary math: lo + ceil(span·f/k) with
+    // span = hi − lo + 1, then role = test | purged (±1 day) | train
+    "q127_purged_folds" ->
+      """WITH b AS (
+           SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi
+           FROM events),
+         f AS (
+           SELECT CAST(r AS INT) AS cv_fold,
+                  lo + ((hi - lo + 1) * r + 4) // 5 AS s,
+                  lo + ((hi - lo + 1) * (r + 1) + 4) // 5 AS e
+           FROM b, range(5) t(r)),
+         x AS (SELECT epoch_ms(ts) AS t FROM events),
+         lab AS (
+           SELECT f.cv_fold,
+                  CASE WHEN t >= s AND t < e THEN 'test'
+                       WHEN t >= s - 86400000 AND t < e + 86400000
+                         THEN 'purged'
+                       ELSE 'train' END AS cv_role,
+                  t
+           FROM x CROSS JOIN f)
+         SELECT cv_fold, cv_role, CAST(count(*) AS BIGINT) AS n,
+                min(t) AS t_min, max(t) AS t_max
+         FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+    // exact integer joint/marginal counts, the identical double dag
+    // (casts first — nxy·N would overflow integers at scale), ln = nats
+    "q128_mutual_info" ->
+      """WITH base AS (
+           SELECT event_type AS x,
+                  CASE WHEN value > 300 THEN 1 ELSE 0 END AS y
+           FROM events WHERE event_type IS NOT NULL),
+         j AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nxy
+               FROM base GROUP BY 1, 2),
+         mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+         my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+         nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j)
+         SELECT round(sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+                       / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 6)
+                  AS mi_nats,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                max(n) AS n_rows
+         FROM j
+         JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn""",
+    // the same left-to-right fold over the same bounded window list;
+    // 0.3::DOUBLE forces the double dag (a DuckDB DECIMAL 0.3 would
+    // round 1 − 0.3 to a DIFFERENT double than Spark's 1.0 − 0.3);
+    // raw doubles — the fold is bit-exact on both engines, round()
+    // half-boundary rules are not
+    "q129_ewma" ->
+      """SELECT event_id, user_id,
+                list_reduce(l,
+                  (a, x) -> 0.3::DOUBLE * x + (1 - 0.3::DOUBLE) * a)
+                  AS ewma
+         FROM (
+           SELECT event_id, user_id,
+                  list(CAST(value AS DOUBLE)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL)
+         ORDER BY event_id""",
+    // FILTER aggregates per pivot value; counts are 0 (never null) on
+    // both engines — Spark's pivot nulls are filled — while an absent
+    // type's total stays NULL on both
+    "q130_activity_pivot" ->
+      """SELECT user_id,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                  AS click_n,
+                round(sum(value) FILTER (event_type = 'click'), 2)
+                  AS click_total,
+                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                  AS view_n,
+                round(sum(value) FILTER (event_type = 'view'), 2)
+                  AS view_total,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                  AS purchase_n,
+                round(sum(value) FILTER (event_type = 'purchase'), 2)
+                  AS purchase_total,
+                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                  AS signup_n,
+                round(sum(value) FILTER (event_type = 'signup'), 2)
+                  AS signup_total,
+                CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                  AS error_n,
+                round(sum(value) FILTER (event_type = 'error'), 2)
+                  AS error_total
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // clamped equal-width cells over [0, 1), exact counts, rounded
+    // divisions — the reliability table
+    "q131_calibration" ->
+      """WITH b AS (
+           SELECT value / 640.0 AS score,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS label
+           FROM events WHERE value IS NOT NULL)
+         SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS INT)
+                  AS bin,
+                CAST(count(*) AS BIGINT) AS n,
+                round(sum(score) / count(*), 6) AS mean_score,
+                round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
+         FROM b GROUP BY 1 ORDER BY 1"""
   )
 }
