@@ -597,6 +597,25 @@ object Monitoring {
     * convention). Scores outside [0, 1) clamp into the edge cells;
     * null scores/labels are excluded listwise.
     */
+  /** Feature freshness audit: per key group, the latest event time, its
+    * age at `nowMillis`, and whether the age violates `slaMillis` — the
+    * first thing an on-call checks when a feature group goes stale
+    * (the reference tracks commit times, core/feature_group_engine.py,
+    * but has no SLA evaluation over them). One map-side-combined
+    * groupBy; pure integer millisecond arithmetic, replayable.
+    */
+  def freshness(df: DataFrame, keys: Seq[String], eventTimeCol: String,
+                nowMillis: Long, slaMillis: Long): DataFrame = {
+    require(slaMillis > 0, "slaMillis must be positive")
+    val et = Splits.eventTimeMillisCol(df, eventTimeCol)
+    df.filter(et.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(max(et).as("latest_ms"),
+        count(lit(1)).as("n"))
+      .withColumn("age_ms", lit(nowMillis) - col("latest_ms"))
+      .withColumn("sla_violated", col("age_ms") > lit(slaMillis))
+  }
+
   def calibrationBins(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
                       labelCol: org.apache.spark.sql.Column,
                       bins: Int): DataFrame = {

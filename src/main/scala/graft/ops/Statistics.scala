@@ -247,6 +247,138 @@ object Statistics {
     * broadcast; the MI fold is a scalar aggregate over |X×Y| rows. The
     * data is scanned once and never shuffled beyond the joint counts.
     */
+  /** Exact per-key AUC (ROC area) with standard tie correction — THE
+    * ranking metric for a deployed scorer, computed distributed: AUC is
+    * the Mann-Whitney U statistic,
+    * `(Σ_pos rank − P(P+1)/2) / (P·N)` with ties taking average ranks.
+    * Doubling ranks keeps the whole dag integral until the final
+    * division (`2·rank = 2·cumBefore + n + 1`), so the score replays
+    * bit-for-bit in SQL.
+    *
+    * Scale shape: ONE map-side-combined groupBy of the data to a
+    * |keys × distinct scores| count frame; rank cumsums and the AUC
+    * fold run over that frame, partitioned BY KEY (no single-partition
+    * window). Same bounded-distinct contract as `winsorize`: on a raw
+    * continuous score at 100 TB, quantize the score first (calibration
+    * bins or rounding) — an AUC over 1e-6-rounded scores is the same
+    * number for any real purpose.
+    *
+    * Keys with no positives or no negatives have undefined AUC and are
+    * EXCLUDED from the output (the alternative, ±inf/NaN, poisons
+    * downstream aggregation). Null scores/labels drop listwise.
+    */
+  def aucByKey(df: DataFrame, keys: Seq[String], scoreCol: Column,
+               labelCol: Column): DataFrame = {
+    require(keys.nonEmpty, "aucByKey needs at least one key column" +
+      " (add a constant column for a global AUC)")
+    val counts = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy((keys.map(col) :+ scoreCol.cast("double").as("_v")): _*)
+      .agg(count(lit(1)).as("_c"),
+        sum(labelCol.cast("long")).as("_p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    counts
+      .withColumn("_cb", coalesce(sum(col("_c")).over(w), lit(0L)))
+      .withColumn("_ptot", sum(col("_p")).over(tw))
+      .withColumn("_ntot", sum(col("_c")).over(tw) - col("_ptot"))
+      .filter(col("_ptot") > 0 && col("_ntot") > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        round((sum(col("_p") * (lit(2) * col("_cb") + col("_c") + 1))
+          - max(col("_ptot")) * (max(col("_ptot")) + 1)).cast("double")
+          / (lit(2) * max(col("_ptot")) * max(col("_ntot"))).cast("double"),
+          6).as("auc"),
+        max(col("_ptot")).as("n_pos"),
+        max(col("_ntot")).as("n_neg"))
+  }
+
+  /** Key-skew profile: the numbers that decide whether a join/window on
+    * `keys` needs salting — total rows, distinct keys, the hottest
+    * key's share, the max/mean imbalance ratio, and the top-k heaviest
+    * keys as a struct array. This is the measurement behind
+    * `PointInTimeJoin.AutoSalt`'s probe, exposed as a first-class
+    * profiling operator (exact, not sampled — run it when deciding a
+    * layout, not per query).
+    *
+    * One map-side-combined groupBy to the per-key count frame; the
+    * top-k is a TakeOrdered (never a global sort), the scalars fold in
+    * one aggregate over that frame. Integer counts; the two ratios are
+    * single divisions rounded at 6.
+    */
+  def keySkewProfile(df: DataFrame, keys: Seq[String],
+                     topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "keySkewProfile needs key columns")
+    require(topK >= 1, "topK must be at least 1")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val keyStruct = struct((keys.map(col) :+ col("_c").as("rows")): _*)
+    val top = counts.orderBy(col("_c").desc,
+        concat_ws("", keys.map(c => col(c).cast("string")): _*).asc)
+      .limit(topK)
+      .agg(collect_list(keyStruct).as("top_keys"))
+    counts.agg(
+        sum(col("_c")).as("total_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("_c")).as("max_key_rows"))
+      .withColumn("hot_share",
+        round(col("max_key_rows").cast("double") /
+          col("total_rows").cast("double"), 6))
+      .withColumn("imbalance",
+        round(col("max_key_rows").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys").cast("double")),
+          6))
+      .crossJoin(broadcast(top))
+  }
+
+  /** Per-key Spearman rank correlation (tie-corrected): Pearson
+    * correlation of the two columns' average ranks within each key
+    * group — the robust, monotonic-association twin of [[correlations]]
+    * (which the reference stops at; core/statistics_engine.py). Ranks
+    * come from per-(key, value) count frames: DOUBLED average ranks
+    * `2·cumBefore + n + 1` stay integral (no .5 halves to disagree
+    * about), and scaling ranks by a constant leaves the correlation
+    * unchanged. Listwise: rows with a null in either column are
+    * dropped before ranking.
+    *
+    * Scale shape: two column-pruned map-side-combined count passes (one
+    * per column), rank-map windows partitioned BY KEY (never a
+    * single-partition exchange), rank maps joined back broadcast, one
+    * `corr` aggregate per key. Bounded-distinct contract as usual:
+    * quantize raw continuous columns first.
+    */
+  def spearmanByKey(df: DataFrame, keys: Seq[String], xCol: String,
+                    yCol: String): DataFrame = {
+    require(keys.nonEmpty, "spearmanByKey needs at least one key column" +
+      " (add a constant column for a global coefficient)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((keys.map(col) :+
+        col(xCol).cast("double").as("_sp_x")) :+
+        col(yCol).cast("double").as("_sp_y"): _*)
+      .localCheckpoint()
+    def rankMap(c: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col(c).asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      base.groupBy((keys.map(col) :+ col(c)): _*)
+        .agg(count(lit(1)).as("_n"))
+        .withColumn(out,
+          coalesce(sum(col("_n")).over(w), lit(0L)) * 2 + col("_n") + 1)
+        .drop("_n")
+    }
+    base
+      .join(broadcast(rankMap("_sp_x", "_r2x")), keys :+ "_sp_x")
+      .join(broadcast(rankMap("_sp_y", "_r2y")), keys :+ "_sp_y")
+      .groupBy(keys.map(col): _*)
+      .agg(round(corr(col("_r2x").cast("double"),
+          col("_r2y").cast("double")), 6).as("spearman"),
+        count(lit(1)).as("n"))
+  }
+
   def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val joint = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("_mi_x"), col(yCol).as("_mi_y"))
