@@ -2427,6 +2427,73 @@ object SparkEntry {
       graft.ops.Monitoring.calibrationBins(scored, col("score"),
           col("label"), bins = 10)
         .orderBy("bin")
+    }),
+
+    // Daily exact AUC of the pseudo-scorer vs the purchase label —
+    // Mann-Whitney with average-rank ties, doubled ranks keeping the
+    // dag integral until the final division. One scan to a
+    // |days × distinct scores| frame; windows partitioned by day.
+    "q132_auc_by_day" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val et = graft.ops.Splits.eventTimeMillisCol(ev, "ts")
+      val scored = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(floor(et / lit(86400000.0)).cast("long").as("day"),
+          (col("value") / lit(640.0)).as("score"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      graft.ops.Statistics.aucByKey(scored, Seq("day"), col("score"),
+          col("label"))
+        .orderBy("day")
+    }),
+
+    // Per-type Spearman between activity value and event time — "is
+    // this feature trending" as a monotonic-association score, ranks
+    // from per-key count frames (doubled average ranks, integral until
+    // the corr), keyed windows only.
+    "q133_spearman" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val et = graft.ops.Splits.eventTimeMillisCol(ev, "ts")
+      val base = ev.filter(col("ts").isNotNull)
+        .select(col("event_type"), col("value"),
+          et.cast("double").as("t_ms"))
+      graft.ops.Statistics.spearmanByKey(base, Seq("event_type"),
+          "value", "t_ms")
+        .orderBy("event_type")
+    }),
+
+    // Ordered conversion funnel view → click → purchase: per user, the
+    // earliest stage-k time at or after the stage-(k−1) completion.
+    // Every shuffle is on the same user key — the exchanges reuse.
+    "q134_funnel" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val st = graft.ops.Funnel.stageTimes(ev, "user_id",
+        col("event_type"), "ts", Seq("view", "click", "purchase"))
+      st.select(col("user_id"),
+          TimeFunctions.eventTimeToMicros(st, "_t1").as("t1_us"),
+          TimeFunctions.eventTimeToMicros(st, "_t2").as("t2_us"),
+          TimeFunctions.eventTimeToMicros(st, "_t3").as("t3_us"))
+        .orderBy("user_id")
+    }),
+
+    // Feature freshness audit at a fixed "now": per event type, the
+    // latest event's age and whether it violates a 10-day SLA — pure
+    // integer millisecond arithmetic over one grouped pass.
+    "q135_freshness" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val now =
+        java.time.Instant.parse("2024-02-15T00:00:00Z").toEpochMilli
+      graft.ops.Monitoring.freshness(ev, Seq("event_type"), "ts",
+          nowMillis = now, slaMillis = 10L * 86400000L)
+        .orderBy("event_type")
+    }),
+
+    // Key-skew profile of the user key — the salting-decision numbers
+    // (hot share, max/mean imbalance) as a first-class operator; the
+    // oracled output is the scalar profile (top-k keys are spec-covered).
+    "q136_key_skew" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.Statistics.keySkewProfile(ev, Seq("user_id"), topK = 5)
+        .select("total_rows", "n_keys", "max_key_rows", "hot_share",
+          "imbalance")
     })
   )
 
@@ -5012,6 +5079,120 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n,
                 round(sum(score) / count(*), 6) AS mean_score,
                 round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
-         FROM b GROUP BY 1 ORDER BY 1"""
+         FROM b GROUP BY 1 ORDER BY 1""",
+    // the Mann-Whitney closed form replayed: per-(day, score) counts,
+    // window cumsums for doubled average ranks, integer dag to the
+    // final division; degenerate days (no pos or no neg) excluded
+    "q132_auc_by_day" ->
+      """WITH b AS (
+           SELECT epoch_ms(ts) // 86400000 AS day,
+                  value / 640.0 AS score,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS label
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         c AS (
+           SELECT day, score, CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(label) AS BIGINT) AS p
+           FROM b GROUP BY 1, 2),
+         r AS (
+           SELECT day, score, c, p,
+                  CAST(coalesce(sum(c) OVER (
+                    PARTITION BY day ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cb,
+                  CAST(sum(p) OVER (PARTITION BY day) AS BIGINT) AS ptot,
+                  CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS ctot
+           FROM c)
+         SELECT day,
+                round(CAST(sum(p * (2 * cb + c + 1))
+                       - max(ptot) * (max(ptot) + 1) AS DOUBLE)
+                      / CAST(2 * max(ptot) * max(ctot - ptot) AS DOUBLE), 6)
+                  AS auc,
+                max(ptot) AS n_pos,
+                CAST(max(ctot - ptot) AS BIGINT) AS n_neg
+         FROM r WHERE ptot > 0 AND ctot - ptot > 0
+         GROUP BY 1 ORDER BY 1""",
+    // per-key rank maps (doubled average ranks — integral), then plain
+    // corr over the ranks; same listwise null drop, same key-equality
+    // join semantics
+    "q133_spearman" ->
+      """WITH b AS (
+           SELECT event_type, CAST(value AS DOUBLE) AS x,
+                  CAST(epoch_ms(ts) AS DOUBLE) AS y
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         cx AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2),
+         rx AS (
+           SELECT event_type, x,
+                  2 * CAST(coalesce(sum(n) OVER (
+                        PARTITION BY event_type ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) + n + 1 AS r2x
+           FROM cx),
+         cy AS (SELECT event_type, y, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2),
+         ry AS (
+           SELECT event_type, y,
+                  2 * CAST(coalesce(sum(n) OVER (
+                        PARTITION BY event_type ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) + n + 1 AS r2y
+           FROM cy)
+         SELECT b.event_type,
+                round(corr(CAST(r2x AS DOUBLE), CAST(r2y AS DOUBLE)), 6)
+                  AS spearman,
+                CAST(count(*) AS BIGINT) AS n
+         FROM b
+         JOIN rx USING (event_type, x)
+         JOIN ry USING (event_type, y)
+         GROUP BY 1 ORDER BY 1""",
+    // staged minima with the same ≥-ordering constraint; an entity
+    // absent from stage k is null there and in every later stage
+    "q134_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view'
+             AND user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+           GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+           GROUP BY 1)
+         SELECT s1.user_id, epoch_us(t1) AS t1_us,
+                epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us
+         FROM s1
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)
+         ORDER BY user_id""",
+    // integer age arithmetic against the same fixed now (2024-02-15Z)
+    "q135_freshness" ->
+      """SELECT event_type,
+                max(epoch_ms(ts)) AS latest_ms,
+                CAST(count(*) AS BIGINT) AS n,
+                1707955200000 - max(epoch_ms(ts)) AS age_ms,
+                (1707955200000 - max(epoch_ms(ts))) > 864000000
+                  AS sla_violated
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // the salting-decision scalars from the per-key count frame
+    "q136_key_skew" ->
+      """WITH c AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1)
+         SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                max(c) AS max_key_rows,
+                round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+                  AS hot_share,
+                round(CAST(max(c) AS DOUBLE)
+                      / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)),
+                  6) AS imbalance
+         FROM c"""
   )
 }

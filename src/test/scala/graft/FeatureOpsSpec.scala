@@ -70,6 +70,127 @@ class FeatureOpsSpec extends SparkSpec {
       "absent type total stays null")
   }
 
+  test("auc: perfect=1, all-tied=0.5, hand case with ties, degenerate drop") {
+    import graft.ops.Statistics.aucByKey
+    // key "perf": positives strictly above negatives → AUC 1
+    // key "tied": every score equal → AUC 0.5 by average-rank ties
+    // key "mix" : scores [.1-, .4+, .4-, .9+] → pairs: (.4+ vs .1-)=1,
+    //   (.4+ vs .4-)=.5, (.9+ vs both -)=2 → U=3.5 of 4 → AUC .875
+    // key "degen": all positive → excluded
+    val df = Seq(
+      ("perf", 0.9, 1), ("perf", 0.8, 1), ("perf", 0.2, 0),
+      ("tied", 0.5, 1), ("tied", 0.5, 0), ("tied", 0.5, 1), ("tied", 0.5, 0),
+      ("mix", 0.1, 0), ("mix", 0.4, 1), ("mix", 0.4, 0), ("mix", 0.9, 1),
+      ("degen", 0.7, 1), ("degen", 0.3, 1)
+    ).toDF("k", "s", "y")
+    val got = aucByKey(df, Seq("k"), $"s", $"y").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    assert(got === Map("perf" -> 1.0, "tied" -> 0.5, "mix" -> 0.875))
+    // sanity vs a brute-force pair count on real-ish data
+    val ev = spark.range(500).select(
+      lit("g").as("k"),
+      (pmod($"id" * 2654435761L, lit(1000)) / 1000.0).as("s"),
+      (pmod($"id" * 40503L, lit(100)) < 30).cast("int").as("y"))
+    val auc = aucByKey(ev, Seq("k"), $"s", $"y")
+      .collect().head.getAs[Double]("auc")
+    val rows = ev.collect().map(r => (r.getDouble(1), r.getInt(2)))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val u = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val brute = u / (pos.length.toLong * neg.length)
+    assert(math.abs(auc - brute) < 1e-6, s"$auc vs $brute")
+  }
+
+  test("spearman: ±1 for monotone, tie-corrected brute-force parity") {
+    import graft.ops.Statistics.spearmanByKey
+    // monotone up (any monotone map → 1), monotone down → −1
+    val mono = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 100.0), ("up", 3.0, 101.0),
+      ("dn", 1.0, 9.0), ("dn", 2.0, 5.0), ("dn", 3.0, 1.0)
+    ).toDF("k", "x", "y")
+    val got = spearmanByKey(mono, Seq("k"), "x", "y").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("spearman")).toMap
+    assert(got === Map("up" -> 1.0, "dn" -> -1.0))
+    // ties: brute-force average-rank Spearman on a pseudo-random set
+    val n = 200
+    val rows = (0 until n).map { i =>
+      ("g", (i * 2654435761L % 40).toDouble, (i * 40503L % 30).toDouble)
+    }
+    val df = rows.toDF("k", "x", "y")
+    val auc = spearmanByKey(df, Seq("k"), "x", "y")
+      .collect().head.getAs[Double]("spearman")
+    def avgRanks(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = avgRanks(rows.map(_._2)); val ry = avgRanks(rows.map(_._3))
+    val xs = rows.map(r => rx(r._2)); val ys = rows.map(r => ry(r._3))
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sx = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum)
+    val sy = math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(auc - cov / (sx * sy)) < 1e-6)
+  }
+
+  test("funnel: ordering constraint, same-instant, truncated stages") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      ("A", "view", 1L), ("A", "click", 2L), ("A", "purchase", 3L),
+      ("B", "click", 1L), ("B", "view", 2L), ("B", "click", 5L),
+      ("C", "purchase", 9L),                  // never stage 1 → absent
+      ("D", "view", 4L), ("D", "purchase", 3L), // purchase BEFORE view
+      ("E", "view", 7L), ("E", "click", 7L)   // same instant counts
+    ).toDF("u", "et", "t")
+    val st = Funnel.stageTimes(ev, "u", $"et", "t",
+      Seq("view", "click", "purchase"))
+    val rows = st.collect().map(r => r.getString(0) ->
+      (r.get(1), r.get(2), r.get(3))).toMap
+    assert(rows.keySet === Set("A", "B", "D", "E"))
+    assert(rows("A") === (1L, 2L, 3L))
+    assert(rows("B") === (2L, 5L, null), "pre-view click rejected")
+    assert(rows("D") === (4L, null, null), "no later stages after a miss")
+    assert(rows("E") === (7L, 7L, null), "t >= prev is inclusive")
+    val sum = Funnel.summary(st, "u", 3).collect().head
+    assert(sum.getAs[Long]("stage1_n") === 4L)
+    assert(sum.getAs[Long]("stage2_n") === 3L)
+    assert(sum.getAs[Long]("stage3_n") === 1L)
+    assert(sum.getAs[Double]("stage2_rate") === 0.75)
+  }
+
+  test("freshness: ages against a fixed now, SLA boundary is strict") {
+    val df = Seq(("a", 900L), ("a", 1000L), ("b", 400L)).toDF("k", "t")
+    val out = Monitoring.freshness(df, Seq("k"), "t",
+      nowMillis = 1500L, slaMillis = 500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("latest_ms"), r.getAs[Long]("age_ms"),
+          r.getAs[Boolean]("sla_violated"))).toMap
+    assert(out("a") === ((1000L, 500L, false)), "age == sla is NOT violated")
+    assert(out("b") === ((400L, 1100L, true)))
+  }
+
+  test("key skew profile: exact scalars and deterministic top keys") {
+    import graft.ops.Statistics.keySkewProfile
+    // key 7 planted hot: 60 of 100 rows
+    val df = spark.range(100).select(
+      when($"id" < 60, 7L).otherwise($"id").as("k"))
+    val r = keySkewProfile(df, Seq("k"), topK = 3).collect().head
+    assert(r.getAs[Long]("total_rows") === 100L)
+    assert(r.getAs[Long]("n_keys") === 41L)
+    assert(r.getAs[Long]("max_key_rows") === 60L)
+    assert(r.getAs[Double]("hot_share") === 0.6)
+    // imbalance = 60 / (100/41)
+    assert(r.getAs[Double]("imbalance") === 24.6)
+    val top = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("top_keys"))
+    assert(top.head.getAs[Long]("k") === 7L &&
+      top.head.getAs[Long]("rows") === 60L)
+    assert(top.size === 3)
+  }
+
   test("calibration bins: clamping, exact counts, observed rates") {
     val df = Seq((-0.1, 1), (0.05, 0), (0.05, 1), (0.97, 1), (1.3, 0))
       .toDF("score", "y")
