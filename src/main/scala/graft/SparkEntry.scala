@@ -2494,6 +2494,18 @@ object SparkEntry {
       graft.ops.Statistics.keySkewProfile(ev, Seq("user_id"), topK = 5)
         .select("total_rows", "n_keys", "max_key_rows", "hot_share",
           "imbalance")
+    }),
+
+    // Matryoshka truncation recall: per query, how much of the exact
+    // 64-dim top-10 survives searching only the first 16 dims — the
+    // prefix-dimension design probe as a first-class operator.
+    "q137_matryoshka_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      graft.ops.Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+          queries, "qid", "qe", k = 10, dims = 16)
+        .orderBy("qid")
     })
   )
 
@@ -5193,6 +5205,33 @@ object SparkEntry {
                 round(CAST(max(c) AS DOUBLE)
                       / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)),
                   6) AS imbalance
-         FROM c"""
+         FROM c""",
+    // both top-10 sets replayed (same cosine, same vec_id tie-break,
+    // truncated = first 16 dims), recall = overlap / 10
+    "q137_matryoshka_recall" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 20),
+         fullp AS (
+           SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY
+                    list_cosine_similarity(
+                      CAST(embedding AS DOUBLE[]), qe) DESC,
+                    vec_id ASC) AS rnk
+           FROM embeddings, q WHERE vec_id <> qid),
+         truncp AS (
+           SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid ORDER BY
+                    list_cosine_similarity(
+                      CAST(embedding[1:16] AS DOUBLE[]),
+                      qe[1:16]) DESC,
+                    vec_id ASC) AS rnk
+           FROM embeddings, q WHERE vec_id <> qid),
+         f AS (SELECT qid, vec_id FROM fullp WHERE rnk <= 10),
+         t AS (SELECT qid, vec_id FROM truncp WHERE rnk <= 10)
+         SELECT f.qid,
+                round(CAST(count(t.vec_id) AS DOUBLE) / 10, 6) AS recall
+         FROM f LEFT JOIN t ON f.qid = t.qid AND f.vec_id = t.vec_id
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -137,4 +137,40 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("_score").as("score"),
         col("_rank").as("rank"))
   }
+
+  /** Matryoshka truncation recall: how much of the exact top-k survives
+    * when search runs on only the first `dims` dimensions — the
+    * measurement behind MRL-style embeddings (Kusupati 2022, public
+    * method), where a prefix of the vector is trained to stand alone
+    * and search cost drops by dims/D. Cosine renormalizes internally,
+    * so truncated search is just cosine over the sliced arrays; recall
+    * is `|top_k(full) ∩ top_k(prefix)| / k` per query. Use it to pick
+    * the cheapest prefix that keeps recall — the same design probe
+    * IVF/LSH geometry gets from SCALE.md, as a first-class operator.
+    *
+    * Cost: two brute-force passes over corpus × queries (queries
+    * broadcast) + one tiny join of the two k-row-per-query tops.
+    */
+  def matryoshkaRecall(corpus: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, queryIdCol: String,
+                       queryVecCol: String, k: Int, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be at least 1")
+    val full = bruteForceKnn(corpus, idCol, vecCol,
+      queries, queryIdCol, queryVecCol, k)
+      .select(col(queryIdCol), col(idCol))
+    val tCorpus = corpus.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val tQueries = queries.select(col(queryIdCol),
+      slice(col(queryVecCol), 1, dims).as(queryVecCol))
+    val trunc = bruteForceKnn(tCorpus, idCol, vecCol,
+      tQueries, queryIdCol, queryVecCol, k)
+      .select(col(queryIdCol), col(idCol))
+    // left join from the full top so a zero-overlap query still emits
+    // recall = 0 instead of vanishing
+    full.join(trunc.withColumn("_hit", lit(1)), Seq(queryIdCol, idCol),
+        "left")
+      .groupBy(col(queryIdCol))
+      .agg(round(coalesce(sum(col("_hit")), lit(0L)).cast("double") / k, 6)
+        .as("recall"))
+  }
 }

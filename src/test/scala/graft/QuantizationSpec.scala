@@ -97,4 +97,20 @@ class QuantizationSpec extends SparkSpec {
       .collect()
     deq.foreach(r => assert(r.getSeq[Float](0).head == 1.5f))
   }
+
+  test("matryoshka recall: full prefix = 1.0, informative prefix beats tiny") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // truncating to the FULL dimension is the identity: recall 1 everywhere
+    val full = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+      queries, "qid", "qe", k = 5, dims = 64).collect()
+    assert(full.length === 10)
+    assert(full.forall(_.getAs[Double]("recall") === 1.0))
+    // a 32-dim prefix carries more of a random vector's geometry than a
+    // 4-dim one: mean recall must be strictly ordered
+    def mean(d: Int) = Similarity.matryoshkaRecall(emb, "vec_id",
+        "embedding", queries, "qid", "qe", k = 5, dims = d)
+      .agg(avg(col("recall"))).collect().head.getDouble(0)
+    assert(mean(32) > mean(4))
+  }
 }
