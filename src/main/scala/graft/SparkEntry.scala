@@ -2506,6 +2506,34 @@ object SparkEntry {
       graft.ops.Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
           queries, "qid", "qe", k = 10, dims = 16)
         .orderBy("qid")
+    }),
+
+    // Training-data card: the per-language corpus summary a dataset
+    // release ships — doc counts, corpus share, BPE-ish token totals,
+    // exact-dup rate (fingerprint distinct), mean length — composed
+    // from the engine's oracled primitives in ONE grouped pass plus a
+    // distinct count.
+    "q138_dataset_card" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val enriched = docs.select(col("lang"), col("n_chars"),
+        graft.ops.TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+          .as("toks"),
+        graft.functions.TextHash.charPolyHash(col("text")).as("fp"))
+      val perLang = enriched.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        countDistinct(col("fp")).as("_dfp"),
+        round(avg(col("n_chars")), 4).as("mean_chars"))
+      val total = perLang.agg(sum("n_docs").as("_corpus_docs"))
+      perLang.crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") /
+            col("_corpus_docs").cast("double"), 6).as("corpus_share"),
+          col("total_tokens"),
+          round(lit(1.0) - col("_dfp").cast("double") /
+            col("n_docs").cast("double"), 6).as("dup_rate"),
+          col("mean_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -5232,6 +5260,36 @@ object SparkEntry {
          SELECT f.qid,
                 round(CAST(count(t.vec_id) AS DOUBLE) / 10, 6) AS recall
          FROM f LEFT JOIN t ON f.qid = t.qid AND f.vec_id = t.vec_id
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    // the card replayed from the same primitives: BPE-ish token regex
+    // (q93's), char-poly fingerprints (q22's), exact integer counts,
+    // single-division ratios rounded at 6
+    "q138_dataset_card" ->
+      """WITH d AS (
+           SELECT lang, n_chars,
+                  len(regexp_extract_all(text,
+                    '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))::BIGINT
+                    AS toks,
+                  list_reduce(
+                    [0::BIGINT] || list_transform(
+                      range(1, length(text) + 1),
+                      i -> unicode(text[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) AS fp
+           FROM documents),
+         p AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(toks) AS BIGINT) AS total_tokens,
+                  CAST(count(DISTINCT fp) AS BIGINT) AS dfp,
+                  round(avg(n_chars), 4) AS mean_chars
+           FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM p)
+         SELECT lang, n_docs,
+                round(CAST(n_docs AS DOUBLE) / CAST(corpus_docs AS DOUBLE),
+                  6) AS corpus_share,
+                total_tokens,
+                round(1 - CAST(dfp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                  AS dup_rate,
+                mean_chars
+         FROM p CROSS JOIN t ORDER BY lang"""
   )
 }
