@@ -2534,6 +2534,21 @@ object SparkEntry {
             col("n_docs").cast("double"), 6).as("dup_rate"),
           col("mean_chars"))
         .orderBy("lang")
+    }),
+
+    // Wasserstein-1 drift in the feature's own units, completing the
+    // battery (PSI dimensionless, KS max-gap, χ² categorical, W1
+    // earth-mover) — same one-scan count grid as q101/q104.
+    "q139_wasserstein_drift" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val cutUs =
+        java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val flagged = ev.select(col("event_type"), col("value"),
+        (graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          < lit(cutUs)).as("is_ref"))
+      graft.ops.Monitoring.wassersteinDrift(flagged, Seq("event_type"),
+          col("value"), col("is_ref"), bins = 20, lo = 0.0, hi = 25.0)
+        .orderBy("event_type")
     })
   )
 
@@ -5290,6 +5305,41 @@ object SparkEntry {
                 round(1 - CAST(dfp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
                   AS dup_rate,
                 mean_chars
-         FROM p CROSS JOIN t ORDER BY lang"""
+         FROM p CROSS JOIN t ORDER BY lang""",
+    // the seen-bin cumsum grid (as q104) + span weighting: the CDF gap
+    // is constant across absent bins, so each seen bin's term carries
+    // its span to the next seen bin; × bin width = value units
+    "q139_wasserstein_drift" ->
+      """WITH e AS (
+           SELECT event_type,
+                  epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+                    AS is_ref,
+                  least(greatest(CAST(floor(value / 1.25) AS INT), 0), 19)
+                    AS bin
+           FROM events),
+         c AS (
+           SELECT event_type, bin,
+                  CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ref_n,
+                  CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+                    AS det_n
+           FROM e GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, bin,
+                  sum(ref_n) OVER (PARTITION BY event_type
+                                   ORDER BY bin) AS cr,
+                  sum(det_n) OVER (PARTITION BY event_type
+                                   ORDER BY bin) AS cd,
+                  sum(ref_n) OVER (PARTITION BY event_type) AS rt,
+                  sum(det_n) OVER (PARTITION BY event_type) AS dt,
+                  coalesce(lead(bin) OVER (PARTITION BY event_type
+                                           ORDER BY bin),
+                           bin + 1) - bin AS span
+           FROM c)
+         SELECT event_type,
+                round(sum(abs(cr / rt - cd / dt) * span) * 1.25, 6) AS w1,
+                CAST(max(rt) AS BIGINT) AS ref_total,
+                CAST(max(dt) AS BIGINT) AS det_total
+         FROM m GROUP BY 1 ORDER BY 1"""
   )
 }

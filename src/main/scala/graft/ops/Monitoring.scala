@@ -261,6 +261,58 @@ object Monitoring {
         max(col("_dt")).as("det_total"))
   }
 
+  /** Binned Wasserstein-1 (earth-mover) drift per key group: the
+    * integral of |CDF_ref − CDF_det| over the value axis — the drift
+    * score in the FEATURE'S OWN UNITS ("the distribution moved ~0.8
+    * units of value"), which PSI (dimensionless) and KS (a single max
+    * gap) can't express. Same fixed [lo, hi) grid and one
+    * map-side-combined count pass as [[psiDrift]]/[[ksDrift]] — the
+    * three scores share one scan, or zero from stored partials.
+    */
+  def wassersteinDrift(df: DataFrame, keys: Seq[String],
+                       valueCol: org.apache.spark.sql.Column,
+                       isRef: org.apache.spark.sql.Column,
+                       bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
+      lit(0L)), lit((bins - 1).toLong)).cast("int")
+    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
+    wassersteinFromCounts(counts, keys, width)
+  }
+
+  /** W1 from a stored per-(keys, bin) count frame — zero-scan. Empty
+    * bins between seen bins DO contribute (unlike KS's max, W1 sums):
+    * the CDF gap is constant across a gap of absent bins, so each seen
+    * bin's term is weighted by its span to the next seen bin. Past the
+    * last seen bin both CDFs are 1 and the gap is 0, so the last span
+    * is irrelevant.
+    */
+  def wassersteinFromCounts(counts: DataFrame, keys: Seq[String],
+                            binWidth: Double): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("bin").asc)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    counts
+      .withColumn("_cr", sum(col("ref_n")).over(w))
+      .withColumn("_cd", sum(col("det_n")).over(w))
+      .withColumn("_rt", sum(col("ref_n")).over(wAll))
+      .withColumn("_dt", sum(col("det_n")).over(wAll))
+      .withColumn("_span",
+        coalesce(lead(col("bin"), 1).over(wLead), col("bin") + 1)
+          - col("bin"))
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum(abs(col("_cr") / col("_rt") - col("_cd") / col("_dt"))
+          * col("_span")) * binWidth, 6).as("w1"),
+        max(col("_rt")).as("ref_total"),
+        max(col("_dt")).as("det_total"))
+  }
+
   /** Two-sample chi-square homogeneity drift per key group over a
     * CATEGORICAL column: χ² = Σ over (category, window) cells of
     * (observed − expected)²/expected, expected under the pooled

@@ -154,6 +154,28 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(stored === direct)
   }
 
+  test("wassersteinDrift: 0 when identical, mass x distance when shifted") {
+    val same = (1 to 400).map(i => ("t", (i % 20).toDouble, i % 2 == 0))
+      .toDF("k", "v", "is_ref")
+    // width-2 bins put ref evens and det odds in the same cell (same
+    // grid as the KS test) — binned-identical populations score 0
+    val w0 = graft.ops.Monitoring.wassersteinDrift(same, Seq("k"),
+      col("v"), col("is_ref"), bins = 10, lo = 0.0, hi = 20.0)
+      .select("w1").as[Double].collect().head
+    assert(w0 === 0.0)
+    // ref at 0.5, det at 5.5 (bins 0 and 5 only, width 1): the CDF gap
+    // is 1 across bins 0-4, so W1 = 5.0 — and bins 1-4 are ABSENT from
+    // the count frame, which is exactly the span-weighting case
+    val shifted = (1 to 100).map { i =>
+      val ref = i % 2 == 0
+      ("t", if (ref) 0.5 else 5.5, ref)
+    }.toDF("k", "v", "is_ref")
+    val w5 = graft.ops.Monitoring.wassersteinDrift(shifted, Seq("k"),
+      col("v"), col("is_ref"), bins = 10, lo = 0.0, hi = 10.0)
+      .select("w1").as[Double].collect().head
+    assert(w5 === 5.0, s"expected the 5-bin move, got $w5")
+  }
+
   test("ksDrift: identical ~0, disjoint = 1, stored partials = direct") {
     val same = (1 to 400).map(i => ("t", (i % 20).toDouble, i % 2 == 0))
       .toDF("k", "v", "is_ref")
