@@ -2549,6 +2549,17 @@ object SparkEntry {
       graft.ops.Monitoring.wassersteinDrift(flagged, Seq("event_type"),
           col("value"), col("is_ref"), bins = 20, lo = 0.0, hi = 25.0)
         .orderBy("event_type")
+    }),
+
+    // Expected calibration error: the one-number reliability summary
+    // over the same q131 scored frame — bin-weighted |score − rate|.
+    "q140_ece" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val scored = ev.filter(col("value").isNotNull)
+        .select((col("value") / lit(640.0)).as("score"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      graft.ops.Monitoring.expectedCalibrationError(scored, col("score"),
+        col("label"), bins = 10)
     })
   )
 
@@ -5340,6 +5351,28 @@ object SparkEntry {
                 round(sum(abs(cr / rt - cd / dt) * span) * 1.25, 6) AS w1,
                 CAST(max(rt) AS BIGINT) AS ref_total,
                 CAST(max(dt) AS BIGINT) AS det_total
-         FROM m GROUP BY 1 ORDER BY 1"""
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // the q131 bin table (same rounding) folded to the bin-weighted
+    // |score − rate| mean
+    "q140_ece" ->
+      """WITH b AS (
+           SELECT value / 640.0 AS score,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS label
+           FROM events WHERE value IS NOT NULL),
+         cb AS (
+           SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS INT)
+                    AS bin,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(score) / count(*), 6) AS mean_score,
+                  round(CAST(sum(label) AS DOUBLE) / count(*), 6)
+                    AS pos_rate
+           FROM b GROUP BY 1)
+         SELECT round(sum(CAST(n AS DOUBLE)
+                          * abs(mean_score - pos_rate))
+                      / sum(CAST(n AS DOUBLE)), 6) AS ece,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_bins
+         FROM cb"""
   )
 }

@@ -668,6 +668,25 @@ object Monitoring {
       .withColumn("sla_violated", col("age_ms") > lit(slaMillis))
   }
 
+  /** Expected calibration error: the bin-weighted mean gap between
+    * predicted score and observed rate over the [[calibrationBins]]
+    * table — the single-number summary of a reliability diagram
+    * (Naeini 2015's ECE, public method). Folds the ≤`bins`-row bin
+    * frame; the only data-sized work is the bins' own grouped pass.
+    */
+  def expectedCalibrationError(df: DataFrame,
+                               scoreCol: org.apache.spark.sql.Column,
+                               labelCol: org.apache.spark.sql.Column,
+                               bins: Int): DataFrame = {
+    val b = calibrationBins(df, scoreCol, labelCol, bins)
+    b.agg(
+      round(sum(col("n").cast("double") *
+          abs(col("mean_score") - col("pos_rate"))) /
+        sum(col("n").cast("double")), 6).as("ece"),
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_bins"))
+  }
+
   def calibrationBins(df: DataFrame, scoreCol: org.apache.spark.sql.Column,
                       labelCol: org.apache.spark.sql.Column,
                       bins: Int): DataFrame = {

@@ -203,4 +203,21 @@ class FeatureOpsSpec extends SparkSpec {
     assert(byBin(0)._2 === 0.666667) // 2 of 3 positive, rounded at 6
     assert(byBin(9)._2 === 0.5)
   }
+
+  test("ECE: 0 for a perfectly calibrated scorer, weighted gap otherwise") {
+    // bin 2 (score .25): 4 rows, 1 positive → |0.25 − 0.25| = 0
+    // bin 7 (score .75): 4 rows, 3 positive → |0.75 − 0.75| = 0
+    val perfect = Seq.fill(3)((0.25, 0)) ++ Seq((0.25, 1)) ++
+      Seq.fill(3)((0.75, 1)) ++ Seq((0.75, 0))
+    val e0 = Monitoring.expectedCalibrationError(
+      perfect.toDF("score", "y"), $"score", $"y", bins = 10)
+      .collect().head
+    assert(e0.getAs[Double]("ece") === 0.0)
+    assert(e0.getAs[Long]("n_rows") === 8L && e0.getAs[Long]("n_bins") === 2L)
+    // overconfident: score .9 but only half win → ece = |0.9 − 0.5| = 0.4
+    val over = Seq((0.9, 1), (0.9, 0)).toDF("score", "y")
+    val e1 = Monitoring.expectedCalibrationError(over, $"score", $"y", 10)
+      .collect().head.getAs[Double]("ece")
+    assert(e1 === 0.4)
+  }
 }
