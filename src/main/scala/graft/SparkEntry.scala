@@ -2560,6 +2560,18 @@ object SparkEntry {
           when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
       graft.ops.Monitoring.expectedCalibrationError(scored, col("score"),
         col("label"), bins = 10)
+    }),
+
+    // Cohen's kappa between two labelers of the same events (a strict
+    // and a lenient threshold rule): chance-corrected agreement, the
+    // labeled-data QA score.
+    "q141_cohen_kappa" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val rated = ev.filter(col("value").isNotNull)
+        .select(
+          when(col("value") > 300, "hi").otherwise("lo").as("rater_a"),
+          when(col("value") > 250, "hi").otherwise("lo").as("rater_b"))
+      graft.ops.Statistics.cohenKappa(rated, "rater_a", "rater_b")
     })
   )
 
@@ -5373,6 +5385,37 @@ object SparkEntry {
                       / sum(CAST(n AS DOUBLE)), 6) AS ece,
                 CAST(sum(n) AS BIGINT) AS n_rows,
                 CAST(count(*) AS BIGINT) AS n_bins
-         FROM cb"""
+         FROM cb""",
+    // confusion cells → observed rate and marginal-product chance rate,
+    // the same double dag (casts first)
+    "q141_cohen_kappa" ->
+      """WITH r AS (
+           SELECT CASE WHEN value > 300 THEN 'hi' ELSE 'lo' END AS a,
+                  CASE WHEN value > 250 THEN 'hi' ELSE 'lo' END AS b
+           FROM events WHERE value IS NOT NULL),
+         cells AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS n
+           FROM r GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+         ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na
+                FROM cells GROUP BY 1),
+         mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb
+                FROM cells GROUP BY 1),
+         pe AS (
+           SELECT sum((CAST(na AS DOUBLE) / CAST(tot AS DOUBLE))
+                      * (CAST(nb AS DOUBLE) / CAST(tot AS DOUBLE)))
+             AS p_e
+           FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN t),
+         po AS (
+           SELECT CAST(coalesce(sum(CASE WHEN a = b THEN n END), 0)
+                       AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS p_o,
+                  CAST(max(tot) AS BIGINT) AS n
+           FROM cells CROSS JOIN t)
+         SELECT CASE WHEN p_e < 1
+                     THEN round((p_o - p_e) / (1 - p_e), 6) END AS kappa,
+                round(p_o, 6) AS p_observed,
+                round(p_e, 6) AS p_expected,
+                n
+         FROM po CROSS JOIN pe"""
   )
 }

@@ -334,6 +334,56 @@ object Statistics {
       .crossJoin(broadcast(top))
   }
 
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * "rater" columns — the standard QA score for labeled training data
+    * (two annotators, or a heuristic labeler vs a gold subset):
+    * `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the observed agreement
+    * rate and `p_e` the expected-by-chance rate from the raters'
+    * marginals. Listwise null drop; rater values compare by equality
+    * (null never equals null — rows where either rater abstained are
+    * excluded, the standard convention).
+    *
+    * One map-side-combined groupBy to the |cats²| confusion frame; the
+    * marginals re-aggregate that tiny frame and join back broadcast;
+    * p_o, p_e, κ fold in one aggregate. Exact integer counts → one
+    * deterministic double dag, rounded at 6.
+    */
+  def cohenKappa(df: DataFrame, rater1: String, rater2: String): DataFrame = {
+    val cells = df.filter(col(rater1).isNotNull && col(rater2).isNotNull)
+      .groupBy(col(rater1).cast("string").as("_ck_a"),
+        col(rater2).cast("string").as("_ck_b"))
+      .agg(count(lit(1)).as("_ck_n"))
+      .localCheckpoint()
+    val ma = cells.groupBy(col("_ck_a").as("_ck_a2"))
+      .agg(sum("_ck_n").as("_ck_na"))
+    val mb = cells.groupBy(col("_ck_b").as("_ck_b2"))
+      .agg(sum("_ck_n").as("_ck_nb"))
+    val tot = cells.agg(sum("_ck_n").as("_ck_t"))
+    // p_e = Σ_c (na_c/n)(nb_c/n) needs the per-CATEGORY marginal
+    // product — join the two marginal frames on the category value
+    // (categories seen by only one rater contribute 0, i.e. inner join)
+    val pe = ma.join(mb, col("_ck_a2") === col("_ck_b2"))
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("_ck_na").cast("double") / col("_ck_t").cast("double")) *
+        (col("_ck_nb").cast("double") / col("_ck_t").cast("double")))
+        .as("_ck_pe"))
+    val po = cells.crossJoin(broadcast(tot))
+      .agg((coalesce(sum(when(col("_ck_a") === col("_ck_b"), col("_ck_n"))),
+        lit(0L)).cast("double") / max(col("_ck_t")).cast("double"))
+        .as("_ck_po"),
+        max(col("_ck_t")).as("n"))
+    po.crossJoin(broadcast(pe))
+      .select(
+        // p_e = 1 (all mass in one agreeing cell) makes kappa 0/0 —
+        // emit null rather than tripping ANSI divide-by-zero
+        round(when(col("_ck_pe") < 1.0,
+          (col("_ck_po") - col("_ck_pe")) /
+            (lit(1.0) - col("_ck_pe"))), 6).as("kappa"),
+        round(col("_ck_po"), 6).as("p_observed"),
+        round(col("_ck_pe"), 6).as("p_expected"),
+        col("n"))
+  }
+
   /** Per-key Spearman rank correlation (tie-corrected): Pearson
     * correlation of the two columns' average ranks within each key
     * group — the robust, monotonic-association twin of [[correlations]]

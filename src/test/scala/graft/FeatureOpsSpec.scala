@@ -204,6 +204,30 @@ class FeatureOpsSpec extends SparkSpec {
     assert(byBin(9)._2 === 0.5)
   }
 
+  test("cohen kappa: textbook 0.4 case, perfect = 1, null raters drop") {
+    import graft.ops.Statistics.cohenKappa
+    // confusion (A,A)=40 (A,B)=10 (B,A)=20 (B,B)=30: p_o=.7,
+    // p_e=.5·.6+.5·.4=.5 → κ=.4 (the standard worked example)
+    val rows = Seq.fill(40)(("A", "A")) ++ Seq.fill(10)(("A", "B")) ++
+      Seq.fill(20)(("B", "A")) ++ Seq.fill(30)(("B", "B"))
+    val r = cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Double]("kappa") === 0.4)
+    assert(r.getAs[Double]("p_observed") === 0.7)
+    assert(r.getAs[Double]("p_expected") === 0.5)
+    assert(r.getAs[Long]("n") === 100L)
+    // identical raters → κ = 1 regardless of marginals
+    val same = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(cohenKappa(same, "a", "b").collect().head
+      .getAs[Double]("kappa") === 1.0)
+    // a null from either rater drops the row; the surviving single
+    // agreeing cell has p_e = 1, where kappa is undefined → null
+    val withNulls = Seq((Some("x"), Some("x")), (None, Some("x")),
+      (Some("y"), None)).toDF("a", "b")
+    val deg = cohenKappa(withNulls, "a", "b").collect().head
+    assert(deg.getAs[Long]("n") === 1L)
+    assert(deg.isNullAt(deg.fieldIndex("kappa")))
+  }
+
   test("ECE: 0 for a perfectly calibrated scorer, weighted gap otherwise") {
     // bin 2 (score .25): 4 rows, 1 positive → |0.25 − 0.25| = 0
     // bin 7 (score .75): 4 rows, 3 positive → |0.75 − 0.75| = 0
