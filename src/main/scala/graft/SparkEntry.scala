@@ -2572,6 +2572,16 @@ object SparkEntry {
           when(col("value") > 300, "hi").otherwise("lo").as("rater_a"),
           when(col("value") > 250, "hi").otherwise("lo").as("rater_b"))
       graft.ops.Statistics.cohenKappa(rated, "rater_a", "rater_b")
+    }),
+
+    // Audience overlap: pairwise Jaccard between event types' user
+    // sets, with NO set self-join — one bitmask per user
+    // (sum(DISTINCT 2^i)), mask counts, then tiny-frame algebra.
+    "q142_audience_overlap" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.Statistics.audienceOverlap(ev, "user_id", "event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -5416,6 +5426,42 @@ object SparkEntry {
                 round(p_o, 6) AS p_observed,
                 round(p_e, 6) AS p_expected,
                 n
-         FROM po CROSS JOIN pe"""
+         FROM po CROSS JOIN pe""",
+    // per-user bitmasks via sum(DISTINCT 2^i), mask counts, pairwise
+    // folds — the same bit algebra, k(k−1)/2 output rows
+    "q142_audience_overlap" ->
+      """WITH m AS (
+           SELECT user_id,
+                  CAST(sum(DISTINCT CASE event_type
+                        WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                        WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                        WHEN 'error' THEN 16 END) AS BIGINT) AS mask
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IN
+                 ('click', 'view', 'purchase', 'signup', 'error')
+           GROUP BY 1),
+         c AS (SELECT mask, CAST(count(*) AS BIGINT) AS n
+               FROM m GROUP BY 1),
+         p(type_a, ba, type_b, bb) AS (VALUES
+           ('click', 1, 'view', 2), ('click', 1, 'purchase', 4),
+           ('click', 1, 'signup', 8), ('click', 1, 'error', 16),
+           ('view', 2, 'purchase', 4), ('view', 2, 'signup', 8),
+           ('view', 2, 'error', 16), ('purchase', 4, 'signup', 8),
+           ('purchase', 4, 'error', 16), ('signup', 8, 'error', 16)),
+         agg AS (
+           SELECT type_a, type_b,
+                  CAST(sum(CASE WHEN (mask & ba) > 0 THEN n ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN (mask & bb) > 0 THEN n ELSE 0 END)
+                    AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN (mask & ba) > 0 AND (mask & bb) > 0
+                           THEN n ELSE 0 END) AS BIGINT) AS n_both
+           FROM c CROSS JOIN p GROUP BY 1, 2)
+         SELECT type_a, type_b, n_a, n_b, n_both,
+                CASE WHEN n_a + n_b - n_both > 0
+                     THEN round(CAST(n_both AS DOUBLE)
+                                / CAST(n_a + n_b - n_both AS DOUBLE), 6)
+                END AS jaccard
+         FROM agg ORDER BY type_a, type_b"""
   )
 }

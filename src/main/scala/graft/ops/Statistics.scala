@@ -334,6 +334,59 @@ object Statistics {
       .crossJoin(broadcast(top))
   }
 
+  /** Audience overlap: pairwise Jaccard similarity between the entity
+    * sets of each category ("what fraction of viewers also purchase") —
+    * the segment-overlap matrix behind cohort design. Exact, and
+    * WITHOUT a self-join of entity sets: each entity folds to one
+    * bitmask of the categories it touched (`sum(DISTINCT 2^i)` — the
+    * distinct powers ARE the bitmask), masks count into a ≤ 2^k-row
+    * frame, and every pairwise |∩|, |∪| folds from those counts. Two
+    * grouped passes over data (entity masks, mask counts ride the
+    * same aggregation), then pure tiny-frame algebra: at 100 TB the
+    * k² pair outputs never touch the data again.
+    *
+    * `types` is the explicit category domain (≤ 62 for the long
+    * bitmask); categories outside it are ignored.
+    */
+  def audienceOverlap(df: DataFrame, entityCol: String, typeCol: String,
+                      types: Seq[String]): DataFrame = {
+    require(types.nonEmpty && types.size <= 62,
+      "explicit category domain of at most 62 types required")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val power = types.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (t, i)) => when(col(typeCol) === t, lit(1L << i))
+        .otherwise(acc)
+    }
+    val masks = df.filter(col(entityCol).isNotNull && power.isNotNull)
+      .select(col(entityCol), power.as("_ao_p"))
+      .groupBy(col(entityCol))
+      .agg(sum_distinct(col("_ao_p")).as("_ao_mask"))
+      .groupBy(col("_ao_mask")).agg(count(lit(1)).as("_ao_n"))
+    val pairs = (for {
+      (a, i) <- types.zipWithIndex; (b, j) <- types.zipWithIndex
+      if i < j
+    } yield (a, 1L << i, b, 1L << j))
+      .toDF("type_a", "_ao_ba", "type_b", "_ao_bb")
+    masks.crossJoin(broadcast(pairs))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        sum(when(col("_ao_mask").bitwiseAND(col("_ao_ba")) > 0,
+          col("_ao_n")).otherwise(0L)).as("_na"),
+        sum(when(col("_ao_mask").bitwiseAND(col("_ao_bb")) > 0,
+          col("_ao_n")).otherwise(0L)).as("_nb"),
+        sum(when(col("_ao_mask").bitwiseAND(col("_ao_ba")) > 0 &&
+          col("_ao_mask").bitwiseAND(col("_ao_bb")) > 0,
+          col("_ao_n")).otherwise(0L)).as("_nab"))
+      .select(col("type_a"), col("type_b"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        col("_nab").as("n_both"),
+        round(when(col("_na") + col("_nb") - col("_nab") > 0,
+          col("_nab").cast("double") /
+            (col("_na") + col("_nb") - col("_nab")).cast("double")), 6)
+          .as("jaccard"))
+  }
+
   /** Cohen's kappa: chance-corrected agreement between two categorical
     * "rater" columns — the standard QA score for labeled training data
     * (two annotators, or a heuristic labeler vs a gold subset):

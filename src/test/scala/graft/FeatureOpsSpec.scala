@@ -228,6 +228,23 @@ class FeatureOpsSpec extends SparkSpec {
     assert(deg.isNullAt(deg.fieldIndex("kappa")))
   }
 
+  test("audience overlap: hand-computed jaccards, no set self-join") {
+    import graft.ops.Statistics.audienceOverlap
+    // click = {1,2}, view = {1,3}, purchase = {3}
+    val ev = Seq((1L, "click"), (1L, "view"), (2L, "click"),
+      (3L, "view"), (3L, "purchase"), (1L, "click") /* dup ignored */)
+      .toDF("u", "t")
+    val out = audienceOverlap(ev, "u", "t",
+      Seq("click", "view", "purchase")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_both"), r.getAs[Double]("jaccard"))).toMap
+    assert(out(("click", "view")) === ((2L, 2L, 1L, 0.333333)))
+    assert(out(("click", "purchase")) === ((2L, 1L, 0L, 0.0)))
+    assert(out(("view", "purchase")) === ((2L, 1L, 1L, 0.5)))
+    assert(out.size === 3)
+  }
+
   test("ECE: 0 for a perfectly calibrated scorer, weighted gap otherwise") {
     // bin 2 (score .25): 4 rows, 1 positive → |0.25 − 0.25| = 0
     // bin 7 (score .75): 4 rows, 3 positive → |0.75 − 0.75| = 0
