@@ -4790,8 +4790,10 @@ object SparkEntry {
          FROM acc GROUP BY lang ORDER BY lang""",
     // the binary-Avro byte layout in SQL: per nullable-union field one
     // branch byte + (null: nothing | long: zigzag varint width | double:
-    // 8 | string: length-varint + UTF-8 bytes); key = bare avro string
-    // of the PK rendered as text
+    // 8 | string: length-varint + UTF-8 bytes); key = the PK concat
+    // under the nullable union ["null","string"] (branch byte + length
+    // varint + UTF-8 bytes — the schema to_avro infers from a nullable
+    // concat column)
     "q114_avro_wire" ->
       """WITH e AS (
            SELECT event_id, user_id, value,
@@ -4809,7 +4811,7 @@ object SparkEntry {
                   ELSE strlen(etype) END AS slen
            FROM e)
          SELECT event_id,
-           CAST(CASE WHEN 2 * klen < 128 THEN 1 ELSE 2 END + klen
+           CAST(1 + CASE WHEN 2 * klen < 128 THEN 1 ELSE 2 END + klen
                 AS BIGINT) AS key_len,
            CAST(
              1 + CASE WHEN z1 < 128 THEN 1 WHEN z1 < 16384 THEN 2
@@ -4967,7 +4969,8 @@ object SparkEntry {
            ON b.event_type IS NOT DISTINCT FROM e.event_type
           AND b.fold = e.fold
          ORDER BY b.event_id""",
-    // the cross string (null → chr(0) sentinel, chr(1) separator) and the
+    // the cross string (null → chr(2) sentinel — a leading chr(0) would
+    // be absorbed by the h=0 polynomial seed; chr(1) separator) and the
     // 52-bit char polynomial replayed with list_reduce, then mod 64
     "q123_hashed_cross" ->
       """WITH base AS (

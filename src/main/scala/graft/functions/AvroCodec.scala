@@ -106,10 +106,14 @@ object AvroCodec {
   }
 
   /** Encode every row of `df` to the Kafka wire triple: `key` = binary
-    * Avro STRING of the sorted-primary-key concat, `value` = binary Avro
-    * record of all columns (nullable unions), `headers` = constant
-    * metadata entries — byte-compatible with the reference's
-    * `_online_fg_to_avro` + header attach (engine/spark.py:507-533).
+    * Avro of the sorted-primary-key concat under the nullable union
+    * `["null","string"]` (the schema `to_avro` infers from a nullable
+    * concat column — so the bytes carry the union branch prefix, and a
+    * null pk component nulls the whole concat, hence a null key, exactly
+    * like SQL `concat`), `value` = binary Avro record of all columns
+    * (nullable unions), `headers` = constant metadata entries —
+    * byte-compatible with the reference's `_online_fg_to_avro` + header
+    * attach (engine/spark.py:507-533).
     */
   def toAvroWire(df: DataFrame, primaryKey: Seq[String],
                  headers: Map[String, String] = Map(),
@@ -134,7 +138,7 @@ object AvroCodec {
 
     df.mapPartitions { rows =>
       val valueSchema = parse(valueJson)
-      val keySchema = Schema.create(Schema.Type.STRING)
+      val keySchema = parse("""["null","string"]""")
       val valueWriter = new GenericDatumWriter[GenericRecord](valueSchema)
       val keyWriter = new GenericDatumWriter[AnyRef](keySchema)
       val buf = new ByteArrayOutputStream(256)
@@ -153,11 +157,12 @@ object AvroCodec {
           rec.put(i, toDatum(row.get(i), fieldTypes(i)))
           i += 1
         }
-        val keyStr = pkIdx.map { i =>
-          val v = row.get(i)
-          if (v == null) "" else v.toString
-        }.mkString("")
-        val keyBytes = write(keyWriter, new Utf8(keyStr))
+        // concat semantics: any null component nulls the whole key
+        val pkVals = pkIdx.map(row.get)
+        val keyDatum: AnyRef =
+          if (pkVals.contains(null)) null
+          else new Utf8(pkVals.mkString(""))
+        val keyBytes = write(keyWriter, keyDatum)
         val valueBytes = write(valueWriter, rec)
         if (hdrRows.isEmpty) Row(keyBytes, valueBytes)
         else Row(keyBytes, valueBytes, hdrRows)

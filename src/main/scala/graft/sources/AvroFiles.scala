@@ -138,6 +138,11 @@ object AvroFiles {
   /** Read a directory (or single file) of Avro container files. The
     * schema comes from the first file's embedded writer schema — the
     * container format's point — so no caller-declared schema is needed.
+    * That first schema is then passed as the READER (expected) schema
+    * for every file, so Avro's own schema resolution matches fields by
+    * NAME per file: a directory appended with a reordered or widened
+    * writer schema decodes correctly instead of silently mis-assigning
+    * columns by position (ADVICE r9 #2).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val target = fs(path)
@@ -165,10 +170,15 @@ object AvroFiles {
       if (parallelism > 1) fileList.repartition(parallelism) else fileList
     spread
       .mapPartitions { paths =>
+        // expected/reader schema: DataFileReader sets each file's writer
+        // schema on the datum reader, and Avro resolves writer→reader by
+        // field name, so rec.get(i) below is always positions of THIS
+        // schema regardless of the file's field order
+        val expected = new Schema.Parser().parse(writerSchemaJson)
         paths.flatMap { f =>
           val reader = new DataFileReader[GenericRecord](
             new FsInput(new Path(f), new Configuration()),
-            new GenericDatumReader[GenericRecord]())
+            new GenericDatumReader[GenericRecord](expected))
           new Iterator[Row] {
             def hasNext: Boolean = {
               val h = reader.hasNext

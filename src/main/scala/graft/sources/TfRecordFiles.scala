@@ -203,24 +203,35 @@ object TfRecordFiles {
 
   private final class Reader(val a: Array[Byte], var p: Int, val end: Int) {
     def hasMore: Boolean = p < end
+    // every read is bounded at the enclosing sub-message's `end` — a
+    // malformed varint or an over-long length-delimited field fails
+    // loudly instead of reading a sibling message's bytes (ADVICE r9 #3)
     def varint(): Long = {
       var shift = 0; var v = 0L
-      while (true) {
+      while (p < end) {
         val b = a(p); p += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
         shift += 7
+        if (shift > 63) throw new IllegalArgumentException(
+          "malformed protobuf varint: more than 10 bytes")
       }
-      v
+      throw new IllegalArgumentException(
+        "malformed protobuf varint: ran past message end")
     }
     def sub(): Reader = {
       val n = varint().toInt
+      require(n >= 0 && p + n <= end,
+        s"length-delimited field of $n bytes overruns message end")
       val r = new Reader(a, p, p + n); p += n; r
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
       case 1 => p += 8
-      case 2 => val n = varint().toInt; p += n
+      case 2 => val n = varint().toInt
+        require(n >= 0 && p + n <= end,
+          s"skipped field of $n bytes overruns message end")
+        p += n
       case 5 => p += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
@@ -347,9 +358,18 @@ object TfRecordFiles {
         paths.flatMap { f =>
           val in = new DataInputStream(FileSystem.get(
             new java.net.URI(f), new Configuration()).open(new Path(f)))
+          // a partially consumed task iterator (limit, take, task kill)
+          // never reaches clean EOF — close at task completion too
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          }
           new Iterator[Row] {
             private var nextPayload: Array[Byte] = advance()
-            private def advance(): Array[Byte] =
+            // the handle survives only the success path; clean EOF and
+            // any failure (CRC mismatch, truncation) both close it
+            private def advance(): Array[Byte] = {
+              var keepOpen = false
               try {
                 val lenLe = new Array[Byte](8)
                 in.readFully(lenLe)
@@ -363,8 +383,14 @@ object TfRecordFiles {
                 val dataCrc = java.lang.Integer.reverseBytes(in.readInt())
                 require(dataCrc == maskedCrc(payload),
                   s"tfrecord payload crc mismatch in $f")
+                keepOpen = true
                 payload
-              } catch { case _: EOFException => in.close(); null }
+              } catch {
+                case _: EOFException => null
+              } finally {
+                if (!keepOpen) in.close()
+              }
+            }
             def hasNext: Boolean = nextPayload != null
             def next(): Row = {
               val feats = parseExample(nextPayload)

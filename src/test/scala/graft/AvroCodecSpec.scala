@@ -35,9 +35,21 @@ class AvroCodecSpec extends SparkSpec {
       Array[Byte](0x02, 0x04, 'a'.toByte, 'b'.toByte)
     assert(value.toSeq == expected.toSeq,
       s"got ${value.map("%02x".format(_)).mkString(" ")}")
-    // key: avro string of "1" → length 1 (zigzag 2) + '1'
+    // key: nullable-union string of "1" → branch 1 (zigzag 2) +
+    // length 1 (zigzag 2) + '1'
     val key = wire.getAs[Array[Byte]]("key")
-    assert(key.toSeq == Seq[Byte](0x02, '1'.toByte))
+    assert(key.toSeq == Seq[Byte](0x02, 0x02, '1'.toByte))
+  }
+
+  test("a null pk component nulls the whole key (concat semantics)") {
+    def key(part: Option[String], n: Long): Seq[Byte] =
+      AvroCodec.toAvroWire(Seq((part, n)).toDF("part", "n"),
+        Seq("part", "n")).collect().head.getAs[Array[Byte]]("key").toSeq
+    // null component → null concat → union branch 0, one byte
+    assert(key(None, 1L) == Seq[Byte](0x00))
+    // sorted pk (n, part) → "2a" under branch 1
+    assert(key(Some("a"), 2L) ==
+      Seq[Byte](0x02, 0x04, '2'.toByte, 'a'.toByte))
   }
 
   test("null fields encode as the 1-byte null union branch") {

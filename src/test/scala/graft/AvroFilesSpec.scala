@@ -75,6 +75,20 @@ class AvroFilesSpec extends SparkSpec {
     }
   }
 
+  test("appended files with a REORDERED writer schema resolve by name") {
+    // ADVICE r9 #2: the read must pass the first file's schema as the
+    // reader schema so Avro resolves fields by NAME per file — a second
+    // file written with columns swapped must still land values in the
+    // right columns, not positionally mis-assign them.
+    val path = tmp()
+    AvroFiles.write(Seq((1L, "a")).toDF("id", "v").coalesce(1), path)
+    AvroFiles.write(Seq(("b", 2L)).toDF("v", "id").coalesce(1), path,
+      mode = "append")
+    val back = AvroFiles.read(spark, path).orderBy("id").collect()
+    assert(back.map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("FeatureView write/read hook routes format=avro end to end") {
     val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v")
     val result = graft.view.TrainingDataset.Result(
