@@ -79,6 +79,80 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.readChanges(spark, t, 2L, 2L).count() == 0)
   }
 
+  test("a 30-commit table reads THROUGH the checkpoint: pre-checkpoint " +
+    "logs deliberately corrupted") {
+    val t = tmp()
+    DeltaLite.create(Seq((1L, "r0")).toDF("id", "v").coalesce(1), t)
+    (1 to 29).foreach { i =>
+      DeltaLite.append(Seq((i + 1L, s"r$i")).toDF("id", "v").coalesce(1), t)
+    }
+    // commits v0..v29 → auto-checkpoints at v10 and v20, pointer at 20
+    assert(DeltaLite.checkpointVersions(t) == Seq(10L, 20L))
+    assert(DeltaLite.lastCheckpoint(t).contains(20L))
+    // corrupt every commit file the checkpoint supersedes — if any read
+    // below touches them, jackson throws; a clean pass PROVES replay is
+    // checkpoint + tail only
+    (0L to 20L).foreach { v =>
+      val p = new java.io.File(f"$t/_delta_log/$v%020d.json")
+      java.nio.file.Files.write(p.toPath,
+        "NOT JSON -- corrupted by DeltaLiteSpec".getBytes("UTF-8"))
+    }
+    def ids(asOf: Option[Long]) =
+      DeltaLite.snapshot(spark, t, asOf).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    assert(ids(None) == (1L to 30L), "latest = checkpoint(20) + tail 21..29")
+    assert(ids(Some(25L)) == (1L to 26L), "time travel above the pointer")
+    // and the corruption is real: replay that NEEDS a dead commit fails
+    intercept[Exception] { ids(Some(5L)) }
+  }
+
+  test("time travel BEHIND the pointer falls back to an older checkpoint") {
+    val t = tmp()
+    DeltaLite.create(Seq((1L, "r0")).toDF("id", "v").coalesce(1), t)
+    (1 to 24).foreach { i =>
+      DeltaLite.append(Seq((i + 1L, s"r$i")).toDF("id", "v").coalesce(1), t)
+    }
+    assert(DeltaLite.lastCheckpoint(t).contains(20L))
+    // corrupt v0..v10: asOf=15 must seed from checkpoint 10 (directory
+    // listing, since the pointer at 20 is ahead) + JSON tail 11..15
+    (0L to 10L).foreach { v =>
+      val p = new java.io.File(f"$t/_delta_log/$v%020d.json")
+      java.nio.file.Files.write(p.toPath, "CORRUPT".getBytes("UTF-8"))
+    }
+    val ids = DeltaLite.snapshot(spark, t, Some(15L)).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 16L))
+  }
+
+  test("checkpoint parquet carries the protocol's action-struct layout " +
+    "and _last_checkpoint the {version,size} pair") {
+    val t = tmp()
+    DeltaLite.create(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
+    (1 to 10).foreach { i =>
+      DeltaLite.append(Seq((i + 1L, "x")).toDF("id", "v").coalesce(1), t)
+    }
+    val cp = spark.read.parquet(f"$t/_delta_log/${10L}%020d.checkpoint.parquet")
+    assert(cp.columns.sorted.toSeq == Seq("add", "metaData", "protocol"))
+    val rows = cp.collect()
+    // exactly one action struct non-null per row
+    assert(rows.forall(r => Seq("protocol", "metaData", "add")
+      .count(c => !r.isNullAt(r.fieldIndex(c))) == 1))
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("protocol"))) == 1)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("metaData"))) == 1)
+    // 11 live files at v10 (create + 10 appends, one file each)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("add"))) == 11)
+    val md = rows.find(r => !r.isNullAt(r.fieldIndex("metaData"))).get
+      .getAs[org.apache.spark.sql.Row]("metaData")
+    assert(org.apache.spark.sql.types.DataType
+      .fromJson(md.getAs[String]("schemaString"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("id", "v"))
+    val m = new ObjectMapper()
+    val lc = m.readTree(scala.io.Source
+      .fromFile(s"$t/_delta_log/_last_checkpoint").mkString)
+    assert(lc.get("version").asLong == 10L && lc.get("size").asLong == 13L)
+  }
+
   test("snapshot plans keep parquet pushdown through the file-list read") {
     val t = tmp()
     DeltaLite.create(spark.range(1000).select(col("id"),
