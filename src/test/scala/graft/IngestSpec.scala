@@ -44,6 +44,63 @@ class IngestSpec extends SparkSpec {
     assert(store.count() == 5L)
   }
 
+  test("25-batch steady state: loop-carried plans stay a CONSTANT node " +
+    "count; ingestStream sinks per batch and matches a direct replay") {
+    // batch i: 8 docs, half duplicating batch i-1 (steady dup pressure),
+    // so the store grows every batch while per-batch work stays fixed
+    def mkBatch(i: Int) = (0 until 8).map { j =>
+      val fresh = j < 4
+      val tag = if (fresh) s"b$i-$j" else s"b${i - 1}-${j - 4}"
+      (i * 100L + j, s"document text $tag", if (j % 2 == 0) "en" else "de",
+        10L + j)
+    }.toDF("doc_id", "text", "lang", "n_chars").withColumn("b", lit(i.toLong))
+    val batches = (0 until 25).map(mkBatch)
+
+    // drive processBatch directly to observe every intermediate store
+    var store = Ingest.emptyStore(spark)
+    val storeNodes = scala.collection.mutable.ArrayBuffer[Int]()
+    val partialNodes = scala.collection.mutable.ArrayBuffer[Int]()
+    batches.foreach { b =>
+      val r = Ingest.processBatch(b, store, "text", Seq("lang"), col("b"),
+        col("n_chars"), expectedItems = 10000L)
+      store = r.store
+      storeNodes += store.queryExecution.logical.collect { case p => p }.size
+      partialNodes += r.partials.queryExecution.logical
+        .collect { case p => p }.size
+    }
+    // lineage is severed each step: every loop-carried plan is the same
+    // single checkpointed block regardless of batch index
+    assert(storeNodes.distinct.size == 1 && partialNodes.distinct.size == 1,
+      s"loop-carried plan grew with batch index: stores=$storeNodes " +
+        s"partials=$partialNodes")
+    // batch 0 contributes 8 fresh docs; every later batch 4 — duplicates
+    // land in the store exactly once
+    assert(store.count() == 8L + 24L * 4L)
+
+    // ingestStream: same fold, accepted rows sunk per batch
+    val sunk = scala.collection.mutable.ArrayBuffer[Long]()
+    val (merged, finalStore) = Ingest.ingestStream(batches, "text",
+      Seq("lang"), col("b"), col("n_chars"),
+      acceptedSink = df => sunk += df.count(),
+      expectedItems = 10000L)
+    assert(sunk.size == 25 && sunk.head == 8L && sunk.tail.forall(_ == 4L))
+    assert(finalStore.count() == store.count())
+    // merged stats plan reads only checkpointed partial blocks
+    val mp = merged.queryExecution.executedPlan.toString
+    assert(!mp.toLowerCase.contains("filescan"),
+      s"merged-stats plan rescans batch sources:\n$mp")
+    // and the moments match a direct replay over the union of accepted
+    // docs (batch 0's 8 + 24 × 4 fresh ones)
+    val acceptedAll = batches.zipWithIndex.map { case (b, i) =>
+      if (i == 0) b
+      else b.filter(col("doc_id") % 100 < 4) // the fresh half
+    }.reduce(_ unionByName _)
+    val direct = IncrementalStats.merge(
+      IncrementalStats.partials(acceptedAll, Seq("lang"), col("b"),
+        col("n_chars")), Seq("lang")).orderBy("lang").collect().toSeq
+    assert(merged.orderBy("lang").collect().toSeq == direct)
+  }
+
   test("no step after batch 1 rescans batch 1's source files") {
     val base = "/tmp/graft_ingest_spec"
     val p1 = writeBatch(Seq((1L, "one two", "en", 7L),
