@@ -2582,6 +2582,24 @@ object SparkEntry {
       graft.ops.Statistics.audienceOverlap(ev, "user_id", "event_type",
           Seq("click", "view", "purchase", "signup", "error"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // Kafka v2 record-batch framing around binary-Avro payloads — the
+    // PRODUCE-side bytes the connector would put on the wire (the jar
+    // is absent; the wire format is public). One batch per record with
+    // the row carried through, and the oracle replays the ENTIRE byte
+    // stack in SQL: avro zigzag/union/IEEE widths (q114's arithmetic)
+    // for key and value, then the record framing (attrs + deltas +
+    // length varints + headers count) and the 61-byte batch header.
+    "q143_kafka_wire" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_type") === "click", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"))
+      val wire = graft.functions.AvroCodec.toAvroWire(base, Seq("event_id"),
+        keepCols = Seq("event_id"))
+      graft.functions.KafkaWire.perRecordBatches(wire, keep = Seq("event_id"))
+        .orderBy("event_id")
     })
   )
 
@@ -5465,6 +5483,62 @@ object SparkEntry {
                      THEN round(CAST(n_both AS DOUBLE)
                                 / CAST(n_a + n_b - n_both AS DOUBLE), 6)
                 END AS jaccard
-         FROM agg ORDER BY type_a, type_b"""
+         FROM agg ORDER BY type_a, type_b""",
+    // the whole byte stack in SQL: q114's avro arithmetic for the key
+    // (union branch + length varint + utf8) and value (per-field union
+    // branch + zigzag/IEEE widths), then the v2 record framing — attrs
+    // 1 + tsDelta 1 + offsetDelta 1 + length varints + headersCount 1,
+    // the record's own length varint, and the 61-byte batch header.
+    // W(n) = zigzag varint width of a non-negative n (1 below 64, 2
+    // below 8192 — body lengths here straddle the 64 boundary, so both
+    // branches are exercised)
+    "q143_kafka_wire" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value,
+                  CASE WHEN event_type = 'click' THEN NULL
+                       ELSE event_type END AS etype
+           FROM events),
+         z AS (
+           SELECT *,
+             CASE WHEN event_id >= 0 THEN 2 * event_id
+                  ELSE -2 * event_id - 1 END AS z1,
+             CASE WHEN user_id >= 0 THEN 2 * user_id
+                  ELSE -2 * user_id - 1 END AS z2,
+             strlen(CAST(event_id AS VARCHAR)) AS klen,
+             CASE WHEN etype IS NULL THEN NULL
+                  ELSE strlen(etype) END AS slen
+           FROM e),
+         widths AS (
+           SELECT event_id,
+             1 + CASE WHEN 2 * klen < 128 THEN 1 ELSE 2 END + klen
+               AS key_bytes,
+             1 + CASE WHEN z1 < 128 THEN 1 WHEN z1 < 16384 THEN 2
+                      WHEN z1 < 2097152 THEN 3 WHEN z1 < 268435456 THEN 4
+                      WHEN z1 < 34359738368 THEN 5
+                      WHEN z1 < 4398046511104 THEN 6
+                      WHEN z1 < 562949953421312 THEN 7
+                      WHEN z1 < 72057594037927936 THEN 8 ELSE 9 END
+             + 1 + CASE WHEN z2 < 128 THEN 1 WHEN z2 < 16384 THEN 2
+                      WHEN z2 < 2097152 THEN 3 WHEN z2 < 268435456 THEN 4
+                      WHEN z2 < 34359738368 THEN 5
+                      WHEN z2 < 4398046511104 THEN 6
+                      WHEN z2 < 562949953421312 THEN 7
+                      WHEN z2 < 72057594037927936 THEN 8 ELSE 9 END
+             + CASE WHEN value IS NULL THEN 1 ELSE 9 END
+             + CASE WHEN slen IS NULL THEN 1
+                    WHEN 2 * slen < 128 THEN 2 + slen
+                    ELSE 3 + slen END AS value_bytes
+           FROM z),
+         body AS (
+           SELECT event_id,
+             4 + CASE WHEN 2 * key_bytes < 128 THEN 1 ELSE 2 END
+               + key_bytes
+               + CASE WHEN 2 * value_bytes < 128 THEN 1 ELSE 2 END
+               + value_bytes AS body_bytes
+           FROM widths)
+         SELECT event_id,
+           CAST(61 + CASE WHEN 2 * body_bytes < 128 THEN 1 ELSE 2 END
+                + body_bytes AS BIGINT) AS batch_len
+         FROM body ORDER BY event_id"""
   )
 }

@@ -117,16 +117,19 @@ object AvroCodec {
     */
   def toAvroWire(df: DataFrame, primaryKey: Seq[String],
                  headers: Map[String, String] = Map(),
-                 recordName: String = "feature_group"): DataFrame = {
+                 recordName: String = "feature_group",
+                 keepCols: Seq[String] = Nil): DataFrame = {
     require(primaryKey.nonEmpty, "avro wire key needs a primary key")
     val inSchema = df.schema
     val valueJson = avroSchemaJson(inSchema, recordName)
     val pkIdx = primaryKey.sorted.map(inSchema.fieldIndex)
+    val keepIdx = keepCols.map(inSchema.fieldIndex)
     val fieldTypes = inSchema.fields.map(_.dataType)
     val hdrs = headers.toSeq.sortBy(_._1)
 
-    val outFields = Seq(StructField("key", BinaryType),
-      StructField("value", BinaryType)) ++
+    val outFields = keepCols.map(inSchema(_)) ++
+      Seq(StructField("key", BinaryType),
+        StructField("value", BinaryType)) ++
       (if (hdrs.isEmpty) Nil else Seq(StructField("headers",
         ArrayType(StructType(Seq(StructField("key", StringType),
           StructField("value", BinaryType)))))))
@@ -164,8 +167,9 @@ object AvroCodec {
           else new Utf8(pkVals.mkString(""))
         val keyBytes = write(keyWriter, keyDatum)
         val valueBytes = write(valueWriter, rec)
-        if (hdrRows.isEmpty) Row(keyBytes, valueBytes)
-        else Row(keyBytes, valueBytes, hdrRows)
+        val kept = keepIdx.map(row.get)
+        if (hdrRows.isEmpty) Row.fromSeq(kept ++ Seq(keyBytes, valueBytes))
+        else Row.fromSeq(kept ++ Seq(keyBytes, valueBytes, hdrRows))
       }
     }(enc)
   }
