@@ -2132,10 +2132,13 @@ object SparkEntry {
     // jar), read back via the schema embedded in the container header.
     // The oracle is the plain projection — parity proves the container
     // write/read is lossless end to end under the driver's hash gate.
+    // `price` rides the r10 logical-decimal path (bytes + decimal
+    // annotation, byte layout hand-proven in AvroCodecSpec).
     "q115_avro_td" -> ((s, dir) => {
       val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(col("n_chars") / 7.0, 3).as("score"))
+          round(col("n_chars") / 7.0, 3).as("score"),
+          (col("n_chars") * lit(3)).cast("decimal(12,2)").as("price"))
       val path = java.nio.file.Files
         .createTempDirectory("graft_q115").toString + "/td"
       graft.sources.AvroFiles.write(docs, path)
@@ -4851,9 +4854,10 @@ object SparkEntry {
            user_id, value, etype
          FROM z ORDER BY event_id""",
     // the avro container round trip is lossless, so the oracle is the
-    // projection itself
+    // projection itself (price: the r10 logical-decimal column)
     "q115_avro_td" ->
-      """SELECT doc_id, lang, n_chars, round(n_chars / 7.0, 3) AS score
+      """SELECT doc_id, lang, n_chars, round(n_chars / 7.0, 3) AS score,
+                CAST(n_chars * 3 AS DECIMAL(12,2)) AS price
          FROM documents ORDER BY doc_id""",
     // float32-exact values → the tfrecord round trip is lossless too
     "q116_tfrecord_td" ->

@@ -55,9 +55,17 @@ object AvroCodec {
       case TimestampType =>
         "{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}"
       case DateType => "{\"type\":\"int\",\"logicalType\":\"date\"}"
+      case d: DecimalType =>
+        s"""{"type":"bytes","logicalType":"decimal",""" +
+          s""""precision":${d.precision},"scale":${d.scale}}"""
+      case ArrayType(elem, containsNull) =>
+        // array of primitives (or decimals/timestamps) — items carry
+        // their own nullable union only when Spark says they can be null
+        if (containsNull) s"""{"type":"array","items":["null",${leaf(elem)}]}"""
+        else s"""{"type":"array","items":${leaf(elem)}}"""
       case other => throw new IllegalArgumentException(
-        s"AvroCodec supports flat primitive schemas; got $other — " +
-          "encode complex features to binary first " +
+        s"AvroCodec supports flat and array-of-primitive schemas; " +
+          s"got $other — encode struct/map features to binary first " +
           "(SchemaOps.encodeComplexFeatures)")
     }
     val fields = schema.fields.map { f =>
@@ -88,6 +96,14 @@ object AvroCodec {
     case (x: Byte, _) => java.lang.Integer.valueOf(x.toInt)
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
     case (s: String, StringType) => new Utf8(s)
+    case (d: java.math.BigDecimal, dt: DecimalType) =>
+      // avro decimal: big-endian two's-complement unscaled value
+      java.nio.ByteBuffer.wrap(
+        d.setScale(dt.scale).unscaledValue().toByteArray)
+    case (s: scala.collection.Seq[_], ArrayType(et, _)) =>
+      val list = new java.util.ArrayList[AnyRef](s.length)
+      s.foreach(x => list.add(toDatum(x, et)))
+      list
     case (x, _) => x.asInstanceOf[AnyRef]
   }
 
@@ -98,6 +114,12 @@ object AvroCodec {
     case (s: CharSequence, StringType) => s.toString
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (b: java.nio.ByteBuffer, dt: DecimalType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
+      new java.math.BigDecimal(new java.math.BigInteger(out), dt.scale)
+    case (l: java.util.Collection[_], ArrayType(et, _)) =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.toSeq.map(x => fromDatum(x.asInstanceOf[AnyRef], et))
     case (x: java.lang.Long, TimestampType) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(x)
     case (x: java.lang.Integer, DateType) =>

@@ -119,7 +119,19 @@ object AvroFiles {
       case Schema.Type.FLOAT => FloatType
       case Schema.Type.BOOLEAN => BooleanType
       case Schema.Type.STRING => StringType
-      case Schema.Type.BYTES => BinaryType
+      case Schema.Type.BYTES =>
+        s.getLogicalType match {
+          case d: org.apache.avro.LogicalTypes.Decimal =>
+            DecimalType(d.getPrecision, d.getScale)
+          case _ => BinaryType
+        }
+      case Schema.Type.ARRAY =>
+        import scala.jdk.CollectionConverters._
+        val item = s.getElementType
+        if (item.getType == Schema.Type.UNION)
+          ArrayType(leaf(item.getTypes.asScala
+            .find(_.getType != Schema.Type.NULL).get), containsNull = true)
+        else ArrayType(leaf(item), containsNull = false)
       case other => throw new IllegalArgumentException(
         s"unsupported avro leaf type $other")
     }

@@ -108,27 +108,70 @@ object TfRecordFiles {
     inner.toArray
   }
 
-  /** Serialized tf.train.Example for one row. Features are emitted in
-    * SCHEMA ORDER (deterministic bytes — map order is unspecified in
-    * proto, so fixing it costs nothing and makes encodings stable).
+  /** Serialized `Features` message (the `map<string, Feature>`) for the
+    * given (field, row-index) pairs. Features are emitted in SCHEMA
+    * ORDER (deterministic bytes — map order is unspecified in proto, so
+    * fixing it costs nothing and makes encodings stable).
     */
-  private[graft] def exampleBytes(row: Row, fields: Array[StructField])
+  private def featuresMsgBytes(row: Row,
+                               fields: Seq[(StructField, Int)])
       : Array[Byte] = {
     val featuresMsg = new Buf(128)
-    var i = 0
-    while (i < fields.length) {
+    fields.foreach { case (f, i) =>
       val v = row.get(i)
       if (v != null) {
         val entry = new Buf(64)
-        lenDelimited(entry, 1, fields(i).name.getBytes("UTF-8"))
-        lenDelimited(entry, 2, featureBytes(v, fields(i).dataType))
+        lenDelimited(entry, 1, f.name.getBytes("UTF-8"))
+        lenDelimited(entry, 2, featureBytes(v, f.dataType))
         lenDelimited(featuresMsg, 1, entry.toArray) // map entry
       }
-      i += 1
     }
+    featuresMsg.toArray
+  }
+
+  /** Serialized tf.train.Example for one row. */
+  private[graft] def exampleBytes(row: Row, fields: Array[StructField])
+      : Array[Byte] = {
     val example = new Buf(160)
-    lenDelimited(example, 1, featuresMsg.toArray)
+    lenDelimited(example, 1,
+      featuresMsgBytes(row, fields.toSeq.zipWithIndex))
     example.toArray
+  }
+
+  /** Serialized tf.train.SequenceExample for one row:
+    * `SequenceExample{context: Features = 1, feature_lists:
+    * FeatureLists = 2}`, `FeatureLists{feature_list: map<string,
+    * FeatureList> = 1}`, `FeatureList{feature: repeated Feature = 1}` —
+    * the second record type the reference's tfrecord connector handles
+    * (engine/spark.py:921-949 via the connector's `recordType` option).
+    * Scalar columns land in `context`, each ARRAY column becomes one
+    * FeatureList with one Feature per element; a null array omits its
+    * feature_list entry, a null ELEMENT becomes an empty Feature (no
+    * oneof set — proto's own encoding of absence) and reads back null.
+    */
+  private[graft] def sequenceExampleBytes(row: Row,
+                                          context: Seq[(StructField, Int)],
+                                          seqs: Seq[(StructField, Int)])
+      : Array[Byte] = {
+    val out = new Buf(256)
+    lenDelimited(out, 1, featuresMsgBytes(row, context))
+    val lists = new Buf(128)
+    seqs.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        val elemType = f.dataType.asInstanceOf[ArrayType].elementType
+        val listMsg = new Buf(64)
+        row.getAs[scala.collection.Seq[Any]](i).foreach { e =>
+          lenDelimited(listMsg, 1,
+            if (e == null) Array.empty[Byte] else featureBytes(e, elemType))
+        }
+        val entry = new Buf(64)
+        lenDelimited(entry, 1, f.name.getBytes("UTF-8"))
+        lenDelimited(entry, 2, listMsg.toArray)
+        lenDelimited(lists, 1, entry.toArray) // map entry
+      }
+    }
+    lenDelimited(out, 2, lists.toArray)
+    out.toArray
   }
 
   // ------------------------------------------------------------------
@@ -163,6 +206,25 @@ object TfRecordFiles {
     }, new Configuration())
 
   def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+    val fields = df.schema.fields
+    writeFrames(df, path, mode, row => frame(exampleBytes(row, fields)))
+  }
+
+  /** Write `df` as SequenceExample tfrecords: every ARRAY column becomes
+    * a FeatureList, everything else goes to `context`.
+    */
+  def writeSequence(df: DataFrame, path: String,
+                    mode: String = "overwrite"): Unit = {
+    val (seqs, context) = df.schema.fields.toSeq.zipWithIndex
+      .partition(_._1.dataType.isInstanceOf[ArrayType])
+    require(seqs.nonEmpty,
+      "writeSequence needs ≥1 array column (else use write)")
+    writeFrames(df, path, mode,
+      row => frame(sequenceExampleBytes(row, context, seqs)))
+  }
+
+  private def writeFrames(df: DataFrame, path: String, mode: String,
+                          encode: Row => Array[Byte]): Unit = {
     val target = fsFor(path)
     val dir = new Path(path)
     if (target.exists(dir)) mode match {
@@ -172,7 +234,6 @@ object TfRecordFiles {
         s"$path exists and mode is $mode")
     }
     target.mkdirs(dir)
-    val fields = df.schema.fields
     val pathStr = path
     df.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
@@ -185,7 +246,7 @@ object TfRecordFiles {
         }, new Configuration()).create(part, true)
         var n = 0L
         rows.foreach { row =>
-          out.write(frame(exampleBytes(row, fields)))
+          out.write(encode(row))
           n += 1
         }
         out.close()
@@ -237,35 +298,88 @@ object TfRecordFiles {
     }
   }
 
+  /** Parse a `Features` message (map entries at field 1) into
+    * (featureName → raw value).
+    */
+  private def parseFeatures(feats: Reader,
+                            out: scala.collection.mutable.Map[String, Any])
+      : Unit =
+    while (feats.hasMore) {
+      val ft = feats.varint().toInt
+      if ((ft >> 3) == 1 && (ft & 7) == 2) { // map entry
+        val entry = feats.sub()
+        var key: String = null; var value: Any = null
+        while (entry.hasMore) {
+          val et = entry.varint().toInt
+          (et >> 3, et & 7) match {
+            case (1, 2) =>
+              val k = entry.sub()
+              key = new String(k.a, k.p, k.end - k.p, "UTF-8")
+            case (2, 2) => value = parseFeature(entry.sub())
+            case (_, w) => entry.skip(w)
+          }
+        }
+        if (key != null) out(key) = value
+      } else feats.skip(ft & 7)
+    }
+
   /** Parse one Example payload into (featureName → raw value). */
   private[graft] def parseExample(payload: Array[Byte]): Map[String, Any] = {
     val out = scala.collection.mutable.Map[String, Any]()
     val ex = new Reader(payload, 0, payload.length)
     while (ex.hasMore) {
       val tag = ex.varint().toInt
-      if ((tag >> 3) == 1 && (tag & 7) == 2) { // features
-        val feats = ex.sub()
-        while (feats.hasMore) {
-          val ft = feats.varint().toInt
-          if ((ft >> 3) == 1 && (ft & 7) == 2) { // map entry
-            val entry = feats.sub()
-            var key: String = null; var value: Any = null
-            while (entry.hasMore) {
-              val et = entry.varint().toInt
-              (et >> 3, et & 7) match {
-                case (1, 2) =>
-                  val k = entry.sub()
-                  key = new String(k.a, k.p, k.end - k.p, "UTF-8")
-                case (2, 2) => value = parseFeature(entry.sub())
-                case (_, w) => entry.skip(w)
-              }
-            }
-            if (key != null) out(key) = value
-          } else feats.skip(ft & 7)
-        }
-      } else ex.skip(tag & 7)
+      if ((tag >> 3) == 1 && (tag & 7) == 2) parseFeatures(ex.sub(), out)
+      else ex.skip(tag & 7)
     }
     out.toMap
+  }
+
+  /** Parse one SequenceExample payload into (context featureName → raw
+    * value, feature_list name → element values; empty Features → null
+    * elements).
+    */
+  private[graft] def parseSequenceExample(payload: Array[Byte])
+      : (Map[String, Any], Map[String, Seq[Any]]) = {
+    val context = scala.collection.mutable.Map[String, Any]()
+    val lists = scala.collection.mutable.Map[String, Seq[Any]]()
+    val ex = new Reader(payload, 0, payload.length)
+    while (ex.hasMore) {
+      val tag = ex.varint().toInt
+      (tag >> 3, tag & 7) match {
+        case (1, 2) => parseFeatures(ex.sub(), context)
+        case (2, 2) => // FeatureLists
+          val fl = ex.sub()
+          while (fl.hasMore) {
+            val ft = fl.varint().toInt
+            if ((ft >> 3) == 1 && (ft & 7) == 2) { // map entry
+              val entry = fl.sub()
+              var key: String = null
+              val vals = Seq.newBuilder[Any]
+              while (entry.hasMore) {
+                val et = entry.varint().toInt
+                (et >> 3, et & 7) match {
+                  case (1, 2) =>
+                    val k = entry.sub()
+                    key = new String(k.a, k.p, k.end - k.p, "UTF-8")
+                  case (2, 2) => // FeatureList: repeated Feature
+                    val listMsg = entry.sub()
+                    while (listMsg.hasMore) {
+                      val lt = listMsg.varint().toInt
+                      if ((lt >> 3) == 1 && (lt & 7) == 2)
+                        vals += parseFeature(listMsg.sub())
+                      else listMsg.skip(lt & 7)
+                    }
+                  case (_, w) => entry.skip(w)
+                }
+              }
+              if (key != null) lists(key) = vals.result()
+            } else fl.skip(ft & 7)
+          }
+        case (_, w) => ex.skip(w)
+      }
+    }
+    (context.toMap, lists.toMap)
   }
 
   /** Feature → first value of whichever list is present (flat schemas
@@ -335,7 +449,18 @@ object TfRecordFiles {
     * record; a mismatch fails loudly (silent corruption is worse).
     */
   def read(spark: SparkSession, path: String,
-           declared: StructType): DataFrame = {
+           declared: StructType): DataFrame =
+    readFrames(spark, path, declared, sequence = false)
+
+  /** Read SequenceExample tfrecords: ARRAY columns of `declared` come
+    * from feature_lists, the rest from context.
+    */
+  def readSequence(spark: SparkSession, path: String,
+                   declared: StructType): DataFrame =
+    readFrames(spark, path, declared, sequence = true)
+
+  private def readFrames(spark: SparkSession, path: String,
+                         declared: StructType, sequence: Boolean): DataFrame = {
     val target = fsFor(path)
     val p = new Path(path)
     val files: Seq[String] =
@@ -393,11 +518,24 @@ object TfRecordFiles {
             }
             def hasNext: Boolean = nextPayload != null
             def next(): Row = {
-              val feats = parseExample(nextPayload)
+              val payload = nextPayload
               nextPayload = advance()
-              Row.fromSeq(fields.toIndexedSeq.map { fld =>
-                feats.get(fld.name).map(coerce(_, fld.dataType)).orNull
-              })
+              if (!sequence) {
+                val feats = parseExample(payload)
+                Row.fromSeq(fields.toIndexedSeq.map { fld =>
+                  feats.get(fld.name).map(coerce(_, fld.dataType)).orNull
+                })
+              } else {
+                val (ctx, lists) = parseSequenceExample(payload)
+                Row.fromSeq(fields.toIndexedSeq.map { fld =>
+                  fld.dataType match {
+                    case ArrayType(et, _) => lists.get(fld.name)
+                      .map(_.map(e =>
+                        if (e == null) null else coerce(e, et))).orNull
+                    case dt => ctx.get(fld.name).map(coerce(_, dt)).orNull
+                  }
+                })
+              }
             }
           }
         }

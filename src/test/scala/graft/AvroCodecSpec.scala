@@ -98,6 +98,62 @@ class AvroCodecSpec extends SparkSpec {
     assert(back.toSeq == orig.toSeq)
   }
 
+  test("decimal encodes as logical-decimal bytes: big-endian " +
+    "two's-complement unscaled value, hand-computed") {
+    val df = Seq((1L, new java.math.BigDecimal("123.45")))
+      .toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(6,2)").as("price"))
+    val wire = AvroCodec.toAvroWire(df, Seq("id")).collect().head
+    val value = wire.getAs[Array[Byte]]("value")
+    // id: branch 0x02 + zigzag(1)=0x02; price: branch 0x02 +
+    // bytes-length 2 (zigzag 4) + unscaled 12345 = 0x3039 big-endian
+    assert(value.toSeq ==
+      Seq[Byte](0x02, 0x02, 0x02, 0x04, 0x30, 0x39))
+    // schema JSON carries the logical type with precision/scale
+    val json = AvroCodec.avroSchemaJson(df.schema, "t")
+    assert(json.contains(""""logicalType":"decimal"""") &&
+      json.contains(""""precision":6""") && json.contains(""""scale":2"""))
+    // negative unscaled values keep two's complement: -0.01 → -1 → 0xff
+    val neg = Seq((2L, new java.math.BigDecimal("-0.01"))).toDF("id", "price")
+      .select(col("id"), col("price").cast("decimal(6,2)").as("price"))
+    val nb = AvroCodec.toAvroWire(neg, Seq("id")).collect().head
+      .getAs[Array[Byte]]("value")
+    assert(nb.toSeq == Seq[Byte](0x02, 0x04, 0x02, 0x02, 0xff.toByte))
+    // round trip preserves the exact decimal
+    val back = AvroCodec.fromAvroWire(
+      AvroCodec.toAvroWire(df, Seq("id")), df.schema).collect().head
+    assert(back.getAs[java.math.BigDecimal]("price")
+      .compareTo(new java.math.BigDecimal("123.45")) == 0)
+  }
+
+  test("array-of-primitive encodes as avro blocks, hand-computed") {
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "xs")
+    val wire = AvroCodec.toAvroWire(df, Seq("id")).collect().head
+    val value = wire.getAs[Array[Byte]]("value")
+    val json = AvroCodec.avroSchemaJson(df.schema, "t")
+    // Spark's Seq[Long] encoder declares containsNull=false → plain items
+    assert(json.contains(""""type":"array","items":"long""""))
+    // id: 0x02 0x02; xs: branch 0x02 + block count 2 (zigzag 4) +
+    // zigzag(1) zigzag(2) + end-of-blocks 0x00
+    assert(value.toSeq ==
+      Seq[Byte](0x02, 0x02, 0x02, 0x04, 0x02, 0x04, 0x00))
+    // nullable elements get the per-item union: branch bytes interleave
+    val dfN = Seq((1L, Seq(Some(3L), None))).toDF("id", "xs")
+    val jsonN = AvroCodec.avroSchemaJson(dfN.schema, "t")
+    assert(jsonN.contains(""""items":["null","long"]"""))
+    val vN = AvroCodec.toAvroWire(dfN, Seq("id")).collect().head
+      .getAs[Array[Byte]]("value")
+    // xs: branch 0x02 + count 0x04 + [item branch 0x02, zigzag(3)=0x06]
+    // + [item branch 0x00] + end 0x00
+    assert(vN.toSeq ==
+      Seq[Byte](0x02, 0x02, 0x02, 0x04, 0x02, 0x06, 0x00, 0x00))
+    // round trip including the null element
+    val back = AvroCodec.fromAvroWire(
+      AvroCodec.toAvroWire(dfN, Seq("id")), dfN.schema).collect().head
+    assert(back.getAs[scala.collection.Seq[Any]]("xs").toSeq ==
+      Seq(3L, null))
+  }
+
   test("timestamps round-trip as timestamp-micros logical longs") {
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")))
       .toDF("id", "ts")

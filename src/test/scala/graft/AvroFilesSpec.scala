@@ -75,6 +75,31 @@ class AvroFilesSpec extends SparkSpec {
     }
   }
 
+  test("decimal and array columns survive the container round trip " +
+    "with their logical types in the header schema") {
+    val df = Seq(
+      (1L, new java.math.BigDecimal("12.50"), Seq(1L, 2L)),
+      (2L, new java.math.BigDecimal("-3.07"), Seq.empty[Long]))
+      .toDF("id", "price", "xs")
+      .select(col("id"), col("price").cast("decimal(10,2)").as("price"),
+        col("xs"))
+    val path = tmp()
+    AvroFiles.write(df, path)
+    val back = AvroFiles.read(spark, path)
+    assert(back.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(back.schema("xs").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getDecimal(1)
+      .compareTo(new java.math.BigDecimal("12.50")) == 0)
+    assert(rows(1).getDecimal(1)
+      .compareTo(new java.math.BigDecimal("-3.07")) == 0)
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("xs").toSeq ==
+      Seq(1L, 2L))
+    assert(rows(1).getAs[scala.collection.Seq[Long]]("xs").isEmpty)
+  }
+
   test("appended files with a REORDERED writer schema resolve by name") {
     // ADVICE r9 #2: the read must pass the first file's schema as the
     // reader schema so Avro resolves fields by NAME per file — a second

@@ -86,6 +86,50 @@ class TfRecordFilesSpec extends SparkSpec {
       "float32-exact doubles and nulls must survive the round trip")
   }
 
+  test("sequence-example bytes match the hand-computed " +
+    "tf.train.SequenceExample layout") {
+    // SequenceExample{context: Features = 1, feature_lists = 2};
+    // FeatureLists{map entry = 1}; FeatureList{repeated Feature = 1}
+    val row = Row(5L, Seq(7L, 9L))
+    val got = TfRecordFiles.sequenceExampleBytes(row,
+      context = Seq((StructField("id", LongType), 0)),
+      seqs = Seq((StructField("xs", ArrayType(LongType, false)), 1)))
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def feat(v: Int) = b(0x1a, 0x03, 0x0a, 0x01, v) // Feature{Int64List}
+    val ctxEntry = b(0x0a, 0x02, 'i', 'd', 0x12, 0x05) ++ feat(5)
+    val ctx = b(0x0a, ctxEntry.length) ++ ctxEntry           // Features
+    val listMsg = b(0x0a, 0x05) ++ feat(7) ++
+      b(0x0a, 0x05) ++ feat(9)                               // FeatureList
+    val listEntry = b(0x0a, 0x02, 'x', 's', 0x12, listMsg.length) ++ listMsg
+    val lists = b(0x0a, listEntry.length) ++ listEntry       // FeatureLists
+    val expected = b(0x0a, ctx.length) ++ ctx ++
+      b(0x12, lists.length) ++ lists
+    assert(got.toSeq == expected.toSeq,
+      s"got ${got.map("%02x".format(_)).mkString(" ")}")
+  }
+
+  test("sequence round trip: context scalars + feature lists, null " +
+    "arrays, null elements, empty lists") {
+    val df = Seq(
+      (1L, "a", Some(Seq(Some(1L), None, Some(3L))), Some(Seq(0.5f, 1.5f))),
+      (2L, "b", Some(Seq.empty[Option[Long]]), None),
+      (3L, null.asInstanceOf[String], None, Some(Seq.empty[Float])))
+      .toDF("id", "tag", "xs", "ws").repartition(2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tfr_seq").toString + "/td"
+    TfRecordFiles.writeSequence(df, path)
+    val back = TfRecordFiles.readSequence(spark, path, df.schema)
+      .orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(back.toSeq == orig.toSeq,
+      s"got ${back.toSeq} want ${orig.toSeq}")
+    // and writeSequence refuses a frame with no sequence column
+    intercept[IllegalArgumentException] {
+      TfRecordFiles.writeSequence(Seq((1L, "x")).toDF("id", "v"),
+        path + "_bad")
+    }
+  }
+
   test("corrupted payload fails the crc check loudly") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_tfr_bad").toString + "/td"
