@@ -231,36 +231,42 @@ object Dedup {
     * @return (id, component) for every node appearing in `pairs`, where
     *         component = the minimum reachable id (cluster representative)
     */
+  // ---- alternating-star round bodies (private[graft] so the plan
+  // budget can assert shuffles-per-round on the REAL code, not a copy)
+
+  private def dedupEdges(e: DataFrame): DataFrame = e.distinct()
+
+  // m(u) = min(N(u) ∪ {u}), computed by aggregation + join — never by
+  // materializing a neighborhood array
+  private def minsOf(sym: DataFrame): DataFrame =
+    sym.groupBy("u").agg(min("v").as("_mv"))
+      .select(col("u"), least(col("_mv"), col("u")).as("m"))
+
+  // large-star: connect every strictly-larger neighbor of u to m(u)
+  private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    dedupEdges(sym.join(minsOf(sym), "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")))
+  }
+
+  // small-star: orient edges (larger, smaller); connect u and its
+  // smaller neighbors to the minimum of that in-neighborhood
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+    val nbrs = oriented.join(mins, "u").select(col("v").as("n"), col("m"))
+    val self = mins.select(col("u").as("n"), col("m"))
+    dedupEdges(nbrs.union(self)
+      .filter(col("n") =!= col("m"))
+      .select(col("n").as("u"), col("m").as("v")))
+  }
+
   def duplicateClusters(pairs: DataFrame, idACol: String = "idA",
                         idBCol: String = "idB", maxIter: Int = 25): DataFrame = {
-    def dedupEdges(e: DataFrame): DataFrame = e.distinct()
-
-    // m(u) = min(N(u) ∪ {u}), computed by aggregation + join — never by
-    // materializing a neighborhood array
-    def minsOf(sym: DataFrame): DataFrame =
-      sym.groupBy("u").agg(min("v").as("_mv"))
-        .select(col("u"), least(col("_mv"), col("u")).as("m"))
-
-    // large-star: connect every strictly-larger neighbor of u to m(u)
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      dedupEdges(sym.join(minsOf(sym), "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
-    }
-
-    // small-star: orient edges (larger, smaller); connect u and its
-    // smaller neighbors to the minimum of that in-neighborhood
-    def smallStar(e: DataFrame): DataFrame = {
-      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      val mins = oriented.groupBy("u").agg(min("v").as("m"))
-      val nbrs = oriented.join(mins, "u").select(col("v").as("n"), col("m"))
-      val self = mins.select(col("u").as("n"), col("m"))
-      dedupEdges(nbrs.union(self)
-        .filter(col("n") =!= col("m"))
-        .select(col("n").as("u"), col("m").as("v")))
-    }
+    def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
+    def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))

@@ -13,6 +13,11 @@ object TestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parity with SparkSessions.local: specs must see the same
+      // streaming plan shape the driver sessions run (PlanBudgetSpec
+      // asserts the session-window local merge)
+      .config("spark.sql.streaming.sessionWindow.merge.sessions" +
+        ".in.local.partition", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
