@@ -77,14 +77,28 @@ object Lake {
         .sorted
   }
 
-  /** Commit-log read with schema merging: columns appended by later
-    * commits (schema evolution) must surface on rows from older commits
-    * as nulls instead of being dropped when the first-listed partition
-    * predates them (reference schema reconciliation,
-    * core/hudi_engine.py:226-244).
+  /** The raw commit-log scan (reference schema reconciliation,
+    * core/hudi_engine.py:226-244). With a declared feature schema the read
+    * passes it EXPLICITLY — no `mergeSchema` footer sweep over every
+    * file on every read (a per-read O(files) driver cost on long
+    * histories), and files predating an appended column surface it as
+    * null exactly as the merged scan would (snapshot() then fills
+    * declared defaults). Only schema-less groups (fg.features empty)
+    * still pay the merge, since there is nothing to declare.
     */
-  private def rawData(spark: SparkSession, root: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dataPath(root))
+  private def rawData(spark: SparkSession, root: String,
+                      fg: FeatureGroup): DataFrame =
+    if (fg.features.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(dataPath(root))
+    else {
+      val schema = org.apache.spark.sql.types.StructType(
+        fg.schema.fields.toSeq :+
+          org.apache.spark.sql.types.StructField(CommitCol,
+            org.apache.spark.sql.types.LongType) :+
+          org.apache.spark.sql.types.StructField(DeletedCol,
+            org.apache.spark.sql.types.BooleanType))
+      spark.read.schema(schema).parquet(dataPath(root))
+    }
 
   /** Append one commit of rows (already stamped with tombstone flag). */
   private def writeCommit(
@@ -128,7 +142,7 @@ object Lake {
         // the latest-version window, so an upsert of k keys into a 100 TB
         // table shuffles O(k · versions) rows, never the whole snapshot
         val incoming = aligned.select(keys.map(col): _*).distinct()
-        val pruned = rawData(spark, root).join(incoming, keys, "left_semi")
+        val pruned = rawData(spark, root, fg).join(incoming, keys, "left_semi")
         val current = restoreTypes(
             dedupLatest(pruned, fg).filter(!col(DeletedCol))
               .drop(CommitCol, DeletedCol), fg)
@@ -182,7 +196,7 @@ object Lake {
     // so deleting k keys never windows the full table
     val keys = recordKey(fg)
     val kdf = keysDf.select(keys.map(col): _*).distinct()
-    val pruned = rawData(spark, root).join(kdf, keys, "left_semi")
+    val pruned = rawData(spark, root, fg).join(kdf, keys, "left_semi")
     val full = restoreTypes(
       dedupLatest(pruned, fg).filter(!col(DeletedCol))
         .drop(CommitCol, DeletedCol), fg)
@@ -205,7 +219,7 @@ object Lake {
       throw new IllegalArgumentException(
         s"as_of $t predates the retained commit horizon $h " +
           "(older commits were cleaned; see cleanCommits)")
-    val raw0 = rawData(spark, root)
+    val raw0 = rawData(spark, root, fg)
     val raw = asOf.fold(raw0)(t => raw0.filter(col(CommitCol) <= t))
     val resolved = dedupLatest(raw, fg)
       .filter(!col(DeletedCol))
@@ -247,7 +261,7 @@ object Lake {
       throw new IllegalArgumentException(
         s"incremental read from $exclusiveStart predates the retained " +
           s"commit horizon $h (older commits were cleaned)")
-    val raw = rawData(spark, root)
+    val raw = rawData(spark, root, fg)
       .filter(col(CommitCol) > exclusiveStart && col(CommitCol) <= inclusiveEnd)
     restoreTypes(dedupLatest(raw, fg)
       .filter(!col(DeletedCol))
