@@ -2610,6 +2610,28 @@ object SparkEntry {
         keepCols = Seq("event_id"))
       graft.functions.KafkaWire.perRecordBatches(wire, keep = Seq("event_id"))
         .orderBy("event_id")
+    }),
+
+    // Retrieval evaluation against exact ground truth: plant a perturbed
+    // copy of each query doc, then score the relevant copy's exact rank
+    // + MRR/NDCG@10/hit@10 WITHOUT a top-k sort — rank = 1 + count of
+    // strictly-better docs (one corpus scan, two broadcast joins, one
+    // map-side-combined count). The eval loop the LSH/IVF/matryoshka
+    // family is tuned by.
+    "q144_retrieval_eval" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.25f)),
+            slice(col("embedding"), 2, 100000))
+            .cast("array<float>").as("embedding"))
+      val queries = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          (col("vec_id") + 100000).as("rel_id"))
+      graft.ops.Similarity.rankEval(emb.unionByName(planted),
+          "vec_id", "embedding", queries, "qid", "qe", "rel_id", k = 10)
+        .orderBy("qid")
     })
   )
 
@@ -5550,6 +5572,46 @@ object SparkEntry {
          SELECT event_id,
            CAST(61 + CASE WHEN 2 * body_bytes < 128 THEN 1 ELSE 2 END
                 + body_bytes AS BIGINT) AS batch_len
-         FROM body ORDER BY event_id"""
+         FROM body ORDER BY event_id""",
+    // exact rank replayed as a better-than count with the same (score,
+    // id) tie-break; float32 perturbation replayed exactly (q46's CAST
+    // pattern), scores in double like list_cosine_similarity
+    "q144_retrieval_eval" ->
+      """WITH dup AS (
+           SELECT vec_id + 100000 AS vec_id,
+                  CAST([CAST(embedding[1] + 0.25 AS FLOAT)] || embedding[2:]
+                       AS FLOAT[]) AS embedding
+           FROM embeddings WHERE vec_id < 30),
+         corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT * FROM dup),
+         q AS (SELECT vec_id AS qid, embedding AS qe,
+                      vec_id + 100000 AS rel_id
+               FROM embeddings WHERE vec_id < 30),
+         rel AS (SELECT q.qid, q.rel_id,
+                        list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(q.qe AS DOUBLE[]))
+                          AS rel_score
+                 FROM corpus c JOIN q ON c.vec_id = q.rel_id),
+         scored AS (
+           SELECT q.qid, c.vec_id, r.rel_score, r.rel_id,
+                  list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                         CAST(q.qe AS DOUBLE[])) AS s
+           FROM corpus c CROSS JOIN q
+           JOIN rel r ON r.qid = q.qid
+           WHERE c.vec_id <> q.qid),
+         ranked AS (
+           SELECT qid,
+                  CAST(1 + sum(CASE WHEN s > rel_score
+                                    OR (s = rel_score AND vec_id < rel_id)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS "rank"
+           FROM scored GROUP BY qid)
+         SELECT qid, "rank",
+                round(1.0::DOUBLE / "rank", 6) AS reciprocal_rank,
+                "rank" <= 10 AS hit_at_k,
+                round(CASE WHEN "rank" <= 10
+                           THEN ln(2.0::DOUBLE) / ln("rank" + 1.0::DOUBLE)
+                           ELSE 0.0::DOUBLE END, 6) AS ndcg_at_k
+         FROM ranked ORDER BY qid"""
   )
 }

@@ -71,6 +71,56 @@ object Similarity {
         col("_rank").as("rank"))
   }
 
+  /** Retrieval evaluation against EXACT ground truth: for each query
+    * (`queryIdCol`, `queryVecCol`, `relevantIdCol` — the id of its known
+    * relevant document), the relevant document's exact rank under
+    * `metric` over the whole corpus, and the rank metrics the ANN family
+    * is tuned by — reciprocal rank (MRR's addend), NDCG@k (one relevant
+    * document: 1/log₂(1+rank) for rank ≤ k, ideal DCG = 1), and hit@k.
+    *
+    * Scale shape: NO top-k materialization and NO global sort —
+    * rank = 1 + |{docs scoring strictly better than the relevant doc,
+    * ties broken by id}|, so the plan is one corpus scan with two
+    * broadcast joins (query set, per-query relevant score) feeding one
+    * map-side-combined count. A sort-based rank would shuffle
+    * |corpus| × |queries| scored rows; this shuffles |queries| counts.
+    */
+  def rankEval(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      relevantIdCol: String, k: Int, metric: Metric = Cosine,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries
+      .select(col(queryIdCol), col(queryVecCol), col(relevantIdCol)))
+    // the relevant doc's own score, |queries| rows
+    val rel = corpus.join(q, col(idCol) === col(relevantIdCol))
+      .select(col(queryIdCol).as("_rq"),
+        score(metric, col(vecCol), col(queryVecCol)).as("_rel_score"),
+        col(relevantIdCol).as("_rel_id"))
+    val scored = corpus.join(q)
+      .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+      .withColumn("_score", score(metric, col(vecCol), col(queryVecCol)))
+      .join(broadcast(rel), col(queryIdCol) === col("_rq"))
+    // strictly-better predicate under the metric's ordering, same id
+    // tie-break as bruteForceKnn (score, then id ascending)
+    val beats = metric match {
+      case VectorFunctions.L2 =>
+        col("_score") < col("_rel_score") ||
+          (col("_score") === col("_rel_score") && col(idCol) < col("_rel_id"))
+      case _ =>
+        col("_score") > col("_rel_score") ||
+          (col("_score") === col("_rel_score") && col(idCol) < col("_rel_id"))
+    }
+    val ranked = scored.groupBy(col(queryIdCol))
+      .agg((sum(when(beats, 1L).otherwise(0L)) + 1L).as("rank"))
+    ranked.select(col(queryIdCol), col("rank"),
+      round(lit(1.0) / col("rank"), 6).as("reciprocal_rank"),
+      (col("rank") <= k).as(s"hit_at_k"),
+      round(when(col("rank") <= k,
+        lit(math.log(2.0)) / log(col("rank") + 1.0)).otherwise(0.0), 6)
+        .as("ndcg_at_k"))
+  }
+
   /** Deterministic random-hyperplane signature: `nBits` sign bits of dot
     * products against pseudo-random hyperplanes derived from (seed, bit,
     * dim) — no fit step, reproducible across runs. Backed by the codegen'd
