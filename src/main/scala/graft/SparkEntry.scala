@@ -432,7 +432,8 @@ object SparkEntry {
         .withColumn("ts2", TimeFunctions.eventTimeToTimestamp(stream0, "ts"))
       val agg = graft.streaming.Streaming.windowedAgg(
         stream, "ts2", "1 day", "1 hour", "event_type", "value")
-      graft.streaming.Streaming.runToMemory(agg, "q34_sink_", "complete")
+      graft.streaming.Streaming.runToMemory(agg, "q34_sink_", "complete",
+        statePartitions = Some(8))
         .select(unix_micros(col("w_start")).as("w_start_us"),
           col("event_type"), col("n"), round(col("total"), 2).as("total"))
         .orderBy("w_start_us", "event_type")
@@ -702,7 +703,8 @@ object SparkEntry {
       val sessions = graft.streaming.Streaming.sessionize(
         stream, "user_id", "ts2", "value",
         gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
-      graft.streaming.Streaming.runToMemory(sessions.toDF, "q48_sink_", "append")
+      graft.streaming.Streaming.runToMemory(sessions.toDF, "q48_sink_",
+        "append", statePartitions = Some(8))
         .select(col("key"),
           col("sessionStart").as("session_start"),
           col("sessionEnd").as("session_end"),
@@ -786,7 +788,8 @@ object SparkEntry {
       val sessions = graft.streaming.Streaming.sessionizeNative(
         stream, "user_id", "ts2", "value",
         gapMillis = 6L * 3600 * 1000, watermark = "0 seconds")
-      graft.streaming.Streaming.runToMemory(sessions, "q52_sink_", "append")
+      graft.streaming.Streaming.runToMemory(sessions, "q52_sink_", "append",
+        statePartitions = Some(8))
         .select(col("key"),
           col("sessionStart").as("session_start"),
           col("sessionEnd").as("session_end"),
@@ -1273,7 +1276,8 @@ object SparkEntry {
       val fresh = graft.streaming.Streaming.dedupAgainstHistory(
         stream, graft.ops.TextAnalysis.fingerprint(col("text")), history)
       graft.streaming.Streaming
-        .runToMemory(fresh.select("doc_id", "lang"), "q73_sink_", "append")
+        .runToMemory(fresh.select("doc_id", "lang"), "q73_sink_", "append",
+          statePartitions = Some(8))
         .orderBy("doc_id")
     }),
 
@@ -2368,7 +2372,8 @@ object SparkEntry {
       val out = j.select(col("click_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_ts_us"),
         col("view_id"), unix_micros(col("view_ts")).as("view_ts_us"))
-      graft.streaming.Streaming.runToMemory(out, "q125_sink_", "append")
+      graft.streaming.Streaming.runToMemory(out, "q125_sink_", "append",
+        statePartitions = Some(8))
         .orderBy("click_id", "view_id")
     }),
 

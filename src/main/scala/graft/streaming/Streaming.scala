@@ -136,16 +136,38 @@ object Streaming {
     * named memory sink and return the sink table. Records the final
     * micro-batch's executed plan in [[lastMicroBatchPlan]] before the
     * query stops (afterwards it is unreachable).
+    *
+    * `statePartitions`: number of shuffle/state partitions for THIS
+    * query (session conf is set for the start call and restored after
+    * the query stops — a streaming query pins its shuffle-partition
+    * count at first start, so the restore cannot affect it). Stateful
+    * operators keep one state store per partition, each paying
+    * per-micro-batch delta-file + commit fsyncs, so state partitioning
+    * is sized to STATE VOLUME, not to the session's batch parallelism:
+    * a bounded one-shot eval over a test-scale stream wants a handful
+    * of stores, while a 10⁹-key production stream wants the full
+    * parallelism (the default — None — keeps exactly that).
     */
   def runToMemory(df: DataFrame, namePrefix: String,
-                  outputMode: String): DataFrame = {
+                  outputMode: String,
+                  statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     val name = namePrefix + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val q =
+      try {
+        val started = df.writeStream.format("memory").queryName(name)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        started.processAllAvailable()
+        started
+      } finally {
+        if (statePartitions.isDefined)
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     lastMicroBatchPlan = org.apache.spark.sql.GraftSqlBridge.lastExecutedPlan(q)
     q.stop()
     spark.table(name)
