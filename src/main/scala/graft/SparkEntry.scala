@@ -2637,6 +2637,24 @@ object SparkEntry {
       graft.ops.Similarity.rankEval(emb.unionByName(planted),
           "vec_id", "embedding", queries, "qid", "qe", "rel_id", k = 10)
         .orderBy("qid")
+    }),
+
+    // Containment dedup: directed C(A→B) = |sh(A)∩sh(B)|/|sh(A)| — the
+    // near-superset case resemblance misses. Planted containers (each
+    // doc < 40 wrapped with a filler prefix) must surface as
+    // original→container at 1.0 while their Jaccard stays low; natural
+    // exact-duplicate texts surface both ways.
+    "q145_containment" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 80)
+      val containers = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("zq0 zq1 zq2 "), col("text")).as("text"))
+      graft.ops.Dedup.shingleContainment(docs.unionByName(containers),
+          "doc_id", "text", shingleSize = 2, minContainment = 0.9)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5617,6 +5635,33 @@ object SparkEntry {
                 round(CASE WHEN "rank" <= 10
                            THEN ln(2.0::DOUBLE) / ln("rank" + 1.0::DOUBLE)
                            ELSE 0.0::DOUBLE END, 6) AS ndcg_at_k
-         FROM ranked ORDER BY qid"""
+         FROM ranked ORDER BY qid""",
+    // directed containment over the q24-style shingle sets; DuckDB does
+    // the all-pairs list_intersect (120 docs), Spark only joins pairs
+    // sharing a shingle — pairs at ≥ 0.9 necessarily share shingles,
+    // so the filtered outputs agree exactly
+    "q145_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 80
+           UNION ALL
+           SELECT doc_id + 20000, 'zq0 zq1 zq2 ' || text
+           FROM documents WHERE doc_id < 40),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(tk), 2)),
+                    i -> array_to_string(tk[i:least(i+1, len(tk))], ' ')))
+                    AS shingles
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> len(x) > 0) AS tk
+                 FROM corpus)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(a.shingles) AS c
+           FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         SELECT id_a, id_b, round(c, 4) AS containment
+         FROM pairs WHERE c >= 0.9 ORDER BY id_a, id_b"""
   )
 }

@@ -210,6 +210,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed shingle CONTAINMENT C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+    * the near-superset detector resemblance misses: a document wholly
+    * embedded in a larger one (quotation, concatenated crawl page,
+    * boilerplate-wrapped copy) scores 1.0 here while its Jaccard
+    * against the container can be arbitrarily low. Output is the
+    * ORDERED pairs (id_a contained-in id_b) at or above
+    * `minContainment`.
+    *
+    * Exact over pairs sharing a shingle (same contract as
+    * [[tokenJaccard]] — bounded corpora and verification); at scale,
+    * generate candidates with [[minHashLsh]]'s bands first and verify
+    * containment on the candidate pairs only. Shingle construction
+    * matches [[minHashLsh]]'s (distinct word n-grams; a document
+    * shorter than `shingleSize` contributes its whole token run as one
+    * shingle).
+    */
+  def shingleContainment(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 2,
+                         minContainment: Double = 0.9,
+                         reference: Option[DataFrame] = None): DataFrame = {
+    // reference mode rides [[shingleArray]] (hashed shingles, the q58
+    // contaminationOverlap contract; collisions negligible, symmetric);
+    // self mode keeps exact strings — the oracle-replayable form. Both
+    // LET-BIND the token array: an un-bound `tk` inside the transform
+    // lambda re-evaluates the split per shingle index, turning the
+    // row-local pass O(tokens²) per document (the q58 lesson).
+    // Per-document distinctness comes from array_distinct BEFORE the
+    // explode — row-local, no global distinct() shuffle.
+    def shingled(src: DataFrame) = {
+      val sh =
+        if (reference.isDefined) shingleArray(col(textCol), shingleSize)
+        else graft.functions.Exprs.let(
+          filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0),
+          toks => array_distinct(transform(
+            sequence(lit(1),
+              greatest(size(toks) - (shingleSize - 1), lit(1))),
+            i => concat_ws(" ", slice(toks, i, lit(shingleSize))))))
+      src.select(col(idCol), explode(sh).as("shingle"))
+    }
+    // self mode: all ordered pairs sharing a shingle (the tokenJaccard
+    // contract — bounded corpora). Reference mode: the A side is the
+    // SMALL reference set, broadcast onto one corpus scan — C(ref→doc),
+    // linear in the corpus at any scale. This is the shape the 100 TB
+    // run uses: "which corpus documents contain this benchmark item"
+    // (decontamination's question, with a fraction instead of a count).
+    val aSide = reference.map(shingled).getOrElse(shingled(df))
+    val bSide = reference.map(_ => shingled(df)).getOrElse(aSide)
+    val sizes = aSide.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = aSide.select(col(idCol).as("id_a"), col("shingle"))
+    val b = bSide.select(col(idCol).as("id_b"), col("shingle"))
+    val joined = reference match {
+      case Some(_) => b.join(broadcast(a), "shingle")
+      case None => a.join(b, "shingle")
+    }
+    joined.filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(reference.fold(sizes)(_ => broadcast(sizes))
+        .select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / col("sz_a")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Connected components over an undirected candidate-pair graph via
     * alternating large-star / small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
