@@ -2655,6 +2655,85 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("containment"), 4).as("containment"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Okapi BM25 lexical retrieval: three literal queries scored against
+    // the documents corpus — the Lucene-idf variant, dl/avgdl
+    // normalization, every term of the dag replayed in SQL.
+    "q146_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val q = Seq((1L, "spark window join"), (2L, "customer vector query"),
+        (3L, "hash merge stream table")).toDF("qid", "qtext")
+      graft.ops.TextAnalysis.bm25(docs, "doc_id", "text", q, "qid", "qtext")
+        .orderBy(col("qid"), col("bm25").desc, col("doc_id"))
+    }),
+
+    // Hybrid retrieval: BM25 top-10 over documents fused with cosine
+    // kNN top-10 over the aligned embeddings (doc_id = vec_id) by
+    // reciprocal-rank fusion, c = 60 — the standard RAG retrieval stack
+    // as one composition, every stage value-replayed in SQL.
+    "q147_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val textQ = Seq((1L, "spark window join"), (2L, "customer vector query"),
+        (3L, "hash merge stream table")).toDF("qid", "qtext")
+      val wBm = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val bmRanked = graft.ops.TextAnalysis
+        .bm25(docs, "doc_id", "text", textQ, "qid", "qtext")
+        .withColumn("rank", row_number().over(wBm))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rank"))
+      val vecQ = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val knnRanked = graft.ops.Similarity.bruteForceKnn(
+          emb, "vec_id", "embedding", vecQ, "qid", "qe", k = 10)
+        .select(col("qid"), col("vec_id").as("id"), col("rank"))
+      graft.ops.Similarity.rrfFuse(Seq(bmRanked, knnRanked),
+          "qid", "id", "rank", c = 60)
+        .filter(col("fused_rank") <= 5)
+        .orderBy(col("qid"), col("fused_rank"))
+    }),
+
+    // Product quantization: 16 subspaces × 16 codes over the 64-dim
+    // embeddings (64 bits/vector vs 2048 — the 100 TB bytes-per-
+    // candidate lever); ADC shortlist-100 → exact re-rank top-10 (the
+    // production composition) vs exact L2 top-10, recall-floor oracle
+    // (q45's pattern: seeded train → deterministic recall).
+    "q148_pq_adc" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val model = graft.ops.ProductQuantization.train(
+        emb, "embedding", m = 16, k = 16, seed = 42L, maxIter = 10)
+      val encoded = graft.ops.ProductQuantization.encode(
+        emb, "vec_id", "embedding", model)
+      val ann = graft.ops.ProductQuantization.searchRefined(
+          encoded, "vec_id", "codes", model, emb, "embedding",
+          queries, "qid", "qe", k = 10, shortlist = 100)
+        .select(col("qid"), col("vec_id"))
+      val exact = graft.ops.Similarity.bruteForceKnn(
+          emb, "vec_id", "embedding", queries, "qid", "qe", k = 10,
+          metric = graft.functions.VectorFunctions.L2, excludeSelf = false)
+        .select(col("qid"), col("vec_id"))
+      val hits = ann.join(exact, Seq("qid", "vec_id")).groupBy("qid").count()
+      queries.select(col("qid")).join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("count"), lit(0L)) / 10.0 >= 0.6).as("meets_floor"))
+        .orderBy("qid")
+    }),
+
+    // Split-conformal prediction threshold at α = 1/10 per returnflag:
+    // the ⌈(n+1)(1−α)⌉-th smallest quantity — finite-sample coverage
+    // position replayed with the identical integer multiply-compare.
+    "q149_conformal" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Statistics.conformalThreshold(li, Seq("l_returnflag"),
+          col("l_quantity"), alphaNum = 1, alphaDen = 10)
+        .orderBy("l_returnflag")
     })
   )
 
@@ -5662,6 +5741,139 @@ object SparkEntry {
                     / len(a.shingles) AS c
            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
          SELECT id_a, id_b, round(c, 4) AS containment
-         FROM pairs WHERE c >= 0.9 ORDER BY id_a, id_b"""
+         FROM pairs WHERE c >= 0.9 ORDER BY id_a, id_b""",
+    // Okapi BM25 replayed term for term: Lucene idf
+    // ln(1 + (N−df+0.5)/(df+0.5)), tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    // at k1=1.2, b=0.75 — every constant forced ::DOUBLE (DuckDB decimal
+    // literals), association parenthesized to match the Spark dag
+    "q146_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS nd, sum(len(toks)) AS tl FROM d),
+         q(qid, qtext) AS (VALUES (1, 'spark window join'),
+                                  (2, 'customer vector query'),
+                                  (3, 'hash merge stream table')),
+         qterms AS (
+           SELECT qid, unnest(list_distinct(list_filter(
+             string_split_regex(lower(qtext), '\s+'),
+             x -> len(x) > 0))) AS term
+           FROM q),
+         termset AS (SELECT DISTINCT term FROM qterms),
+         tk AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+         dtf AS (
+           SELECT tk.doc_id, tk.term, tk.dl, count(*) AS tf
+           FROM tk JOIN termset USING (term)
+           GROUP BY tk.doc_id, tk.term, tk.dl),
+         dfq AS (SELECT term, count(*) AS dfc FROM dtf GROUP BY term),
+         w AS (
+           SELECT doc_id, dtf.term,
+                  ln(1.0::DOUBLE + ((nd - dfc)::DOUBLE + 0.5::DOUBLE)
+                                   / (dfc::DOUBLE + 0.5::DOUBLE))
+                  * ((tf::DOUBLE * (1.0::DOUBLE + 1.2::DOUBLE))
+                     / (tf::DOUBLE + 1.2::DOUBLE
+                        * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE
+                           * dl::DOUBLE / (tl::DOUBLE / nd::DOUBLE)))) AS wt
+           FROM dtf JOIN dfq ON dtf.term = dfq.term CROSS JOIN stats)
+         SELECT CAST(qt.qid AS BIGINT) AS qid, w.doc_id,
+                round(sum(wt), 4) AS bm25
+         FROM w JOIN qterms qt ON w.term = qt.term
+         GROUP BY qt.qid, w.doc_id
+         ORDER BY qid, bm25 DESC, doc_id""",
+    // hybrid fusion: the q146 BM25 dag top-10 + the q26 cosine-kNN dag
+    // top-10, RRF-combined at c=60; fused score rounded BEFORE the
+    // re-rank on both engines so the tie-break replays
+    "q147_hybrid_rrf" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents),
+         stats AS (SELECT count(*) AS nd, sum(len(toks)) AS tl FROM d),
+         q(qid, qtext) AS (VALUES (1, 'spark window join'),
+                                  (2, 'customer vector query'),
+                                  (3, 'hash merge stream table')),
+         qterms AS (
+           SELECT qid, unnest(list_distinct(list_filter(
+             string_split_regex(lower(qtext), '\s+'),
+             x -> len(x) > 0))) AS term
+           FROM q),
+         termset AS (SELECT DISTINCT term FROM qterms),
+         tk AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+         dtf AS (
+           SELECT tk.doc_id, tk.term, tk.dl, count(*) AS tf
+           FROM tk JOIN termset USING (term)
+           GROUP BY tk.doc_id, tk.term, tk.dl),
+         dfq AS (SELECT term, count(*) AS dfc FROM dtf GROUP BY term),
+         w AS (
+           SELECT doc_id, dtf.term,
+                  ln(1.0::DOUBLE + ((nd - dfc)::DOUBLE + 0.5::DOUBLE)
+                                   / (dfc::DOUBLE + 0.5::DOUBLE))
+                  * ((tf::DOUBLE * (1.0::DOUBLE + 1.2::DOUBLE))
+                     / (tf::DOUBLE + 1.2::DOUBLE
+                        * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE
+                           * dl::DOUBLE / (tl::DOUBLE / nd::DOUBLE)))) AS wt
+           FROM dtf JOIN dfq ON dtf.term = dfq.term CROSS JOIN stats),
+         bm AS (
+           SELECT CAST(qt.qid AS BIGINT) AS qid, w.doc_id AS id,
+                  round(sum(wt), 4) AS bm25
+           FROM w JOIN qterms qt ON w.term = qt.term
+           GROUP BY qt.qid, w.doc_id),
+         bmtop AS (
+           SELECT qid, id, rnk FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY bm25 DESC, id ASC) AS rnk FROM bm)
+           WHERE rnk <= 10),
+         vq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         pairs AS (SELECT qid, vec_id AS id,
+                          list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]), qe) AS sim
+                   FROM embeddings, vq WHERE vec_id <> qid),
+         knntop AS (
+           SELECT qid, id, rnk FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, id ASC) AS rnk FROM pairs)
+           WHERE rnk <= 10),
+         un AS (SELECT * FROM bmtop UNION ALL SELECT * FROM knntop),
+         fused AS (
+           SELECT qid, id,
+                  round(sum(1.0::DOUBLE / (60.0::DOUBLE + rnk)), 6)
+                    AS rrf_score,
+                  CAST(count(*) AS BIGINT) AS n_lists
+           FROM un GROUP BY qid, id),
+         fr AS (
+           SELECT qid, id, rrf_score, n_lists,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY rrf_score DESC, id ASC) AS fused_rank
+           FROM fused)
+         SELECT qid, id, rrf_score, n_lists, fused_rank
+         FROM fr WHERE fused_rank <= 5 ORDER BY qid, fused_rank""",
+    // q45's recall-floor pattern: seeded PQ train → deterministic
+    // codebooks → deterministic shortlist-100+refine recall vs the
+    // exact L2 top-10; floor measured ≥ 0.6 at sf0.01 and sf0.1
+    "q148_pq_adc" ->
+      """SELECT vec_id AS qid, true AS meets_floor
+         FROM embeddings WHERE vec_id < 5 ORDER BY qid""",
+    // split-conformal position ⌈(n+1)(1−α)⌉ as the identical integer
+    // multiply-compare (cum·den ≥ (n+1)·(den−num)) — never a float
+    // quantile
+    "q149_conformal" ->
+      """WITH c AS (
+           SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+                  count(*) AS cnt
+           FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         t AS (
+           SELECT l_returnflag, v,
+                  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+           FROM c)
+         SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_cal,
+                min(CASE WHEN cum * 10 >= (n + 1) * 9 THEN v END)
+                  AS threshold
+         FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -289,6 +289,51 @@ object VectorFunctions {
                       n: Int): Column =
     asCol(NearestCells(ex(v), centroids, n))
 
+  /** Asymmetric-distance fold for product-quantized search (Jégou 2011):
+    * `Σ_s lut[s·k + codes[s]]` — `codes` is the row's `array<int>` PQ
+    * code word (one code per subspace), `lut` the query's flat
+    * `array<double>` table of per-(subspace, code) squared sub-distances.
+    * This is the PQ scan's inner loop over |corpus| × |queries| rows —
+    * codegen'd for the same reason as [[NearestCells]]: the HOF
+    * formulation (`aggregate(zip_with(...))`) runs interpreted and
+    * allocates per row, which is the wrong shape for the one pass that
+    * touches every (row, query) pair at 100 TB.
+    */
+  case class AdcScore(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    require(k >= 1, "need k >= 1 codes per subspace")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_adc_score"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val codes = l.asInstanceOf[ArrayData]
+      val lut = r.asInstanceOf[ArrayData]
+      var acc = 0.0; var s = 0; val m = codes.numElements()
+      while (s < m) { acc += lut.getDouble(s * k + codes.getInt(s)); s += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (cv, lv) => {
+        val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
+        val m = ctx.freshName("m")
+        s"""
+           |double $acc = 0.0;
+           |int $m = $cv.numElements();
+           |for (int $s = 0; $s < $m; $s++) {
+           |  $acc += $lv.getDouble($s * $k + $cv.getInt($s));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  def vecAdcScore(codes: Column, lut: Column, k: Int): Column =
+    asCol(AdcScore(ex(codes), ex(lut), k))
+
   // ---- int8 scalar quantization ------------------------------------------
   // Affine per-dimension: q_i = clamp(round((x_i - min_i) / scale_i), 0,
   // 255), stored as byte (q_i - 128). 4× smaller than float32 at rest, in

@@ -223,4 +223,38 @@ object Similarity {
       .agg(round(coalesce(sum(col("_hit")), lit(0L)).cast("double") / k, 6)
         .as("recall"))
   }
+
+  /** Reciprocal-rank fusion of N ranked lists (Cormack & Clarke 2009):
+    * `rrf(q, d) = Σ_lists 1/(c + rank_list(q, d))`, the standard hybrid
+    * retrieval combiner (lexical BM25 ∘ vector kNN) — rank-based, so no
+    * per-list score normalization is needed and an outlier score in one
+    * list can't dominate. A document absent from a list contributes
+    * nothing for that list (the conventional treatment); `n_lists`
+    * reports how many lists surfaced each document. Re-ranked per query
+    * by (fused score desc, id asc) — the fused score is rounded BEFORE
+    * ranking so the tie-break replays across engines.
+    *
+    * Scale shape: input lists are top-k frames (≤ k·|queries| rows each
+    * by construction), so everything here is small-frame algebra: one
+    * union, one map-side-combined groupBy, one KEYED window. The
+    * corpus-sized work already happened inside the rankers. With ≤ 2
+    * lists the per-pair sum has at most two addends — IEEE-exact under
+    * reordering, no sum-order slack at all.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranked list")
+    require(c >= 0, "rank constant c must be non-negative")
+    val unioned = rankings
+      .map(_.select(col(queryCol), col(idCol),
+        col(rankCol).cast("long").as("_rk")))
+      .reduce(_ unionByName _)
+    val fused = unioned.groupBy(col(queryCol), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("_rk").cast("double"))), 6)
+          .as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+  }
 }

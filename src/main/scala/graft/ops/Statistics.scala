@@ -506,4 +506,54 @@ object Statistics {
         count(lit(1)).as("n_cells"),
         max(col("_mi_n")).cast("long").as("n_rows"))
   }
+
+  /** Split-conformal prediction threshold (Vovk's conformal framework;
+    * the split/inductive form popularized by Papadopoulos 2002 and Lei
+    * 2018 — public method): per key, the `r`-th smallest calibration
+    * nonconformity score with `r = ⌈(n+1)·(1−α)⌉`, the finite-sample
+    * quantile that guarantees `P(score ≤ threshold) ≥ 1−α` on
+    * exchangeable data — the +1 and the ceiling ARE the guarantee, a
+    * plain empirical quantile under-covers. Keys whose calibration set
+    * is too small for the target (`r > n`, i.e. `n < den/num − 1` at
+    * `α = num/den`) emit a NULL threshold (the honest "no finite score
+    * suffices"), not a clamped max. α is a rational `num/den` so the
+    * position is exact integer algebra, never float.
+    *
+    * Scale shape: the [[Splits.lowerQuantileFromCounts]] design — one
+    * map-side-combined scan to a |keys × distinct scores| count frame,
+    * keyed window cumsum over that frame, and the rank test as a
+    * multiply-compare (`cum·den ≥ (n+1)·(den−num)` ⟺ `cum ≥ r`) so no
+    * division ever runs. Same bounded-distinct contract as winsorize:
+    * calibration scores are rounded/bucketed by contract (round a raw
+    * continuous score first, or the count frame degenerates to
+    * data-sized).
+    */
+  def conformalThreshold(df: DataFrame, keys: Seq[String], scoreCol: Column,
+                         alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must satisfy 0 < num/den < 1, got $alphaNum/$alphaDen")
+    val keep = alphaDen.toLong - alphaNum.toLong // den·(1−α)
+    val counts = df.filter(scoreCol.isNotNull)
+      .groupBy((keys.map(col) :+ scoreCol.cast("double").as("_v")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val hit = counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(tw))
+      .filter(col("_cum") * alphaDen >= (col("_n") + 1) * keep)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("_v")).as("threshold"), max(col("_n")).as("n_cal"))
+    // keys with r > n produced no passing row — re-attach with a NULL
+    // threshold from the (tiny) per-key count frame
+    val allKeys = counts.groupBy(keys.map(col): _*)
+      .agg(sum(col("_c")).as("n_cal"))
+    allKeys.join(broadcast(hit.select((keys.map(col) :+
+        col("threshold")): _*)), keys, "left")
+      .select((keys.map(col) :+ col("n_cal") :+ col("threshold")): _*)
+  }
 }

@@ -585,4 +585,70 @@ object TextAnalysis {
         size(col("_c")).as("n_tokens"),
         concat_ws(" ", col("_c")).as("chunk_text"))
   }
+
+  /** Okapi BM25 lexical retrieval scores: for every (query, document)
+    * pair sharing at least one term, the classic
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * non-negative idf variant `ln(1 + (N−df+0.5)/(df+0.5))` (the form
+    * Lucene standardized on — the raw Robertson-Spärck Jones idf goes
+    * negative for terms in over half the corpus and lets one common term
+    * subtract relevance). Query terms are deduplicated (repeating a term
+    * in the query does not multiply its contribution). Documents
+    * matching no query term are absent, not zero-scored — at corpus
+    * scale the zero rows are the corpus.
+    *
+    * Scale shape: the corpus is tokenized ONCE; tokens inner-join a
+    * broadcast distinct-term set, so only query-term occurrences survive
+    * the explode into the per-(doc, term) tf groupBy (map-side combined;
+    * the only data-sized shuffle). Document length is computed row-local
+    * BEFORE the explode and carried as a grouping key, so no second
+    * corpus pass per doc. df re-aggregates that tf frame to ≤|terms|
+    * rows; (N, total_len) is one column-pruned scalar agg broadcast back
+    * as a 1-row frame ([[vocabulary]]'s pattern); per-term weights are
+    * computed once and only then fanned out per query (broadcast), so
+    * queries sharing a term share its weight. Final per-(query, doc) sum
+    * is the second (small) shuffle.
+    *
+    * Float determinism: idf/tf algebra is pure double with binary-exact
+    * constants where possible; scores round to 4 (family convention —
+    * the per-term sum order is engine-arbitrary, q88's accepted slack).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, queryIdCol: String, queryTextCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(!Set("_term", "_dl", "_tf", "_df", "_nd", "_tl", "_w")
+      .contains(idCol), s"id column '$idCol' collides with an internal name")
+    // (query, distinct term) — the query side is small by contract
+    val qTerms = queries.select(col(queryIdCol),
+      explode(array_distinct(tokenized(col(queryTextCol)))).as("_term"))
+    val termSet = qTerms.select("_term").distinct()
+    // one corpus scan: row-local dl, explode, keep query-term hits only.
+    // Two-step select on purpose: _toks is referenced twice (size +
+    // generator), so CollapseProject keeps the single tokenize instead
+    // of inlining the split into both consumers (the q58/q145 lesson).
+    val docTf = docs
+      .select(col(idCol), tokenized(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("_dl"),
+        explode(col("_toks")).as("_term"))
+      .join(broadcast(termSet), Seq("_term"))
+      .groupBy(col(idCol), col("_term"), col("_dl"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfFrame = docTf.groupBy("_term").agg(count(lit(1)).as("_df"))
+    val stats = docs.agg(count(lit(1)).as("_nd"),
+      coalesce(sum(size(tokenized(col(textCol)))), lit(0L)).as("_tl"))
+    val avgdl = col("_tl").cast("double") / col("_nd").cast("double")
+    val idf = log(lit(1.0) +
+      ((col("_nd") - col("_df")).cast("double") + lit(0.5)) /
+        (col("_df").cast("double") + lit(0.5)))
+    val tfTerm = col("_tf").cast("double") * lit(1.0 + k1) /
+      (col("_tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
+    docTf
+      .join(broadcast(dfFrame), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_w", idf * tfTerm)
+      .join(broadcast(qTerms), Seq("_term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("_w")), 4).as("bm25"))
+  }
 }
