@@ -2708,7 +2708,8 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val model = graft.ops.ProductQuantization.train(
-        emb, "embedding", m = 16, k = 16, seed = 42L, maxIter = 10)
+        emb, "embedding", m = 16, k = 16, seed = 42L, maxIter = 10,
+        trainMaxRows = 4096)
       val encoded = graft.ops.ProductQuantization.encode(
         emb, "vec_id", "embedding", model)
       val ann = graft.ops.ProductQuantization.searchRefined(
@@ -2734,6 +2735,80 @@ object SparkEntry {
       graft.ops.Statistics.conformalThreshold(li, Seq("l_returnflag"),
           col("l_quantity"), alphaNum = 1, alphaDen = 10)
         .orderBy("l_returnflag")
+    }),
+
+    // IVF-PQ (IVFADC): coarse cells prune candidates, residual PQ codes
+    // shrink bytes per candidate — probed-cell ADC shortlist → exact
+    // re-rank, recall-floor oracle vs exact L2 top-10 (q45's pattern;
+    // 6/8 cells probed on the near-uniform synthetic corpus).
+    "q150_ivfpq" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val idx = graft.ops.IvfPq.build(emb, "vec_id", "embedding",
+        nCells = 8, m = 16, k = 16, seed = 42L, maxIter = 10,
+        trainMaxRows = 4096)
+      val ann = graft.ops.IvfPq.searchRefined(idx, "vec_id",
+          emb, "embedding", queries, "qid", "qe",
+          k = 10, shortlist = 100, nProbe = 6)
+        .select(col("qid"), col("vec_id"))
+      val exact = graft.ops.Similarity.bruteForceKnn(
+          emb, "vec_id", "embedding", queries, "qid", "qe", k = 10,
+          metric = graft.functions.VectorFunctions.L2, excludeSelf = false)
+        .select(col("qid"), col("vec_id"))
+      val hits = ann.join(exact, Seq("qid", "vec_id")).groupBy("qid").count()
+      queries.select(col("qid")).join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("count"), lit(0L)) / 10.0 >= 0.5).as("meets_floor"))
+        .orderBy("qid")
+    }),
+
+    // Krippendorff's alpha over a 3-rater labeling with missing data
+    // (rater c labels every third unit) — the multi-rater agreement
+    // kappa (q141) can't express; every coincidence term replayed.
+    "q151_krippendorff" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("value").isNotNull)
+      val a = ev.select(col("event_id").as("unit"),
+        when(col("value") > 300, "hi").otherwise("lo").as("label"))
+      val b = ev.select(col("event_id").as("unit"),
+        when(col("value") > 250, "hi").otherwise("lo").as("label"))
+      val c = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .select(col("event_id").as("unit"),
+          when(col("value") > 280, "hi").otherwise("lo").as("label"))
+      graft.ops.Statistics.krippendorffAlpha(
+        a.unionByName(b).unionByName(c), "unit", "label")
+    }),
+
+    // Equal-frequency quantile binning (the discretizer transform):
+    // 8 bins of l_extendedprice per returnflag, verified via the
+    // per-(key, bin) occupancy summary — assignment replayed with the
+    // identical integer floor algebra.
+    "q152_quantile_bin" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Transformations.quantileBin(li, Seq("l_returnflag"),
+          col("l_extendedprice"), nBins = 8)
+        .groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_extendedprice")).as("v_min"),
+          max(col("l_extendedprice")).as("v_max"))
+        .orderBy("l_returnflag", "bin")
+    }),
+
+    // Hard-negative mining: top-10 best-scoring non-relevant documents
+    // per query (self and the labeled positive excluded) — the dense-
+    // retriever training-data op, q26's dag plus the exclusion.
+    "q153_hard_negatives" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          (col("vec_id") + 1).as("rel_id"))
+      graft.ops.Similarity.mineHardNegatives(emb, "vec_id", "embedding",
+          queries, "qid", "qe", "rel_id", k = 10)
+        .select(col("qid"), col("negative_id"),
+          round(col("score"), 4).as("score"), col("rank"))
+        .orderBy("qid", "rank")
     })
   )
 
@@ -5874,6 +5949,86 @@ object SparkEntry {
          SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_cal,
                 min(CASE WHEN cum * 10 >= (n + 1) * 9 THEN v END)
                   AS threshold
-         FROM t GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // q45/q148's recall-floor pattern: seeded IVF + residual-PQ train →
+    // deterministic probed-cell shortlist + exact refine; the IVF probe
+    // bound dominates on the near-uniform corpus (recall ≈ probe
+    // fraction 6/8), floor 0.5 measured at sf0.01 and sf0.1
+    "q150_ivfpq" ->
+      """SELECT vec_id AS qid, true AS meets_floor
+         FROM embeddings WHERE vec_id < 5 ORDER BY qid""",
+    // nominal-alpha coincidence algebra replayed: per-(unit, value)
+    // counts, keyed-window m_u, D_o as the c·(m−c)/(m−1) fold, D_e from
+    // the value marginals — exact integers until the two divisions
+    "q151_krippendorff" ->
+      """WITH r AS (
+           SELECT event_id AS u,
+                  CASE WHEN value > 300 THEN 'hi' ELSE 'lo' END AS v
+           FROM events WHERE value IS NOT NULL
+           UNION ALL
+           SELECT event_id,
+                  CASE WHEN value > 250 THEN 'hi' ELSE 'lo' END
+           FROM events WHERE value IS NOT NULL
+           UNION ALL
+           SELECT event_id,
+                  CASE WHEN value > 280 THEN 'hi' ELSE 'lo' END
+           FROM events WHERE value IS NOT NULL AND event_id % 3 = 0),
+         uv AS (SELECT u, v, count(*) AS c FROM r GROUP BY 1, 2),
+         q AS (SELECT * FROM (
+                 SELECT u, v, c, sum(c) OVER (PARTITION BY u) AS m
+                 FROM uv)
+               WHERE m >= 2),
+         s AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+                      CAST(sum(c) AS BIGINT) AS n_ratings,
+                      sum((c * (m - c))::DOUBLE / (m - 1)::DOUBLE) AS dobs
+               FROM q),
+         nc AS (SELECT v, sum(c) AS nv FROM q GROUP BY v),
+         e AS (SELECT sum(nv * nv) AS sq FROM nc)
+         SELECT n_units, n_ratings, round(dobs, 6) AS d_o,
+                round((n_ratings * n_ratings - sq)::DOUBLE
+                      / (n_ratings - 1)::DOUBLE, 6) AS d_e,
+                round(1.0::DOUBLE - dobs /
+                      ((n_ratings * n_ratings - sq)::DOUBLE
+                       / (n_ratings - 1)::DOUBLE), 6) AS alpha
+         FROM s, e""",
+    // bin(v) = min(⌊rank_below(v)·nBins/n⌋, nBins−1) replayed with the
+    // identical integer floor — ties share a bin by construction
+    "q152_quantile_bin" ->
+      """WITH c AS (
+           SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+                  count(*) AS cnt
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+         t AS (
+           SELECT l_returnflag, v, cnt,
+                  sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+           FROM c),
+         b AS (
+           SELECT l_returnflag, v, cnt,
+                  CAST(least(((cum - cnt) * 8) // n, 7) AS INTEGER) AS bin
+           FROM t)
+         SELECT l_returnflag, bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                min(v) AS v_min, max(v) AS v_max
+         FROM b GROUP BY l_returnflag, bin
+         ORDER BY l_returnflag, bin""",
+    // q26's kNN dag with the self and labeled-positive rows excluded
+    "q153_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid,
+                           CAST(embedding AS DOUBLE[]) AS qe,
+                           vec_id + 1 AS rel_id
+                    FROM embeddings WHERE vec_id < 5),
+         pairs AS (SELECT qid, vec_id,
+                          list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]), qe) AS sim
+                   FROM embeddings, q
+                   WHERE vec_id <> qid AND vec_id <> rel_id),
+         ranked AS (SELECT qid, vec_id, sim,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY sim DESC, vec_id ASC) AS rnk
+                    FROM pairs)
+         SELECT qid, vec_id AS negative_id, round(sim, 4) AS score,
+                rnk AS "rank"
+         FROM ranked WHERE rnk <= 10 ORDER BY qid, "rank""""
   )
 }

@@ -181,12 +181,19 @@ object IvfIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             nCells: Int, trainSampleFraction: Double = 1.0,
-            seed: Long = 42L, maxIter: Int = 20): Index = {
+            seed: Long = 42L, maxIter: Int = 20,
+            trainMaxRows: Int = MaxLocalTrainRows): Index = {
+    require(trainMaxRows >= nCells, s"trainMaxRows $trainMaxRows < nCells")
     val trainDf = (if (trainSampleFraction < 1.0)
       corpus.sample(withReplacement = false, trainSampleFraction, seed)
     else corpus).select(col(vecCol).cast("array<float>").as("features"))
-    // one bounded collect decides the path: ≤ cap rows → local Lloyd
-    val head = trainDf.limit(MaxLocalTrainRows + 1).collect()
+    // one bounded collect decides the path: ≤ cap rows → local Lloyd.
+    // trainMaxRows is the ABSOLUTE sample bound (~256 points per cell is
+    // plenty) — train cost must stay constant in corpus size; the
+    // fraction only buys randomness on top of it
+    val head = trainDf.limit(
+      if (trainMaxRows < MaxLocalTrainRows) trainMaxRows
+      else MaxLocalTrainRows + 1).collect()
     val centroids: Array[(Int, Array[Float])] =
       if (head.length <= MaxLocalTrainRows) {
         val pts = head.map(

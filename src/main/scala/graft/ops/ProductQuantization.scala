@@ -43,28 +43,26 @@ object ProductQuantization {
     def stride: Int = codebooks.map(_.length).max
   }
 
-  /** PQ trains on a bounded sample by design (≲256 points per code is
-    * the standard prescription) — same driver-local rationale as
-    * [[IvfIndex.MaxLocalTrainRows]].
-    */
-  private val MaxTrainRows = 200000
-
-  /** Train per-subspace codebooks on a (sampled) corpus. The sample —
-    * never the corpus — is collected; each subspace runs the shared
-    * seeded k-means ([[IvfIndex.localKMeans]]: k-means++ init, restarts,
-    * empty-cell reseeding) on its slice of the sample.
+  /** Train per-subspace codebooks on a (sampled) corpus. The train set
+    * — never the corpus — is collected, CAPPED at `trainMaxRows`
+    * (codebooks need ~256·k points, the standard PQ prescription; the
+    * default cap is 2048 points per code at k=16, already generous —
+    * train cost must stay CONSTANT in corpus size or the build's
+    * driver-side Lloyd grows with the data, which the 30× probe caught
+    * at 8× wall). Use `trainSampleFraction` for randomness at scale
+    * (the cap alone takes the scan's first rows); each subspace runs
+    * the shared seeded k-means ([[IvfIndex.localKMeans]]: k-means++
+    * init, restarts, empty-cell reseeding) on its slice.
     */
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
             trainSampleFraction: Double = 1.0, seed: Long = 42L,
-            maxIter: Int = 20): Model = {
+            maxIter: Int = 20, trainMaxRows: Int = 32768): Model = {
     require(m >= 1 && k >= 2, s"need m >= 1 subspaces and k >= 2 codes, got $m/$k")
+    require(trainMaxRows >= k, s"trainMaxRows $trainMaxRows < k=$k")
     val trainDf = (if (trainSampleFraction < 1.0)
       corpus.sample(withReplacement = false, trainSampleFraction, seed)
     else corpus).select(col(vecCol).cast("array<float>").as("_f"))
-    val head = trainDf.limit(MaxTrainRows + 1).collect()
-    require(head.length <= MaxTrainRows,
-      s"PQ train sample exceeds $MaxTrainRows rows — lower trainSampleFraction " +
-        "(the codebook needs ~256·k points, not the corpus)")
+    val head = trainDf.limit(trainMaxRows).collect()
     val pts = head.map(_.getAs[scala.collection.Seq[Float]](0).toArray)
     require(pts.nonEmpty, "PQ training sample is empty")
     val dim = pts.head.length
@@ -83,13 +81,20 @@ object ProductQuantization {
     * and in every downstream scan).
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-             model: Model): DataFrame = {
+             model: Model): DataFrame =
+    corpus.select(col(idCol), codeWord(col(vecCol), model).as("codes"))
+
+  /** The code-word column itself — one codegen argmin per subspace over
+    * a sliced view; exposed so compositions ([[IvfPq]]) can carry extra
+    * columns (cell id) through the encode without a re-join.
+    */
+  def codeWord(vec: org.apache.spark.sql.Column, model: Model)
+      : org.apache.spark.sql.Column = {
     val sd = model.subDim
-    val codes = array((0 until model.m).map { s =>
+    array((0 until model.m).map { s =>
       VectorFunctions.vecNearestCells(
-        slice(col(vecCol), s * sd + 1, sd), model.codebooks(s), 1).getItem(0)
+        slice(vec, s * sd + 1, sd), model.codebooks(s), 1).getItem(0)
     }: _*)
-    corpus.select(col(idCol), codes.as("codes"))
   }
 
   /** ADC top-k search over an encoded corpus. Per query, the flat LUT
@@ -101,39 +106,50 @@ object ProductQuantization {
     * standard keyed top-k window. Scores are approximate squared L2 —
     * ascending, ties broken by id like every ranker here.
     */
-  def adcSearch(encoded: DataFrame, idCol: String, codesCol: String,
-                model: Model, queries: DataFrame, queryIdCol: String,
-                queryVecCol: String, k: Int): DataFrame = {
-    val spark = encoded.sparkSession
+  /** Per-group flat LUT of (subspace, code) → exact squared sub-distance
+    * from `vecCol` to every codebook centroid, assembled in
+    * subspace-major `s·stride + code` order. Every subspace emits a FULL
+    * stride-wide slot block (unfilled slots — a subspace that trained
+    * < stride codes — get +inf): the flat indexing needs dense
+    * positions, and encode never emits a code pointing at a filler
+    * slot. The frame is tiny (|groups| × m × stride rows before the
+    * groupBy), so the exact interpreted double fold is off the hot path.
+    * Shared by [[adcSearch]] (grouped by query) and [[IvfPq]] (grouped
+    * by (query, probed cell) with the residual query vector).
+    */
+  private[graft] def lutFrame(frame: DataFrame, groupCols: Seq[String],
+                              vecCol: String, model: Model): DataFrame = {
+    val spark = frame.sparkSession
     import spark.implicits._
     val sd = model.subDim
     val stride = model.stride
-    // every subspace emits a FULL stride-wide slot block (unfilled slots
-    // — a subspace that trained < stride codes — get +inf): the flat
-    // `s·stride + code` indexing needs dense positions, and encode never
-    // emits a code pointing at a filler slot
     val cb = model.codebooks.zipWithIndex.flatMap { case (book, s) =>
       (0 until stride).map { c =>
         (s, c,
           if (c < book.length) Option(book(c).toSeq.map(_.toDouble)) else None)
       }
     }.toSeq.toDF("_sub", "_code", "_cent")
-    // exact squared sub-distance on the tiny LUT frame (double fold)
     val d2 = when(col("_cent").isNotNull, aggregate(
-      zip_with(slice(col(queryVecCol), col("_sub") * sd + 1, lit(sd))
+      zip_with(slice(col(vecCol), col("_sub") * sd + 1, lit(sd))
           .cast("array<double>"),
         col("_cent"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)).otherwise(lit(Double.MaxValue))
-    val lut = queries.crossJoin(broadcast(cb))
+    frame.crossJoin(broadcast(cb))
       .withColumn("_pos", col("_sub") * stride + col("_code"))
       .withColumn("_d2", d2)
-      .groupBy(col(queryIdCol), col(queryVecCol))
+      .groupBy(groupCols.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_d2")))),
         x => x.getField("_d2")).as("_lut"))
+  }
+
+  def adcSearch(encoded: DataFrame, idCol: String, codesCol: String,
+                model: Model, queries: DataFrame, queryIdCol: String,
+                queryVecCol: String, k: Int): DataFrame = {
+    val lut = lutFrame(queries, Seq(queryIdCol), queryVecCol, model)
       .select(col(queryIdCol), col("_lut"))
     val scored = encoded.crossJoin(broadcast(lut))
       .withColumn("_adc",
-        VectorFunctions.vecAdcScore(col(codesCol), col("_lut"), stride))
+        VectorFunctions.vecAdcScore(col(codesCol), col("_lut"), model.stride))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("_adc").asc, col(idCol).asc)
     scored.withColumn("_rank", row_number().over(w))
@@ -162,6 +178,20 @@ object ProductQuantization {
     val cand = adcSearch(encoded, idCol, codesCol, model,
         queries, queryIdCol, queryVecCol, shortlist)
       .select(col(queryIdCol), col(idCol))
+    refineExact(cand, corpus, idCol, vecCol,
+      queries, queryIdCol, queryVecCol, k, metric)
+  }
+
+  /** Exact re-rank of an ANN candidate set: only the candidates' rows
+    * touch their float vectors (one broadcast-joined corpus subset),
+    * then the standard keyed top-k. Shared by [[searchRefined]] and
+    * [[IvfPq.searchRefined]].
+    */
+  private[graft] def refineExact(cand: DataFrame, corpus: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 queries: DataFrame, queryIdCol: String,
+                                 queryVecCol: String, k: Int,
+                                 metric: VectorFunctions.Metric): DataFrame = {
     val qv = queries.select(col(queryIdCol), col(queryVecCol))
     val rescored = corpus.select(col(idCol), col(vecCol))
       .join(broadcast(cand), Seq(idCol))

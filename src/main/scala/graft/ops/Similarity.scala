@@ -224,6 +224,34 @@ object Similarity {
         .as("recall"))
   }
 
+  /** Hard-negative mining — the training-data op for embedding models
+    * (dense retrievers train on (query, positive, hard negatives); the
+    * negatives that matter are the top-scoring NON-relevant documents,
+    * not random ones). For each query: the `k` best-scoring corpus
+    * documents under `metric`, excluding the query's own row and its
+    * labeled positive (`relevantIdCol`). Same scale shape as
+    * [[bruteForceKnn]] — one corpus scan × broadcast queries, keyed
+    * partial-top-k window; swap in an ANN shortlist upstream at corpus
+    * scale, the exclusion projection is unchanged.
+    */
+  def mineHardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, queryIdCol: String,
+                        queryVecCol: String, relevantIdCol: String,
+                        k: Int, metric: Metric = Cosine): DataFrame = {
+    val q = broadcast(queries
+      .select(col(queryIdCol), col(queryVecCol), col(relevantIdCol)))
+    val pairs = corpus.join(q)
+      .filter(col(idCol) =!= col(queryIdCol) &&
+        col(idCol) =!= col(relevantIdCol))
+      .withColumn("_score", score(metric, col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(ordering(metric, col("_score")), col(idCol).asc)
+    pairs.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("negative_id"),
+        col("_score").as("score"), col("_rank").as("rank"))
+  }
+
   /** Reciprocal-rank fusion of N ranked lists (Cormack & Clarke 2009):
     * `rrf(q, d) = Σ_lists 1/(c + rank_list(q, d))`, the standard hybrid
     * retrieval combiner (lexical BM25 ∘ vector kNN) — rank-based, so no

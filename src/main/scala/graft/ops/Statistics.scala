@@ -528,6 +528,61 @@ object Statistics {
     * continuous score first, or the count frame degenerates to
     * data-sized).
     */
+  /** Krippendorff's alpha, nominal scale (Krippendorff 1970/2004 —
+    * public method): chance-corrected agreement over ANY number of
+    * raters with missing ratings — the generalization [[cohenKappa]]
+    * (exactly two raters, complete data) can't reach; the labeled-data
+    * QA metric for real annotation projects where units get 2..R
+    * labels. Input is the LONG form — one row per rating (unit, value);
+    * rater identity drops out of the nominal coincidence algebra.
+    * Units with fewer than two ratings carry no agreement information
+    * and are excluded, per the method.
+    *
+    * `α = 1 − D_o/D_e` over the coincidence matrix, computed WITHOUT
+    * materializing it: the observed disagreement folds per (unit,
+    * value) row as `c·(m_u−c)/(m_u−1)` (summing that over a unit's
+    * values IS `(m_u² − Σc²)/(m_u−1)`, the unit's off-diagonal
+    * coincidence mass), and the expected disagreement needs only the
+    * per-value marginals `n_v = Σ_u c` — so the whole computation is
+    * one map-side-combined groupBy to the |units × values-per-unit|
+    * count frame, a KEYED window for m_u, a ≤|values| marginal frame,
+    * and scalar folds. Exact integer algebra until the two final
+    * divisions; α rounds to 6 (per-unit D_o addends sum in engine
+    * order — the family slack).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uv = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(unitCol).as("_u"), col(valueCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_u"))
+    val q = uv
+      .withColumn("_m", sum(col("_c")).over(w))
+      .withColumn("_rn", row_number().over(w.orderBy(col("_v").asc)))
+      .filter(col("_m") >= 2)
+    val obs = q.agg(
+      coalesce(sum(when(col("_rn") === 1, 1L)), lit(0L)).as("n_units"),
+      coalesce(sum(col("_c")), lit(0L)).as("n_ratings"),
+      coalesce(sum((col("_c") * (col("_m") - col("_c"))).cast("double") /
+        (col("_m") - 1).cast("double")), lit(0.0)).as("_do"))
+    val marg = q.groupBy(col("_v")).agg(sum(col("_c")).as("_nv"))
+      .agg(coalesce(sum(col("_nv") * col("_nv")), lit(0L)).as("_sq"))
+    // degenerate contracts, q141's convention (explicit null, never a
+    // float-infinity that rounds differently across engines): no
+    // qualifying units → everything null-ish; a single observed value
+    // (D_e = 0: agreement is vacuous) → null alpha
+    val deNum = (col("n_ratings") * col("n_ratings") - col("_sq"))
+      .cast("double")
+    val de = deNum / (col("n_ratings") - 1).cast("double")
+    obs.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("n_ratings"),
+        round(col("_do"), 6).as("d_o"),
+        when(col("n_units") > 0, round(de, 6)).as("d_e"),
+        when(col("n_units") > 0 && deNum > 0,
+          round(lit(1.0) - col("_do") / de, 6)).as("alpha"))
+  }
+
   def conformalThreshold(df: DataFrame, keys: Seq[String], scoreCol: Column,
                          alphaNum: Int, alphaDen: Int): DataFrame = {
     require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,

@@ -597,12 +597,16 @@ object TextAnalysis {
     * matching no query term are absent, not zero-scored — at corpus
     * scale the zero rows are the corpus.
     *
-    * Scale shape: the corpus is tokenized ONCE; tokens inner-join a
-    * broadcast distinct-term set, so only query-term occurrences survive
-    * the explode into the per-(doc, term) tf groupBy (map-side combined;
-    * the only data-sized shuffle). Document length is computed row-local
-    * BEFORE the explode and carried as a grouping key, so no second
-    * corpus pass per doc. df re-aggregates that tf frame to ≤|terms|
+    * Scale shape: the corpus is tokenized ONCE, and the distinct query
+    * terms — bounded by contract, it's a query set — are collected once
+    * and pushed into the scan as a codegen InSet filter INSIDE the token
+    * array, so only query-term occurrences ever explode (on a real
+    * corpus the non-matching tokens are nearly all tokens; the 30×
+    * probe's explode-then-join form paid 2× the scan floor for exactly
+    * that volume). Document length is computed row-local BEFORE the
+    * filter and carried as a grouping key, so no second corpus pass per
+    * doc; the per-(doc, term) tf groupBy (map-side combined) is the only
+    * data-sized shuffle. df re-aggregates that tf frame to ≤|terms|
     * rows; (N, total_len) is one column-pruned scalar agg broadcast back
     * as a 1-row frame ([[vocabulary]]'s pattern); per-term weights are
     * computed once and only then fanned out per query (broadcast), so
@@ -618,19 +622,24 @@ object TextAnalysis {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(!Set("_term", "_dl", "_tf", "_df", "_nd", "_tl", "_w")
       .contains(idCol), s"id column '$idCol' collides with an internal name")
-    // (query, distinct term) — the query side is small by contract
+    // (query, distinct term) — the query side is small by contract, so
+    // the distinct term set is one bounded collect (the IVF-train
+    // rationale) and becomes a row-local codegen InSet inside the scan
     val qTerms = queries.select(col(queryIdCol),
       explode(array_distinct(tokenized(col(queryTextCol)))).as("_term"))
-    val termSet = qTerms.select("_term").distinct()
-    // one corpus scan: row-local dl, explode, keep query-term hits only.
-    // Two-step select on purpose: _toks is referenced twice (size +
-    // generator), so CollapseProject keeps the single tokenize instead
-    // of inlining the split into both consumers (the q58/q145 lesson).
+    val terms: Array[String] = qTerms.select("_term").distinct()
+      .collect().map(_.getString(0))
+    val isQueryTerm: Column => Column =
+      if (terms.isEmpty) _ => lit(false) else _.isin(terms.toSeq: _*)
+    // one corpus scan: row-local dl, keep query-term hits BEFORE the
+    // explode. Two-step select on purpose: _toks is referenced twice
+    // (size + generator input), so CollapseProject keeps the single
+    // tokenize instead of inlining the split into both consumers (the
+    // q58/q145 lesson).
     val docTf = docs
       .select(col(idCol), tokenized(col(textCol)).as("_toks"))
       .select(col(idCol), size(col("_toks")).as("_dl"),
-        explode(col("_toks")).as("_term"))
-      .join(broadcast(termSet), Seq("_term"))
+        explode(filter(col("_toks"), t => isQueryTerm(t))).as("_term"))
       .groupBy(col(idCol), col("_term"), col("_dl"))
       .agg(count(lit(1)).as("_tf"))
     val dfFrame = docTf.groupBy("_term").agg(count(lit(1)).as("_df"))

@@ -165,6 +165,44 @@ object Transformations {
       .withColumnRenamed("_hi", "q_high")
   }
 
+  /** Equal-frequency (quantile) binning — the discretizer transform:
+    * each row gets the bin its value falls in under per-key nBins
+    * equal-mass cut points. Bins are assigned at VALUE granularity
+    * (ties share a bin, the only consistent choice), by the closed
+    * form `bin(v) = min(⌊rank_below(v)·nBins/n⌋, nBins−1)` where
+    * `rank_below` is the count of rows strictly below `v` — that IS
+    * "how many exact lower-quantile cut points sit below v", so no cut
+    * table is ever materialized and the whole fit is integer algebra
+    * on the same one-scan count frame as [[winsorize]] (same
+    * bounded-distinct contract: round a raw continuous column first).
+    * Heavily-tied columns yield fewer occupied bins than nBins — the
+    * honest equal-frequency behavior, not an error. The bin map
+    * (|keys × distinct values| rows) joins back broadcast; the data is
+    * never shuffled.
+    */
+  def quantileBin(df: DataFrame, keys: Seq[String], valueCol: Column,
+                  nBins: Int, binCol: String = "bin"): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(valueCol.isNotNull)
+      .groupBy((keys.map(col) :+ valueCol.cast("double").as("_v")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy(keys.map(col): _*)
+    val binMap = counts
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(tw))
+      .withColumn(binCol,
+        least(expr(s"((_cum - _c) * $nBins) div _n").cast("int"),
+          lit(nBins - 1)))
+      .select((keys.map(col) :+ col("_v") :+ col(binCol)): _*)
+    df.filter(valueCol.isNotNull)
+      .withColumn("_v", valueCol.cast("double"))
+      .join(broadcast(binMap), keys :+ "_v")
+      .drop("_v")
+  }
+
   /** [[winsorize]] for UNBOUNDED value domains: identical output schema
     * and clip semantics, but the bounds come from `percentile_approx`
     * (relative-error sketch, mergeable, one map-side-combined pass) so

@@ -132,6 +132,49 @@ class RetrievalConformalSpec extends SparkSpec {
       "full-shortlist refine must reduce to exact search")
   }
 
+  test("ivfpq: all-cells probe + full shortlist reduces to exact kNN") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat()))).toDF("id", "vec")
+      .select($"id", $"vec".cast("array<float>").as("vec"))
+    val queries = vecs.filter($"id" < 3)
+      .select($"id".as("qid"), $"vec".as("qe"))
+    val idx = ops.IvfPq.build(vecs, "id", "vec", nCells = 4, m = 4, k = 8,
+      seed = 13L, maxIter = 15)
+    val got = ops.IvfPq.searchRefined(idx, "id", vecs, "vec",
+        queries, "qid", "qe", k = 5, shortlist = 80, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = Similarity.bruteForceKnn(vecs, "id", "vec",
+        queries, "qid", "qe", k = 5,
+        metric = graft.functions.VectorFunctions.L2, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === exact,
+      "exhaustive probe + full shortlist must reduce to exact search")
+  }
+
+  test("ivfpq: nProbe=1 results come only from the query's nearest cell") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat()))).toDF("id", "vec")
+      .select($"id", $"vec".cast("array<float>").as("vec"))
+    val queries = vecs.filter($"id" < 3)
+      .select($"id".as("qid"), $"vec".as("qe"))
+    val idx = ops.IvfPq.build(vecs, "id", "vec", nCells = 4, m = 4, k = 8,
+      seed = 13L, maxIter = 15)
+    val cellOf = idx.encoded.select($"id", $"_cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = ops.IvfPq.search(idx, "id", queries, "qid", "qe",
+        k = 10, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a query vector IS a corpus vector here, so its own cell is its
+    // nearest cell — every hit must share it
+    got.foreach { case (qid, id) =>
+      assert(cellOf(id) === cellOf(qid),
+        s"query $qid surfaced $id from an unprobed cell")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("pq: train rejects indivisible dims and oversized k honors sample") {
     val vecs = Seq((1L, Seq(1f, 2f, 3f))).toDF("id", "vec")
       .select($"id", $"vec".cast("array<float>").as("vec"))
@@ -142,6 +185,87 @@ class RetrievalConformalSpec extends SparkSpec {
     assert(m1.codebooks.forall(_.length === 1),
       "k is capped at the number of training points")
     assert(m1.stride === 1)
+  }
+
+  // ---- quantile binning ---------------------------------------------------
+
+  test("quantileBin: equal-frequency bins, ties share a bin, keys isolate") {
+    val df = ((1 to 8).map(v => ("k1", v.toDouble)) ++
+      Seq(("k2", 1.0), ("k2", 5.0), ("k2", 5.0), ("k2", 9.0)))
+      .toDF("k", "v")
+    val out = ops.Transformations.quantileBin(df, Seq("k"), $"v", nBins = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    val k1 = out.filter(_._1 == "k1")
+    assert(k1.filter(_._2 <= 4.0).forall(_._3 === 0))
+    assert(k1.filter(_._2 >= 5.0).forall(_._3 === 1))
+    // k2: n=4, value 5.0 has rank_below 1 → bin ⌊1·2/4⌋ = 0 for BOTH
+    // tied rows (ties share a bin); 9.0 → ⌊3·2/4⌋ = 1
+    val k2 = out.filter(_._1 == "k2").map(r => r._2 -> r._3).toMap
+    assert(k2(1.0) === 0 && k2(5.0) === 0 && k2(9.0) === 1)
+  }
+
+  test("quantileBin: max value lands in the top bin, nulls drop") {
+    val df = ((1 to 100).map(v => ("a", Option(v.toDouble))) :+
+      ("a", Option.empty[Double])).toDF("k", "v")
+    val out = ops.Transformations.quantileBin(df, Seq("k"), $"v", nBins = 10)
+      .collect().map(r => r.getDouble(1) -> r.getInt(2))
+    assert(out.length === 100, "null values are dropped")
+    assert(out.toMap.apply(100.0) === 9)
+    assert(out.toMap.apply(1.0) === 0)
+    // exactly 10 rows per bin on a tie-free uniform column
+    assert(out.groupBy(_._2).values.forall(_.size === 10))
+  }
+
+  // ---- hard negatives -----------------------------------------------------
+
+  test("mineHardNegatives excludes self and the labeled positive") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.9f, 0.2f)),
+      (4L, Seq(0.5f, 0.5f)), (5L, Seq(0f, 1f)))
+      .toDF("id", "vec").select($"id", $"vec".cast("array<float>").as("vec"))
+    val q = Seq((1L, Seq(1f, 0f), 2L)).toDF("qid", "qe", "rel")
+      .select($"qid", $"qe".cast("array<float>").as("qe"), $"rel")
+    val out = Similarity.mineHardNegatives(vecs, "id", "vec",
+        q, "qid", "qe", "rel", k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // doc 2 (the positive) and doc 1 (self) must be absent; the rest
+    // rank by cosine desc: 3, 4, 5
+    assert(out.map(_._1).toSeq === Seq(3L, 4L, 5L))
+    assert(out.map(_._2).toSeq === Seq(1, 2, 3))
+  }
+
+  // ---- Krippendorff's alpha ----------------------------------------------
+
+  test("krippendorff: perfect agreement is 1, hand case matches closed form") {
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("unit", "label")
+    val p = Statistics.krippendorffAlpha(perfect, "unit", "label")
+      .collect().head
+    assert(p.getAs[Double]("alpha") === 1.0)
+    // hand case: u1 {a,a}, u2 {a,b}, u3 {b,b}, u4 {b,b,b}
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (4L, "b"), (4L, "b"), (4L, "b"))
+      .toDF("unit", "label")
+    val r = Statistics.krippendorffAlpha(df, "unit", "label")
+      .collect().head
+    // D_o: only u2 disagrees — 1·(2−1)/1 twice = 2.0; n = 9,
+    // marginals a=3 b=6 → D_e = (81 − (9+36))/8 = 36/8 = 4.5
+    assert(r.getAs[Long]("n_units") === 4L)
+    assert(r.getAs[Long]("n_ratings") === 9L)
+    assert(r.getAs[Double]("d_o") === 2.0)
+    assert(r.getAs[Double]("d_e") === 4.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("alpha") === r6(1.0 - 2.0 / 4.5))
+  }
+
+  test("krippendorff: single-rating units drop; single value nulls alpha") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("unit", "label")
+    val r = Statistics.krippendorffAlpha(df, "unit", "label")
+      .collect().head
+    assert(r.getAs[Long]("n_units") === 1L, "unit 2 has one rating — dropped")
+    assert(r.getAs[Long]("n_ratings") === 2L)
+    // after the drop only value 'a' remains → D_e = 0 → alpha undefined
+    assert(r.isNullAt(r.fieldIndex("alpha")))
   }
 
   // ---- split-conformal threshold ------------------------------------------
