@@ -113,12 +113,21 @@ object Similarity {
     }
     val ranked = scored.groupBy(col(queryIdCol))
       .agg((sum(when(beats, 1L).otherwise(0L)) + 1L).as("rank"))
-    ranked.select(col(queryIdCol), col("rank"),
+    val metrics = ranked.select(col(queryIdCol), col("rank"),
       round(lit(1.0) / col("rank"), 6).as("reciprocal_rank"),
       (col("rank") <= k).as(s"hit_at_k"),
       round(when(col("rank") <= k,
         lit(math.log(2.0)) / log(col("rank") + 1.0)).otherwise(0.0), 6)
         .as("ndcg_at_k"))
+    // a query whose relevant id has NO corpus row would silently vanish
+    // through the inner `rel` join — left-join back over the full query
+    // set so it surfaces as a NULL-rank row instead of a dropped one
+    // (an eval over a mislabeled query set must not report metrics for
+    // only the found subset with no signal)
+    // both frames are |queries|-sized; broadcast the right side (the
+    // side a left-outer BroadcastHashJoin can build from)
+    queries.select(col(queryIdCol)).distinct()
+      .join(broadcast(metrics), Seq(queryIdCol), "left")
   }
 
   /** Deterministic random-hyperplane signature: `nBits` sign bits of dot

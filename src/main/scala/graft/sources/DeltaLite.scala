@@ -302,7 +302,10 @@ object DeltaLite {
       a.addGroup("partitionValues") // present and empty
       a.add("size", size)
       a.add("modificationTime", 0L)
-      a.add("dataChange", true)
+      // delta-spark convention: checkpoint add entries carry
+      // dataChange=false (they restate state, they are not new data);
+      // state reconstruction ignores the flag either way
+      a.add("dataChange", false)
       writer.write(g)
     }
     writer.close()

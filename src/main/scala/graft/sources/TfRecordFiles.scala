@@ -288,12 +288,16 @@ object TfRecordFiles {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint(); ()
-      case 1 => p += 8
+      case 1 =>
+        require(p + 8 <= end, "skipped fixed64 overruns message end")
+        p += 8
       case 2 => val n = varint().toInt
         require(n >= 0 && p + n <= end,
           s"skipped field of $n bytes overruns message end")
         p += n
-      case 5 => p += 4
+      case 5 =>
+        require(p + 4 <= end, "skipped fixed32 overruns message end")
+        p += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }

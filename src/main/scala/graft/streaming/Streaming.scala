@@ -147,6 +147,14 @@ object Streaming {
     * a bounded one-shot eval over a test-scale stream wants a handful
     * of stores, while a 10⁹-key production stream wants the full
     * parallelism (the default — None — keeps exactly that).
+    *
+    * Concurrency contract: the override toggles the SESSION-global
+    * `spark.sql.shuffle.partitions` for the duration of the run, so a
+    * query started CONCURRENTLY on the same session inside that window
+    * would silently inherit the temporary value. Callers that need a
+    * concurrent start while a sized run is in flight must pass the
+    * frame through `spark.newSession()` (separate conf, shared
+    * catalog/state) — every in-repo caller is sequential.
     */
   def runToMemory(df: DataFrame, namePrefix: String,
                   outputMode: String,

@@ -129,4 +129,41 @@ class AdviceFixesSpec extends SparkSpec {
     assert(comp(8L) == 8L && comp(9L) == 8L)
     assert(!comp.contains(7L), "self-pairs are not duplicate edges")
   }
+
+  test("rankEval surfaces a NULL-rank row for a query whose relevant " +
+    "doc is absent from the corpus (r11 advice: no silent drop)") {
+    import graft.ops.Similarity
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+        (3L, Array(0.7f, 0.7f)))
+      .toDF("id", "vec")
+    val queries = Seq(
+        (10L, Array(1.0f, 0.1f), 1L),   // relevant id present
+        (11L, Array(0.1f, 1.0f), 99L))  // relevant id MISSING
+      .toDF("qid", "qvec", "rel")
+    val out = Similarity.rankEval(corpus, "id", "vec",
+        queries, "qid", "qvec", "rel", k = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2, "both queries must appear in the eval output")
+    assert(out(10L).getAs[Long]("rank") == 1L)
+    assert(out(11L).isNullAt(out(11L).fieldIndex("rank")),
+      "missing relevant doc must yield NULL rank, not a dropped row")
+    assert(out(11L).isNullAt(out(11L).fieldIndex("reciprocal_rank")))
+  }
+
+  test("tfrecord protobuf skip: a truncated fixed64/fixed32 unknown " +
+    "field fails loudly instead of running past the message end") {
+    import graft.sources.TfRecordFiles
+    // tag for field 99, wire type 1 (fixed64) = (99<<3)|1 = 793 →
+    // varint [0x99, 0x06], then only 3 payload bytes (needs 8)
+    val truncated64 = Array[Byte](0x99.toByte, 0x06, 1, 2, 3)
+    val e1 = intercept[IllegalArgumentException](
+      TfRecordFiles.parseExample(truncated64))
+    assert(e1.getMessage.contains("fixed64"))
+    // tag for field 99, wire type 5 (fixed32) = (99<<3)|5 = 797 →
+    // varint [0x9d, 0x06], then only 1 payload byte (needs 4)
+    val truncated32 = Array[Byte](0x9d.toByte, 0x06, 1)
+    val e2 = intercept[IllegalArgumentException](
+      TfRecordFiles.parseExample(truncated32))
+    assert(e2.getMessage.contains("fixed32"))
+  }
 }

@@ -141,6 +141,11 @@ class DeltaLiteSpec extends SparkSpec {
     assert(rows.count(r => !r.isNullAt(r.fieldIndex("metaData"))) == 1)
     // 11 live files at v10 (create + 10 appends, one file each)
     assert(rows.count(r => !r.isNullAt(r.fieldIndex("add"))) == 11)
+    // delta-spark convention: checkpoint add entries restate state, so
+    // they carry dataChange=false (commit-log adds stay true)
+    assert(rows.filter(r => !r.isNullAt(r.fieldIndex("add")))
+      .forall(r => !r.getAs[org.apache.spark.sql.Row]("add")
+        .getAs[Boolean]("dataChange")))
     val md = rows.find(r => !r.isNullAt(r.fieldIndex("metaData"))).get
       .getAs[org.apache.spark.sql.Row]("metaData")
     assert(org.apache.spark.sql.types.DataType
