@@ -2817,6 +2817,28 @@ object SparkEntry {
         .select(col("qid"), col("negative_id"),
           round(col("score"), 4).as("score"), col("rank"))
         .orderBy("qid", "rank")
+    }),
+
+    // FETCH-side consume round trip — the wire-symmetric half of q143:
+    // rows → binary-Avro wire triples → multi-record v2 batches (the
+    // PRODUCE bytes) → fromBatches (CRC32C-verified parse back to
+    // consumer records, torn batches rejected) → Avro decode. Every
+    // byte layer is crossed in BOTH directions; the oracle is the plain
+    // projection — parity proves the produce→fetch stack is lossless.
+    // Headers and the null union branch (etype on clicks) ride through
+    // the record framing.
+    "q154_kafka_consume" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_type") === "click", lit(null).cast("string"))
+          .otherwise(col("event_type")).as("etype"))
+      val wire = graft.functions.AvroCodec.toAvroWire(base, Seq("event_id"),
+        headers = Map("subject" -> "events_v1"))
+      val batches = graft.functions.KafkaWire.toBatches(wire,
+        recordsPerBatch = 64, timestamp = 42L)
+      val consumed = graft.functions.KafkaWire.fromBatches(batches)
+      graft.functions.AvroCodec.fromAvroWire(consumed, base.schema)
+        .orderBy("event_id")
     })
   )
 
@@ -6039,6 +6061,15 @@ object SparkEntry {
                     FROM pairs)
          SELECT qid, vec_id AS negative_id, round(sim, 4) AS score,
                 rnk AS "rank"
-         FROM ranked WHERE rnk <= 10 ORDER BY qid, "rank""""
+         FROM ranked WHERE rnk <= 10 ORDER BY qid, "rank"""",
+    // the produce→fetch byte stack (avro encode → v2 batch framing →
+    // CRC-verified parse → avro decode) is lossless, so the oracle is
+    // the plain projection (q114/q115 pattern); the byte widths are
+    // oracled in q143 and the framing golden bytes in KafkaWireSpec
+    "q154_kafka_consume" ->
+      """SELECT event_id, user_id, value,
+                CASE WHEN event_type = 'click' THEN NULL
+                     ELSE event_type END AS etype
+         FROM events ORDER BY event_id"""
   )
 }

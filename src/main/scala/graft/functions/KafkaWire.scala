@@ -193,4 +193,145 @@ object KafkaWire {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  // ---------------------------------------------------------------------
+  // FETCH side — parse v2 batches back to records (the consumer half of
+  // the wire contract, symmetric to toBatches). A broker hands a FETCH
+  // response as raw record-batch bytes; the consumer must verify the
+  // CRC, reject torn (truncated / over-long) batches, and re-derive
+  // per-record offsets and timestamps from the batch base + deltas.
+  // ---------------------------------------------------------------------
+
+  /** One consumer-visible record parsed out of a v2 batch. */
+  private[graft] final case class ParsedRecord(
+      offset: Long, timestamp: Long,
+      key: Array[Byte], value: Array[Byte],
+      headers: Seq[(String, Array[Byte])])
+
+  /** Parse ONE v2 record batch, verifying every framing invariant the
+    * protocol lets a consumer check:
+    *
+    *  - the array holds exactly `12 + batchLength` bytes (a shorter
+    *    array is a TORN batch — a fetch cut mid-transfer; a longer one
+    *    has trailing garbage),
+    *  - `magic == 2` (this parser speaks only the v2 layout),
+    *  - stored CRC32C equals the CRC recomputed over everything after
+    *    the crc field (bit rot / torn writes),
+    *  - compression bits are 0 (this producer never compresses; a
+    *    compressed batch from elsewhere must fail loudly, not parse
+    *    garbage),
+    *  - each record's varint `length` is consumed exactly, the declared
+    *    `recordsCount` of records fill the batch exactly, and the last
+    *    record's offsetDelta equals the header's `lastOffsetDelta`.
+    *
+    * Returns consumer-view records with absolute offsets
+    * (`baseOffset + offsetDelta`) and timestamps
+    * (`baseTimestamp + timestampDelta`).
+    */
+  private[graft] def parseBatch(bytes: Array[Byte]): Seq[ParsedRecord] = {
+    require(bytes.length >= BatchHeaderBytes,
+      s"torn batch: ${bytes.length} bytes < $BatchHeaderBytes-byte header")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val baseOffset = bb.getLong(0)
+    val batchLength = bb.getInt(8)
+    require(12 + batchLength == bytes.length,
+      s"torn batch: declared ${12 + batchLength} bytes, got ${bytes.length}")
+    val magic = bytes(16)
+    require(magic == 2, s"unsupported magic $magic (v2 parser)")
+    val crcStored = bb.getInt(17)
+    val c = new CRC32C(); c.update(bytes, 21, bytes.length - 21)
+    require(crcStored == c.getValue.toInt,
+      f"crc32c mismatch: stored 0x$crcStored%08x, computed 0x${c.getValue.toInt}%08x")
+    val attributes = bb.getShort(21)
+    require((attributes & 0x7) == 0,
+      s"compressed batch (attributes codec ${attributes & 0x7}) not supported")
+    val lastOffsetDelta = bb.getInt(23)
+    val baseTimestamp = bb.getLong(27)
+    val recordsCount = bb.getInt(57)
+    require(recordsCount >= 1, s"empty batch (recordsCount $recordsCount)")
+
+    var p = BatchHeaderBytes
+    def zigzag(): Long = {
+      var shift = 0; var v = 0L
+      while ({
+        require(p < bytes.length, "record varint runs past batch end")
+        val b = bytes(p); p += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+        require(shift <= 70, "malformed record varint: more than 10 bytes")
+        (b & 0x80) != 0
+      }) ()
+      (v >>> 1) ^ -(v & 1)
+    }
+    def sized(n: Int): Array[Byte] = {
+      require(n >= 0 && p + n <= bytes.length,
+        s"record field of $n bytes overruns batch end")
+      val out = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n; out
+    }
+    val records = (0 until recordsCount).map { i =>
+      val len = zigzag().toInt
+      val start = p
+      require(len >= 0 && start + len <= bytes.length,
+        s"record $i declares $len bytes, overruns batch end")
+      require(p < bytes.length, "record truncated before attributes")
+      p += 1 // record attributes: unused
+      val tsDelta = zigzag()
+      val offDelta = zigzag()
+      val keyLen = zigzag().toInt
+      val key = if (keyLen < 0) null else sized(keyLen)
+      val valLen = zigzag().toInt
+      val value = if (valLen < 0) null else sized(valLen)
+      val headerCount = zigzag().toInt
+      require(headerCount >= 0, s"negative header count $headerCount")
+      val headers = (0 until headerCount).map { _ =>
+        val hk = new String(sized(zigzag().toInt), "UTF-8")
+        val hvLen = zigzag().toInt
+        (hk, if (hvLen < 0) null else sized(hvLen))
+      }
+      require(p == start + len,
+        s"record $i framing: declared $len bytes, consumed ${p - start}")
+      if (i == recordsCount - 1)
+        require(offDelta == lastOffsetDelta.toLong,
+          s"lastOffsetDelta $lastOffsetDelta != final record delta $offDelta")
+      ParsedRecord(baseOffset + offDelta, baseTimestamp + tsDelta,
+        key, value, headers)
+    }
+    require(p == bytes.length,
+      s"${bytes.length - p} trailing bytes after the last record")
+    records
+  }
+
+  /** Explode a frame of v2 record batches (`batchCol` binary) back into
+    * consumer records: `keep` columns carried through, then `offset`,
+    * `timestamp`, `key`, `value`, `headers` — the inverse of
+    * [[toBatches]] and the exact frame [[AvroCodec.fromAvroWire]]
+    * consumes. CRC and framing are verified per batch; a torn or
+    * corrupted batch throws (at-least-once consumers re-fetch, they do
+    * not skip silently).
+    *
+    * Scale shape: row-local `mapPartitions` (one batch in, its records
+    * out), no shuffle — the consumer-side mirror of the producer's
+    * batching pass.
+    */
+  def fromBatches(df: DataFrame, batchCol: String = "batch",
+                  keep: Seq[String] = Nil): DataFrame = {
+    val bi = df.schema.fieldIndex(batchCol)
+    val keepIdx = keep.map(df.schema.fieldIndex)
+    val outSchema = StructType(keep.map(df.schema(_)) ++ Seq(
+      StructField("offset", LongType),
+      StructField("timestamp", LongType),
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("headers", ArrayType(StructType(Seq(
+        StructField("key", StringType),
+        StructField("value", BinaryType)))))))
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val kept = keepIdx.map(row.get)
+        parseBatch(row.getAs[Array[Byte]](bi)).map { r =>
+          Row.fromSeq(kept ++ Seq(r.offset, r.timestamp, r.key, r.value,
+            r.headers.map(h => Row(h._1, h._2))))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
 }

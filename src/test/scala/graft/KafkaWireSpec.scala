@@ -149,4 +149,121 @@ class KafkaWireSpec extends SparkSpec {
         (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
     assert(back == rows)
   }
+
+  // ------------------------------------------------------------------
+  // FETCH side (r11): fromBatches is the wire-symmetric consumer half.
+  // ------------------------------------------------------------------
+
+  test("fromBatches parses a HAND-BUILT batch (layout-only, not the " +
+    "encoder's output): offsets, timestamps, key/value/header bytes") {
+    // two records, base timestamp 1000, hand-framed per the spec text
+    def rec(off: Int, ts: Int, key: Array[Byte], value: Array[Byte],
+            headers: Seq[(String, Array[Byte])]): Array[Byte] = {
+      def zz(v: Long): Array[Byte] = {
+        var x = (v << 1) ^ (v >> 63); val b = Array.newBuilder[Byte]
+        while ((x & ~0x7fL) != 0) { b += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+        (b += x.toByte).result()
+      }
+      val body = Array[Byte](0x00) ++ zz(ts.toLong) ++ zz(off.toLong) ++
+        (if (key == null) zz(-1L) else zz(key.length.toLong) ++ key) ++
+        (if (value == null) zz(-1L) else zz(value.length.toLong) ++ value) ++
+        zz(headers.size.toLong) ++ headers.flatMap { case (k, v) =>
+          val kb = k.getBytes("UTF-8")
+          zz(kb.length.toLong) ++ kb ++
+            (if (v == null) zz(-1L) else zz(v.length.toLong) ++ v)
+        }
+      zz(body.length.toLong) ++ body
+    }
+    val r0 = rec(0, 0, Array[Byte]('a'), Array[Byte]('p', 'q'),
+      Seq(("h1", Array[Byte]('z'))))
+    val r1 = rec(1, 5, null, Array[Byte]('r'), Nil)
+    val tail = ByteBuffer.allocate(2 + 4 + 8 + 8 + 8 + 2 + 4 + 4 +
+      r0.length + r1.length).order(ByteOrder.BIG_ENDIAN)
+      .putShort(0).putInt(1)          // attrs, lastOffsetDelta
+      .putLong(1000L).putLong(1005L)  // base/max timestamp
+      .putLong(-1L).putShort(-1).putInt(-1)
+      .putInt(2).put(r0).put(r1).array()
+    val crc = new CRC32C(); crc.update(tail, 0, tail.length)
+    val batch = ByteBuffer.allocate(8 + 4 + 4 + 1 + 4 + tail.length)
+      .order(ByteOrder.BIG_ENDIAN)
+      .putLong(42L)                   // broker-assigned baseOffset
+      .putInt(4 + 1 + 4 + tail.length).putInt(-1)
+      .put(2.toByte).putInt(crc.getValue.toInt).put(tail).array()
+
+    val out = KafkaWire.fromBatches(Seq(Tuple1(batch)).toDF("batch"))
+      .orderBy("offset").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("offset") == 42L &&
+      out(0).getAs[Long]("timestamp") == 1000L)
+    assert(out(0).getAs[Array[Byte]]("key").toSeq == Seq[Byte]('a'))
+    assert(out(0).getAs[Array[Byte]]("value").toSeq == Seq[Byte]('p', 'q'))
+    val hdrs = out(0).getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("headers")
+    assert(hdrs.length == 1 && hdrs.head.getString(0) == "h1" &&
+      hdrs.head.getAs[Array[Byte]](1).toSeq == Seq[Byte]('z'))
+    assert(out(1).getAs[Long]("offset") == 43L &&
+      out(1).getAs[Long]("timestamp") == 1005L)
+    assert(out(1).getAs[Array[Byte]]("key") == null)
+    assert(out(1).getAs[Array[Byte]]("value").toSeq == Seq[Byte]('r'))
+  }
+
+  test("toBatches → fromBatches round-trips key/value/header bytes, " +
+    "derives offsets within each batch, and keeps batch timestamps") {
+    val wire = AvroCodec.toAvroWire(
+      (1L to 7L).map(i => (i, s"n$i")).toDF("id", "name"), Seq("id"),
+      headers = Map("subject" -> "t1")).coalesce(1)
+    val batches = KafkaWire.toBatches(wire, recordsPerBatch = 3,
+      timestamp = 777L)
+    val back = KafkaWire.fromBatches(batches)
+    assert(back.count() == 7)
+    assert(back.where(col("timestamp") =!= 777L).count() == 0)
+    // offsets restart per producer batch (baseOffset 0 pre-append)
+    assert(back.groupBy().agg(max(col("offset"))).collect()
+      .head.getLong(0) == 2L)
+    val decoded = AvroCodec.fromAvroWire(back,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType))))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(decoded.toSeq == (1L to 7L).map(i => (i, s"n$i")))
+    val hdr = back.select(explode(col("headers")).as("h")).select("h.*")
+      .collect().head
+    assert(hdr.getString(0) == "subject" &&
+      new String(hdr.getAs[Array[Byte]](1), "UTF-8") == "t1")
+  }
+
+  test("fromBatches rejects corruption: flipped payload byte (crc), " +
+    "truncation (torn), trailing bytes, and compressed attributes") {
+    val df = Seq((Array[Byte]('k'), Array[Byte]('v'))).toDF("key", "value")
+    val good = KafkaWire.toBatches(df).collect().head
+      .getAs[Array[Byte]]("batch")
+    def parse(b: Array[Byte]) =
+      KafkaWire.fromBatches(Seq(Tuple1(b)).toDF("batch")).collect()
+    assert(parse(good).length == 1)
+
+    val flipped = good.clone()
+    flipped(good.length - 1) = (flipped(good.length - 1) ^ 0x01).toByte
+    val e1 = intercept[org.apache.spark.SparkException](parse(flipped))
+    assert(e1.getCause.getMessage.contains("crc32c"))
+
+    val torn = java.util.Arrays.copyOf(good, good.length - 3)
+    val e2 = intercept[org.apache.spark.SparkException](parse(torn))
+    assert(e2.getCause.getMessage.contains("torn"))
+
+    val trailing = good ++ Array[Byte](0x00)
+    val e3 = intercept[org.apache.spark.SparkException](parse(trailing))
+    assert(e3.getCause.getMessage.contains("torn"))
+
+    // set a compression codec bit and re-stamp the crc so ONLY the
+    // codec check can fire
+    val gz = good.clone()
+    gz(22) = (gz(22) | 0x01).toByte // attributes low byte (big-endian)
+    val c = new CRC32C(); c.update(gz, 21, gz.length - 21)
+    ByteBuffer.wrap(gz).order(ByteOrder.BIG_ENDIAN)
+      .putInt(17, c.getValue.toInt)
+    val e4 = intercept[org.apache.spark.SparkException](parse(gz))
+    assert(e4.getCause.getMessage.contains("compressed"))
+  }
 }
