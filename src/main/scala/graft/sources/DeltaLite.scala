@@ -16,9 +16,25 @@ import org.apache.spark.sql.types._
   * table-root-relative, so version dirs keep the diffing trivial and
   * are protocol-legal). This is the transaction-log half of the
   * reference's Delta engine (`core/delta_engine.py:54-170` — create /
-  * append / overwrite / time travel); OPTIMISTIC CONCURRENCY (the
-  * put-if-absent commit race) is out of scope — single-writer, like
-  * every driver-side use here.
+  * append / overwrite / time travel).
+  *
+  * OPTIMISTIC CONCURRENCY (r11, PROTOCOL.md §"Transactions": a writer
+  * MUST NOT overwrite an existing `%020d.json` entry): every commit
+  * publishes through an atomic PUT-IF-ABSENT — on a local filesystem
+  * the staged JSON is hard-LINKED into place (`link(2)` fails with
+  * EEXIST when the target exists, the textbook put-if-absent; an
+  * O_EXCL-style rename-no-replace isn't portably exposed), on
+  * HDFS-like stores via exclusive create (atomic at the namenode). A
+  * writer that loses the race REBASES: it re-reads the head version,
+  * recomputes its actions against the freshly observed state (appends
+  * commute so the retry is just a version bump; overwrite recomputes
+  * its remove set), and tries the next version. Data files are staged
+  * ONCE under a per-transaction directory before the first attempt, so
+  * retries never rewrite data — only the ~1 KB commit JSON. The one
+  * unsynchronized residue is the `_last_checkpoint` pointer: two
+  * winners checkpointing different versions race last-writer-wins on
+  * the pointer, and either value is a valid seed (resolution probes
+  * the contiguous tail forward).
   *
   * CHECKPOINTS (PROTOCOL.md §"Checkpoints"): every
   * [[CheckpointInterval]] commits the full replay state is written as
@@ -115,6 +131,69 @@ object DeltaLite {
     out.close()
   }
 
+  /** Atomic put-if-absent publish of commit `v`. Returns false when the
+    * version already exists — the caller lost the race and must rebase.
+    * Local scheme: stage to a hidden `.tmp` in `_delta_log`, then
+    * `Files.createLink` (atomic, EEXIST on conflict) and drop the
+    * stage. Other schemes: exclusive create (atomic on HDFS).
+    */
+  private[graft] def tryPublish(table: String, v: Long,
+                                actions: Seq[String]): Boolean = {
+    val f = fs(table)
+    val target = commitFile(table, v)
+    if (f.getScheme == "file") {
+      val tmp = new Path(logDir(table),
+        f".$v%020d.json.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = f.create(tmp, false)
+      try actions.foreach(a => out.write((a + "\n").getBytes("UTF-8")))
+      finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally f.delete(tmp, false)
+    } else {
+      if (f.exists(target)) false
+      else
+        try {
+          val out = f.create(target, false)
+          try actions.foreach(a => out.write((a + "\n").getBytes("UTF-8")))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    }
+  }
+
+  /** The optimistic-concurrency loop: try successive versions until the
+    * put-if-absent publish wins. `actions(v)` is re-evaluated on every
+    * attempt so a loser REBASES against the freshly observed head
+    * (v − 1) rather than replaying a stale view. Bounded — an FS whose
+    * put-if-absent always "loses" must surface as an error, not an
+    * infinite loop.
+    */
+  private def commitWithRetry(table: String, maxAttempts: Int = 1000)
+                             (actions: Long => Seq[String]): Long = {
+    var v = versions(table).lastOption.getOrElse(
+      sys.error(s"$table has no log — create first")) + 1
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      if (tryPublish(table, v, actions(v))) {
+        maybeCheckpoint(table, v)
+        return v
+      }
+      // lost the race: rebase to at least one past the newest head
+      v = math.max(v + 1, versions(table).lastOption.getOrElse(-1L) + 1)
+    }
+    sys.error(s"$table: lost the commit race $maxAttempts times")
+  }
+
   private def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
@@ -150,39 +229,48 @@ object DeltaLite {
     mapper.writeValueAsString(node)
   }
 
-  /** Write `df`'s parquet files under `<table>/v<version>/` and return
-    * their table-relative paths + sizes.
+  /** Write `df`'s parquet files under `<table>/<dirName>/` and return
+    * their table-relative paths + sizes. `dirName` is `v0` for create
+    * and a per-transaction `tx-…` directory for append/overwrite —
+    * staged ONCE before the first commit attempt, so losing the commit
+    * race never rewrites data (add paths are opaque to the protocol).
     */
   private def writeData(df: DataFrame, table: String,
-                        v: Long): Seq[(String, Long)] = {
-    val dir = s"$table/v$v"
+                        dirName: String): Seq[(String, Long)] = {
+    val dir = s"$table/$dirName"
     df.write.mode("errorifexists").parquet(dir)
     val f = fs(table)
     f.listStatus(new Path(dir)).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s"v$v/${s.getPath.getName}", s.getLen))
+      .map(s => (s"$dirName/${s.getPath.getName}", s.getLen))
   }
 
-  /** Version 0: protocol + metaData + the initial adds. */
+  private def txDir(): String =
+    s"tx-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** Version 0: protocol + metaData + the initial adds. Put-if-absent
+    * on the v0 entry — of two concurrent creates exactly one wins; the
+    * loser gets an error (there is no meaningful rebase for create).
+    */
   def create(df: DataFrame, table: String): Long = {
     require(versions(table).isEmpty, s"$table already has a _delta_log")
     fs(table).mkdirs(logDir(table))
-    val files = writeData(df, table, 0L)
-    writeCommit(table, 0L,
+    val files = writeData(df, table, "v0")
+    val won = tryPublish(table, 0L,
       Seq(protocolAction,
         metaDataAction(df.schema, java.util.UUID.randomUUID.toString)) ++
         files.map { case (p, s) => addAction(p, s) })
+    require(won, s"$table: concurrent create — another writer owns v0")
     0L
   }
 
-  /** Append commit: adds only. */
+  /** Append commit: adds only. Appends commute with appends, so a lost
+    * race rebases by just bumping the version (data staged once).
+    */
   def append(df: DataFrame, table: String): Long = {
-    val v = versions(table).lastOption.getOrElse(
-      sys.error(s"$table has no log — create first")) + 1
-    val files = writeData(df, table, v)
-    writeCommit(table, v, files.map { case (p, s) => addAction(p, s) })
-    maybeCheckpoint(table, v)
-    v
+    val files = writeData(df, table, txDir())
+    val adds = files.map { case (p, s) => addAction(p, s) }
+    commitWithRetry(table)(_ => adds)
   }
 
   /** Log-only append for scale probes and tests: one add action with a
@@ -197,17 +285,21 @@ object DeltaLite {
     v
   }
 
-  /** Overwrite commit: remove every live file, add the new ones. */
+  /** Overwrite commit: remove every live file, add the new ones. A
+    * lost race REBASES the remove set — the retry recomputes the live
+    * files at the freshly observed head (v − 1), so files added by the
+    * interleaved winner are removed too (full-table overwrite
+    * semantics; delta-spark resolves the same way for blind
+    * mode=overwrite).
+    */
   def overwrite(df: DataFrame, table: String): Long = {
-    val vs = versions(table)
-    require(vs.nonEmpty, s"$table has no log — create first")
-    val v = vs.last + 1
-    val live = replayState(table, Some(vs.last)).adds.map(_._1)
-    val files = writeData(df, table, v)
-    writeCommit(table, v,
-      live.map(removeAction) ++ files.map { case (p, s) => addAction(p, s) })
-    maybeCheckpoint(table, v)
-    v
+    require(versions(table).nonEmpty, s"$table has no log — create first")
+    val files = writeData(df, table, txDir())
+    val adds = files.map { case (p, s) => addAction(p, s) }
+    commitWithRetry(table) { v =>
+      replayState(table, Some(v - 1)).adds.map(_._1)
+        .map(removeAction) ++ adds
+    }
   }
 
   // ------------------------------------------------------------------

@@ -167,4 +167,81 @@ class DeltaLiteSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("k"),
       s"filter must reach the parquet scan:\n$plan")
   }
+
+  // ------------------------------------------------------------------
+  // Optimistic concurrency (r11): put-if-absent commits, loser rebases.
+  // ------------------------------------------------------------------
+
+  test("put-if-absent: two writers publish the same version, exactly " +
+    "one wins; the loser's append rebases to the next version") {
+    val t = tmp()
+    DeltaLite.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    // both writers observed head v0 and target v1
+    val winner = DeltaLite.tryPublish(t, 1L, Seq("""{"commitInfo":{}}"""))
+    val loser = DeltaLite.tryPublish(t, 1L, Seq("""{"commitInfo":{}}"""))
+    assert(winner && !loser, "exactly one writer may own a version file")
+    // a concurrent create is the same race on v0 — always lost here
+    assert(!DeltaLite.tryPublish(t, 0L, Seq("""{"commitInfo":{}}""")))
+    // the losing APPEND path rebases: lands at v2, data intact
+    val v = DeltaLite.append(Seq((3L, "c")).toDF("id", "v"), t)
+    assert(v == 2L)
+    assert(DeltaLite.snapshot(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // no staged .tmp files leak from the publish path
+    val leftovers = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"leaked stages: ${leftovers.mkString(",")}")
+  }
+
+  test("concurrent appenders: every commit lands at a distinct " +
+    "contiguous version and no rows are lost") {
+    val t = tmp()
+    DeltaLite.create(Seq((0L, "seed")).toDF("id", "v"), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (1 to 12).map { i =>
+      scala.concurrent.Future(
+        DeltaLite.append(Seq((i.toLong, s"w$i")).toDF("id", "v"), t))
+    }
+    val committed = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    assert(committed.toSet.size == 12, "every append owns its own version")
+    assert(DeltaLite.versions(t) == (0L to 12L),
+      s"contiguous log, got ${DeltaLite.versions(t)}")
+    assert(DeltaLite.snapshot(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (0L to 12L),
+      "no append may be lost to the race")
+  }
+
+  test("overwrite rebases its remove set against interleaved appends: " +
+    "overwrite rows always survive, earlier appends are removed") {
+    val t = tmp()
+    DeltaLite.create(Seq((1L, "a")).toDF("id", "v"), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val appender = scala.concurrent.Future {
+      (10 to 15).map(i =>
+        i -> DeltaLite.append(Seq((i.toLong, s"a$i")).toDF("id", "v"), t))
+    }
+    val overwriter = scala.concurrent.Future {
+      DeltaLite.overwrite(Seq((100L, "ow")).toDF("id", "v"), t)
+    }
+    val appends = scala.concurrent.Await.result(appender,
+      scala.concurrent.duration.Duration("120s"))
+    val owV = scala.concurrent.Await.result(overwriter,
+      scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    val finalIds = DeltaLite.snapshot(spark, t)
+      .collect().map(_.getLong(0)).toSet
+    // full-table overwrite semantics: exactly the overwrite payload
+    // plus appends that committed AFTER the overwrite version
+    val expected = Set(100L) ++
+      appends.filter(_._2 > owV).map(_._1.toLong)
+    assert(finalIds == expected,
+      s"overwrite at v$owV, appends ${appends}: got $finalIds")
+  }
 }
