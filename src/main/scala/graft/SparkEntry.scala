@@ -2711,8 +2711,12 @@ object SparkEntry {
     // production composition) vs exact L2 top-10, recall-floor oracle
     // (q45's pattern: seeded train → deterministic recall).
     "q148_pq_adc" -> ((s, dir) => {
+      // the corpus feeds FOUR subtrees of one DAG (train sample, PQ
+      // encode, ADC scan, exact-kNN + refine) — cache it so the scan +
+      // vector decode run once (r11 bench shave; Verify/Bench clear
+      // caches per query)
       val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding")).cache()
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val model = graft.ops.ProductQuantization.train(
@@ -2750,8 +2754,10 @@ object SparkEntry {
     // re-rank, recall-floor oracle vs exact L2 top-10 (q45's pattern;
     // 6/8 cells probed on the near-uniform synthetic corpus).
     "q150_ivfpq" -> ((s, dir) => {
+      // same four-consumer cache as q148 (train, encode, probed ADC,
+      // exact-kNN + refine)
       val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding")).cache()
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val idx = graft.ops.IvfPq.build(emb, "vec_id", "embedding",
@@ -2839,6 +2845,75 @@ object SparkEntry {
       val consumed = graft.functions.KafkaWire.fromBatches(batches)
       graft.functions.AvroCodec.fromAvroWire(consumed, base.schema)
         .orderBy("event_id")
+    }),
+
+    // Markov transition features: per-user event sequences → global
+    // (from → to) transition counts + row-conditional probabilities.
+    // One shuffle (the per-entity sequence window), then map-side
+    // combine to the |states|² matrix; row totals re-aggregated from
+    // the matrix and broadcast back (never a SinglePartition window).
+    "q155_transitions" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.GraphOps.transitionCounts(ev, "user_id",
+          Seq(TimeFunctions.eventTimeToMicros(ev, "ts"), col("event_id")),
+          col("event_type"))
+        .orderBy("from_state", "to_state")
+    }),
+
+    // Fixed-iteration damped PageRank over a weighted edge frame (the
+    // link-graph reputation lever next to q92/q100's static URL gate).
+    // Deterministic recurrence r' = 0.15 + 0.85·Σ(r·w/Σw_out) from
+    // r₀ = 1, so the oracle replays all 3 iterations unrolled in SQL.
+    "q156_pagerank" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      val edges = li.select((col("l_suppkey") % 50).as("src"),
+        (col("l_partkey") % 50).as("dst"))
+      graft.ops.GraphOps.pageRank(edges, "src", "dst",
+          iterations = 3, damping = 0.85)
+        .orderBy("node")
+    }),
+
+    // Mutual information feature ranking (model-free relevance): I(X;Y)
+    // in nats between each categorical feature and the label, from one
+    // corpus scan — joint counts per feature, marginals re-aggregated
+    // from the joint frame, never a second pass.
+    "q157_mutual_info" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("value").isNotNull)
+      graft.ops.Statistics.mutualInformation(ev,
+          Seq("event_type" -> col("event_type"),
+            "user_bucket" -> pmod(col("user_id"), lit(10))),
+          col("value") > 300)
+        .orderBy("feature")
+    }),
+
+    // Unicode canonicalization: NFC-compose + casefold + whitespace
+    // collapse as ONE codegen projection (the pass every dedup /
+    // fingerprint stage keys on). A decomposed "Cafe" + combining acute
+    // is appended to each document so the oracle (DuckDB nfc_normalize)
+    // proves real composition, not an ASCII identity.
+    "q158_normalize_text" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      docs.select(col("doc_id"),
+          graft.functions.TextNormalize.canonicalText(
+            concat(substring(col("text"), 1, 40), lit(" Cafe\u0301  x")))
+            .as("canon"))
+        .withColumn("n_canon", length(col("canon")))
+        .orderBy("doc_id")
+    }),
+
+    // Isotonic regression calibration per returnflag: P(discount>0.05)
+    // as a monotone function of quantity, computed EXACTLY and fully
+    // distributed via the minimax characterization
+    // g(i) = max_{j≤i} min_{k≥i} mean(y, j..k) on the bounded
+    // (score → Σy, n) count frame — no driver PAVA loop; every interval
+    // mean is an exact-integer ratio the oracle replays bit-identically.
+    "q159_isotonic" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Statistics.isotonicFit(li, Seq("l_returnflag"),
+          col("l_quantity"),
+          when(col("l_discount") > 0.05, 1).otherwise(0))
+        .orderBy("l_returnflag", "score")
     })
   )
 
@@ -6070,6 +6145,145 @@ object SparkEntry {
       """SELECT event_id, user_id, value,
                 CASE WHEN event_type = 'click' THEN NULL
                      ELSE event_type END AS etype
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    // literal lead() replay of the per-user sequence pairing; row
+    // totals re-derived from the transition matrix, like the operator
+    "q155_transitions" ->
+      """WITH p AS (
+           SELECT event_type AS from_state,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS to_state
+           FROM events),
+         c AS (SELECT from_state, to_state,
+                      CAST(count(*) AS BIGINT) AS n_transitions
+               FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_state, sum(n_transitions) AS row_n
+               FROM c GROUP BY 1)
+         SELECT c.from_state, c.to_state, c.n_transitions,
+                round(c.n_transitions::DOUBLE / t.row_n::DOUBLE, 6)
+                  AS p_transition
+         FROM c JOIN t ON c.from_state = t.from_state
+         ORDER BY c.from_state, c.to_state""",
+    // the 3-iteration damped recurrence unrolled: weighted edges →
+    // out-weight shares → three join+sum rounds from r0 = 1
+    "q156_pagerank" ->
+      """WITH e AS (
+           SELECT l_suppkey % 50 AS s, l_partkey % 50 AS d,
+                  CAST(count(*) AS DOUBLE) AS w
+           FROM lineitem GROUP BY 1, 2),
+         sh AS (SELECT e.s, e.d, e.w / ow.ow AS share
+                FROM e JOIN (SELECT s, sum(w) AS ow FROM e GROUP BY 1) ow
+                  ON e.s = ow.s),
+         n AS (SELECT DISTINCT x AS node FROM
+                 (SELECT s AS x FROM sh UNION SELECT d FROM sh)),
+         r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM n),
+         r1 AS (SELECT n.node,
+                       (1.0::DOUBLE - 0.85::DOUBLE)
+                         + 0.85::DOUBLE * coalesce(c.sc, 0.0::DOUBLE)
+                         AS rank
+                FROM n LEFT JOIN (
+                  SELECT sh.d AS node, sum(r0.rank * sh.share) AS sc
+                  FROM sh JOIN r0 ON sh.s = r0.node GROUP BY 1) c
+                  ON n.node = c.node),
+         r2 AS (SELECT n.node,
+                       (1.0::DOUBLE - 0.85::DOUBLE)
+                         + 0.85::DOUBLE * coalesce(c.sc, 0.0::DOUBLE)
+                         AS rank
+                FROM n LEFT JOIN (
+                  SELECT sh.d AS node, sum(r1.rank * sh.share) AS sc
+                  FROM sh JOIN r1 ON sh.s = r1.node GROUP BY 1) c
+                  ON n.node = c.node),
+         r3 AS (SELECT n.node,
+                       (1.0::DOUBLE - 0.85::DOUBLE)
+                         + 0.85::DOUBLE * coalesce(c.sc, 0.0::DOUBLE)
+                         AS rank
+                FROM n LEFT JOIN (
+                  SELECT sh.d AS node, sum(r2.rank * sh.share) AS sc
+                  FROM sh JOIN r2 ON sh.s = r2.node GROUP BY 1) c
+                  ON n.node = c.node)
+         SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""",
+    // I(X;Y) = Σ (c/n)·ln(c·n/(cx·cy)) per feature, marginals from the
+    // joint count frame; nulls sentineled with chr(1) like the operator
+    "q157_mutual_info" ->
+      """WITH s AS (
+           SELECT coalesce(event_type, chr(1)) AS x,
+                  coalesce(CAST(value > 300 AS VARCHAR), chr(1)) AS y,
+                  coalesce(CAST(user_id % 10 AS VARCHAR), chr(1)) AS xb
+           FROM events WHERE value IS NOT NULL),
+         je AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+                FROM s GROUP BY 1, 2),
+         jb AS (SELECT xb, y, CAST(count(*) AS BIGINT) AS c
+                FROM s GROUP BY 1, 2),
+         mie AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+                  round(sum(c::DOUBLE / nn.n::DOUBLE *
+                    ln((c * nn.n)::DOUBLE / (px.cx * py.cy)::DOUBLE)), 6)
+                    AS mi
+           FROM je,
+                (SELECT x, sum(c) AS cx FROM je GROUP BY 1) px,
+                (SELECT y, sum(c) AS cy FROM je GROUP BY 1) py,
+                (SELECT sum(c) AS n FROM je) nn
+           WHERE je.x = px.x AND je.y = py.y),
+         mib AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+                  round(sum(c::DOUBLE / nn.n::DOUBLE *
+                    ln((c * nn.n)::DOUBLE / (px.cx * py.cy)::DOUBLE)), 6)
+                    AS mi
+           FROM jb,
+                (SELECT xb, sum(c) AS cx FROM jb GROUP BY 1) px,
+                (SELECT y, sum(c) AS cy FROM jb GROUP BY 1) py,
+                (SELECT sum(c) AS n FROM jb) nn
+           WHERE jb.xb = px.xb AND jb.y = py.y)
+         SELECT 'event_type' AS feature, n, mi FROM mie
+         UNION ALL
+         SELECT 'user_bucket', n, mi FROM mib
+         ORDER BY feature""",
+    // nfc_normalize is DuckDB's NFC — compose, casefold, collapse
+    // whitespace, trim, exactly the canonicalText pipeline (the
+    // appended decomposed accent proves real composition)
+    "q158_normalize_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(
+                  substr(text, 1, 40) || ' Cafe' || chr(769) || '  x')),
+                  '\s+', ' ', 'g')) AS canon,
+                CAST(length(trim(regexp_replace(lower(nfc_normalize(
+                  substr(text, 1, 40) || ' Cafe' || chr(769) || '  x')),
+                  '\s+', ' ', 'g'))) AS INT) AS n_canon
+         FROM documents ORDER BY doc_id""",
+    // the minimax isotonic characterization replayed verbatim:
+    // interval means from prefix sums, per-(key, j) suffix min,
+    // max over j ≤ i — every mean an exact-integer ratio
+    "q159_isotonic" ->
+      """WITH cf AS (
+           SELECT l_returnflag AS k, CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(sum(CASE WHEN l_discount > 0.05::DOUBLE
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS sy,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+         pos AS (
+           SELECT k, x, sy, c,
+                  row_number() OVER w AS i,
+                  sum(sy) OVER w AS s,
+                  sum(c) OVER w AS nn
+           FROM cf
+           WINDOW w AS (PARTITION BY k ORDER BY x
+                        ROWS UNBOUNDED PRECEDING)),
+         pairs AS (
+           SELECT j.k, j.i AS ji, pk.i AS ki,
+                  (pk.s - (j.s - j.sy)) /
+                    CAST(pk.nn - (j.nn - j.c) AS DOUBLE) AS a
+           FROM pos j JOIN pos pk ON j.k = pk.k AND j.i <= pk.i),
+         m AS (
+           SELECT k, ji, ki,
+                  min(a) OVER (PARTITION BY k, ji ORDER BY ki DESC
+                               ROWS UNBOUNDED PRECEDING) AS msuf
+           FROM pairs),
+         g AS (SELECT k, ki AS i, max(msuf) AS fitted
+               FROM m GROUP BY 1, 2)
+         SELECT pos.k AS l_returnflag, pos.x AS score,
+                CAST(pos.c AS BIGINT) AS n, round(g.fitted, 6) AS fitted
+         FROM pos JOIN g ON pos.k = g.k AND pos.i = g.i
+         ORDER BY l_returnflag, score"""
   )
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped feature operators: Markov transition features over
+  * per-entity event sequences, and fixed-iteration PageRank over a
+  * weighted edge frame. Both are beyond the reference's own surface —
+  * part of the large-scale pipeline brief (behavioral transition
+  * features for event streams; link-graph reputation for URL/domain
+  * curation alongside `UrlCuration`'s static gate).
+  *
+  * Scale shapes:
+  *  - [[transitionCounts]]: ONE shuffle by entity (the sequence window),
+  *    then a map-side-combined groupBy collapsing to |states|² rows —
+  *    everything downstream is transition-matrix-sized.
+  *  - [[pageRank]]: the classic distributed iteration — each round joins
+  *    the |nodes| rank frame into the (cached, pre-collapsed) weighted
+  *    edge frame and re-aggregates by destination; work per round is
+  *    O(|edges|) with no driver-side state. Lineage is severed every
+  *    `checkpointEvery` rounds so a deep iteration never grows an
+  *    unbounded plan (the q57/q63 connected-components lesson).
+  */
+object GraphOps {
+
+  /** First-order Markov transition matrix over per-entity sequences:
+    * order each entity's rows by `orderCols` (caller supplies a total
+    * order — include a tie-break column), pair each state with its
+    * successor via `lead`, and count (from → to) transitions globally.
+    * `p_transition` is the row-conditional probability
+    * n(from→to) / n(from→·).
+    */
+  def transitionCounts(df: DataFrame, entityCol: String,
+                       orderCols: Seq[Column],
+                       stateCol: Column): DataFrame = {
+    // alias the order expressions before the projection narrows the
+    // frame — the window must resolve against the projected columns
+    val oc = orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(oc.indices.map(i => col(s"_o$i")): _*)
+    val pairs = df
+      .select(col(entityCol) +: stateCol.cast("string").as("from_state") +:
+        oc: _*)
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+    val counts = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n_transitions"))
+    // row totals: re-aggregate the tiny |states|² frame and broadcast it
+    // back — never a SinglePartition window over the matrix
+    val totals = counts.groupBy(col("from_state"))
+      .agg(sum(col("n_transitions")).as("_row_n"))
+    counts.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n_transitions"),
+        round(col("n_transitions").cast("double") /
+          col("_row_n").cast("double"), 6).as("p_transition"))
+  }
+
+  /** Fixed-iteration damped PageRank over a (multi-)edge frame.
+    * Parallel edges are collapsed to weights once up front; a node's
+    * contribution along an edge is `rank · w / Σw(out)`. Ranks follow
+    * the classic unnormalized recurrence
+    * `r'(v) = (1 − d) + d · Σ contributions(v)` from `r₀ = 1` —
+    * deterministic given the edge set, so the whole iteration is
+    * value-oracle-able by unrolling in SQL. Sink nodes (no out-edges)
+    * keep receiving rank but contribute none, per the same recurrence.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, damping: Double = 0.85,
+               checkpointEvery: Int = 10): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    // collapse parallel edges and pre-divide by the source's total
+    // out-weight: the per-round join then carries ONE multiply per edge
+    val ew = edges
+      .groupBy(col(srcCol).cast("long").as("_s"),
+        col(dstCol).cast("long").as("_d"))
+      .agg(count(lit(1)).cast("double").as("_w"))
+    val outW = ew.groupBy(col("_s")).agg(sum(col("_w")).as("_ow"))
+    val share = ew.join(outW, "_s")
+      .select(col("_s"), col("_d"), (col("_w") / col("_ow")).as("_share"))
+      .cache()
+    val nodes = share.select(col("_s").as("node"))
+      .union(share.select(col("_d")))
+      .distinct().cache()
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      i += 1
+      val contribs = share
+        .join(ranks, col("_s") === col("node"))
+        .select(col("_d").as("node"),
+          (col("rank") * col("_share")).as("_c"))
+        .groupBy(col("node")).agg(sum(col("_c")).as("_sc"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("_sc"), lit(0.0))).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(false)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+}

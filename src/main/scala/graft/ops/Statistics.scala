@@ -611,4 +611,105 @@ object Statistics {
         col("threshold")): _*)), keys, "left")
       .select((keys.map(col) :+ col("n_cal") :+ col("threshold")): _*)
   }
+
+  /** Mutual information I(X; Y) between each categorical feature and a
+    * label, in nats — the model-free feature-relevance ranking
+    * (I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))). NULL categories are real
+    * cells (the chi-square dof lesson). One corpus scan: the features
+    * are stacked row-locally (explode of an inline struct array), then
+    * everything downstream is count-frame algebra — joint counts per
+    * (feature, x, y), marginals re-aggregated FROM the joint frame
+    * (never a second corpus pass), broadcast-joined back. Shuffle
+    * carries Σ|x_f|·|y| rows at any corpus size.
+    */
+  def mutualInformation(df: DataFrame, features: Seq[(String, Column)],
+                        labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "mutualInformation needs ≥1 feature")
+    // nulls become a sentinel category BEFORE grouping — the joins on
+    // (_f, _x)/(_f, _y) below are equi-joins, and SQL null-equality
+    // would silently drop the null cell (the chi-square dof lesson);
+    // a U+0001 control char cannot collide with real categories
+    val stacked = df.select(
+      explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("f"),
+          coalesce(c.cast("string"), lit("\u0001")).as("x"))
+      }: _*)).as("_fx"),
+      coalesce(labelCol.cast("string"), lit("\u0001")).as("_y"))
+      .select(col("_fx.f").as("_f"), col("_fx.x").as("_x"), col("_y"))
+    val joint = stacked.groupBy(col("_f"), col("_x"), col("_y"))
+      .agg(count(lit(1)).as("_c"))
+    val px = joint.groupBy(col("_f"), col("_x")).agg(sum("_c").as("_cx"))
+    val py = joint.groupBy(col("_f"), col("_y")).agg(sum("_c").as("_cy"))
+    val n = joint.groupBy(col("_f")).agg(sum("_c").as("_n"))
+    // I = Σ (c/n)·ln(c·n/(cx·cy)) — integer products inside the log, so
+    // both engines evaluate identical doubles per term
+    val terms = joint
+      .join(broadcast(px), Seq("_f", "_x"))
+      .join(broadcast(py), Seq("_f", "_y"))
+      .join(broadcast(n), Seq("_f"))
+      .select(col("_f"), col("_n"),
+        (col("_c").cast("double") / col("_n").cast("double") *
+          log((col("_c") * col("_n")).cast("double") /
+            (col("_cx") * col("_cy")).cast("double"))).as("_t"))
+    terms.groupBy(col("_f").as("feature"))
+      .agg(max(col("_n")).as("n"), round(sum(col("_t")), 6).as("mi"))
+  }
+
+  /** Isotonic regression (monotone-nondecreasing calibration) of a
+    * binary/numeric label against a bounded-domain score, per key —
+    * the score→probability calibrator serving pipelines pair with
+    * [[aucByKey]]'s ranking metric. Computed EXACTLY and fully
+    * distributed via the minimax characterization of the PAVA fit:
+    *
+    *   g(i) = max_{j ≤ i} min_{k ≥ i} mean(y over positions j..k)
+    *
+    * on the per-key (score → Σy, count) frame: prefix sums give every
+    * interval mean A(j,k) from one self-join of the count frame
+    * (|distinct|²/2 pairs per key — `maxDistinct`-guarded, the q110
+    * convention), a per-(key, j) suffix-min window gives
+    * m(j,i) = min_{k≥i} A(j,k), and a groupBy max over j ≤ i finishes.
+    * No driver-side PAVA loop, no SinglePartition: every window
+    * partitions by (key, j). All interval means are exact-integer
+    * ratios, so an oracle replays them bit-identically.
+    */
+  def isotonicFit(df: DataFrame, keys: Seq[String], scoreCol: Column,
+                  labelCol: Column, maxDistinct: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val cf = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .groupBy((k :+ scoreCol.cast("double").as("_x")): _*)
+      .agg(sum(labelCol.cast("double")).as("_sy"),
+        count(lit(1)).as("_c"))
+    // bounded-domain guard: one tiny per-key distinct count
+    val worst = cf.groupBy(k: _*).agg(count(lit(1)).as("_d"))
+      .agg(max(col("_d"))).collect().head
+    require(worst.isNullAt(0) || worst.getLong(0) <= maxDistinct,
+      s"isotonicFit score has more than $maxDistinct distinct values per" +
+        " key — bucket/round the score first (the fit is quadratic in" +
+        " the distinct-score table) or raise maxDistinct")
+    val w = Window.partitionBy(k: _*).orderBy(col("_x").asc)
+    val pos = cf
+      .withColumn("_i", row_number().over(w))
+      .withColumn("_S", sum(col("_sy")).over(w))
+      .withColumn("_N", sum(col("_c")).over(w))
+    val j = pos.select((k :+ col("_i").as("_ji") :+ col("_x").as("_jx") :+
+      (col("_S") - col("_sy")).as("_Sjm1") :+
+      (col("_N") - col("_c")).as("_Njm1")): _*)
+    val ke = pos.select((k :+ col("_i").as("_ki") :+
+      col("_S").as("_Sk") :+ col("_N").as("_Nk")): _*)
+    // interval means A(j,k) for j ≤ k from the prefix sums
+    val pairs = j.join(ke, keys).filter(col("_ji") <= col("_ki"))
+      .withColumn("_A", (col("_Sk") - col("_Sjm1")) /
+        (col("_Nk") - col("_Njm1")).cast("double"))
+    // m(j,i) = min over k ≥ i of A(j,k): suffix min within (key, j)
+    val wj = Window.partitionBy((k :+ col("_ji")): _*)
+      .orderBy(col("_ki").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fitted = pairs.withColumn("_m", min(col("_A")).over(wj))
+      .groupBy((k :+ col("_ki").as("_i")): _*)
+      .agg(max(col("_m")).as("_g"))
+    pos.join(fitted, keys :+ "_i")
+      .select((k :+ col("_x").as("score") :+ col("_c").as("n") :+
+        round(col("_g"), 6).as("fitted")): _*)
+  }
 }

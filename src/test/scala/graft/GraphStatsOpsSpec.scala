@@ -1,0 +1,132 @@
+package graft
+
+import graft.functions.TextNormalize
+import graft.ops.{GraphOps, Statistics}
+import org.apache.spark.sql.functions._
+
+/** Round-11 operators: Markov transitions, PageRank, mutual
+  * information, isotonic regression (minimax form), and unicode
+  * canonicalization — each against hand-computed closed-form values.
+  */
+class GraphStatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitionCounts: lead pairing, counts, row-conditional p") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("u", "t", "s")
+    val out = GraphOps.transitionCounts(df, "u", Seq(col("t")), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // user 1: a→b, b→a, a→c; user 2: a→b  ⇒ from a: {b:2, c:1}
+    assert(out(("a", "b")) == (2L, 0.666667))
+    assert(out(("a", "c")) == (1L, 0.333333))
+    assert(out(("b", "a")) == (1L, 1.0))
+    assert(out.size == 3)
+  }
+
+  test("pageRank: hand-computed 2-iteration ranks on a 3-node chain " +
+    "with a sink") {
+    // a→b, a→b (parallel ⇒ weight 2), b→c; c is a sink
+    // (nodes a=1, b=2, c=3)
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = GraphOps.pageRank(e, "s", "d", iterations = 2,
+        damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r0 = 1 everywhere. shares: a→b 1.0, b→c 1.0.
+    // iter1: a = 0.15; b = 0.15 + 0.85·1 = 1.0; c = 0.15 + 0.85·1 = 1.0
+    // iter2: a = 0.15; b = 0.15 + 0.85·0.15 = 0.2775; c = 0.15 + 0.85·1.0
+    val base = 1.0 - 0.85
+    assert(math.abs(out(1L) - base) < 1e-9)
+    assert(math.abs(out(2L) - (base + 0.85 * base)) < 1e-9)
+    assert(math.abs(out(3L) - (base + 0.85 * 1.0)) < 1e-9)
+  }
+
+  test("mutualInformation: zero for an independent feature, H(Y) for a " +
+    "determining one, and null is a real cell") {
+    val df = (0 until 64).map { i =>
+      val y = i % 2 // label
+      val dep = if (y == 0) "p" else "q"      // fully determines y
+      val ind = if (i % 4 < 2) "u" else "v"   // independent of y
+      (dep, ind, y)
+    }.toDF("dep", "ind", "y")
+    val out = Statistics.mutualInformation(df,
+        Seq("dep" -> col("dep"), "ind" -> col("ind")), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("ind") == 0.0, "independent feature ⇒ I = 0")
+    // balanced binary label: H(Y) = ln 2
+    assert(math.abs(out("dep") - math.log(2.0)) < 1e-6)
+
+    // a null category must contribute as its own cell, not vanish
+    val withNull = Seq((Some("a"), 0), (Some("a"), 0), (None, 1), (None, 1))
+      .toDF("f", "y")
+    val mi = Statistics.mutualInformation(withNull,
+        Seq("f" -> col("f")), col("y"))
+      .collect().head.getDouble(2)
+    assert(math.abs(mi - math.log(2.0)) < 1e-6,
+      "null fully determines y here — dropping it would report 0")
+  }
+
+  test("isotonicFit: PAVA pooling via the minimax form") {
+    // scores 1,2,3 with means 1, 3, 2 (equal weights): isotonic fit
+    // pools the violating (3,2) pair → [1, 2.5, 2.5]
+    val rows =
+      Seq((1.0, 1.0), (1.0, 1.0),
+        (2.0, 3.0), (2.0, 3.0),
+        (3.0, 2.0), (3.0, 2.0)).map { case (x, y) => ("g", x, y) }
+    val out = Statistics.isotonicFit(rows.toDF("k", "x", "y"),
+        Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(out(1.0) == 1.0 && out(2.0) == 2.5 && out(3.0) == 2.5)
+
+    // already monotone ⇒ identity; keys fit independently
+    val two = Seq(("a", 1.0, 0.0), ("a", 2.0, 1.0),
+      ("b", 1.0, 1.0), ("b", 2.0, 0.0)).toDF("k", "x", "y")
+    val fit = Statistics.isotonicFit(two, Seq("k"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    assert(fit(("a", 1.0)) == 0.0 && fit(("a", 2.0)) == 1.0)
+    assert(fit(("b", 1.0)) == 0.5 && fit(("b", 2.0)) == 0.5,
+      "decreasing pair pools to its mean")
+
+    // bounded-domain guard fires on an unbounded score
+    val wide = (1 to 50).map(i => ("g", i.toDouble, 1.0)).toDF("k", "x", "y")
+    intercept[IllegalArgumentException] {
+      Statistics.isotonicFit(wide, Seq("k"), col("x"), col("y"),
+        maxDistinct = 10)
+    }
+  }
+
+  test("NormalizeUnicode: NFC composes, NFKC folds compatibility " +
+    "forms, canonicalText collapses") {
+    val df = Seq(
+      ("e\u0301clair", "nfc"),        // decomposed accent
+      ("ﬁle", "nfkc"),             // ﬁ ligature
+      ("  A\u0301   B  ", "canon"))
+      .toDF("s", "tag")
+    val nfc = df.filter(col("tag") === "nfc")
+      .select(TextNormalize.normalize(col("s"))).collect().head.getString(0)
+    assert(nfc == "éclair", "e + U+0301 must compose to é")
+    val nfkc = df.filter(col("tag") === "nfkc")
+      .select(TextNormalize.normalize(col("s"), "NFKC"))
+      .collect().head.getString(0)
+    assert(nfkc == "file", "NFKC folds the ﬁ ligature")
+    // NFC leaves the ligature alone (compatibility vs canonical)
+    val nfcLig = df.filter(col("tag") === "nfkc")
+      .select(TextNormalize.normalize(col("s"))).collect().head.getString(0)
+    assert(nfcLig == "ﬁle")
+    val canon = df.filter(col("tag") === "canon")
+      .select(TextNormalize.canonicalText(col("s")))
+      .collect().head.getString(0)
+    assert(canon == "á b", "compose + casefold + collapse + trim")
+    // nulls stay null through the expression
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(TextNormalize.normalize(col("s"))).collect().head
+    assert(n.isNullAt(0))
+    // invalid form rejected at construction
+    intercept[IllegalArgumentException] {
+      TextNormalize.normalize(col("s"), "NFX")
+    }
+  }
+}
