@@ -2914,6 +2914,52 @@ object SparkEntry {
           col("l_quantity"),
           when(col("l_discount") > 0.05, 1).otherwise(0))
         .orderBy("l_returnflag", "score")
+    }),
+
+    // Hashing-trick featurizer: token → charPolyHash mod 64 bucket →
+    // per-(doc, bucket) tf, the vocabulary-free sparse featurization
+    // (dim 64 forces real bucket collisions, so the mod algebra — not
+    // just token identity — is what parity proves).
+    "q160_feature_hash" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.featureHash(docs, "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "bucket")
+    }),
+
+    // Perceptual-hash near-dup pairs: q97's planted aHashes, paired at
+    // Hamming ≤ 3 via 4×16-bit banded candidates + exact bit_count
+    // verify. The oracle pairs ALL doc combinations in SQL — parity
+    // proves the banding loses nothing (the pigeonhole guarantee).
+    "q161_ahash_neardup" -> ((s, dir) => {
+      // doc_id < 222 caps the planted duplication at 6 copies/image —
+      // the oracle's exhaustive O(n²) pairing stays bounded at every
+      // SF; the banding's own scale story is the 30× probe's
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .filter(col("doc_id") < 222)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("_img"))
+      val withPng = graft.ops.Multimodal.withPlantedPng(docs, "_img", "png")
+      val hashed = graft.ops.Multimodal.averageHash(withPng, "png", "ahash")
+      graft.ops.Multimodal.ahashNearDupPairs(hashed, "doc_id",
+          "ahash_hi", "ahash_lo", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Dedup survivor selection — the step that ends every dedup
+    // pipeline: cluster by whitespace-insensitive content fingerprint
+    // (planted whitespace variants land in their originals' clusters),
+    // keep the highest-quality member, ties to the smallest id.
+    "q162_dedup_survivors" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val variants = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text"), col("n_chars"))
+      val corpus = docs.unionByName(variants)
+        .withColumn("cluster",
+          graft.ops.TextAnalysis.fingerprint(col("text")))
+      graft.ops.Dedup.clusterRepresentatives(corpus, "cluster",
+          "doc_id", col("n_chars"))
+        .orderBy("cluster")
     })
   )
 
@@ -6284,6 +6330,89 @@ object SparkEntry {
          SELECT pos.k AS l_returnflag, pos.x AS score,
                 CAST(pos.c AS BIGINT) AS n, round(g.fitted, 6) AS fitted
          FROM pos JOIN g ON pos.k = g.k AND pos.i = g.i
-         ORDER BY l_returnflag, score"""
+         ORDER BY l_returnflag, score""",
+    // q25's char-poly hash replay, bucketed mod 64, tf per (doc, bucket)
+    "q160_feature_hash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> len(x) > 0)) AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+                  list_reduce(
+                    [0::BIGINT] || list_transform(
+                      range(1, length(tok) + 1), i -> unicode(tok[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1)) % 64
+                    AS bucket
+           FROM toks)
+         SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS tf
+         FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+    // q97's planted-pixel aHash replay, then ALL pairs at Hamming ≤ 3 —
+    // the banded candidate path must lose nothing vs this exhaustive
+    // pairing (per-32-bit-half bit_count keeps every term sign-safe)
+    "q161_ahash_neardup" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 37 AS img FROM documents
+                      WHERE doc_id < 222),
+         cell AS (
+           SELECT doc_id, img, t.i AS i,
+                  ((t.i % 8) * (4 + img % 5)) // 8 AS sx,
+                  ((t.i // 8) * (4 + img % 3)) // 8 AS sy
+           FROM ids, unnest(range(0, 64)) AS t(i)),
+         g AS (
+           SELECT doc_id, i,
+                  (CAST((img + 7*sx + 13*sy) % 256 AS BIGINT)
+                   + (3*img + 5*sx + 11*sy) % 256
+                   + (5*img + 3*sx + 17*sy) % 256) // 3 AS gray
+           FROM cell),
+         sgr AS (
+           SELECT doc_id, i, gray,
+                  sum(gray) OVER (PARTITION BY doc_id) AS sg
+           FROM g),
+         h AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN i >= 32 AND gray * 64 >= sg
+                           THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT)
+                    AS hi,
+                  CAST(sum(CASE WHEN i < 32 AND gray * 64 >= sg
+                           THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+                    AS lo
+           FROM sgr GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.hi, b.hi))
+                     + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         ORDER BY id_a, id_b""",
+    // q89's fingerprint replay over originals + whitespace variants,
+    // then the survivor window: quality desc, id asc, one row/cluster
+    "q162_dedup_survivors" ->
+      """WITH corpus AS (
+           SELECT doc_id, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text || '  ', n_chars
+           FROM documents WHERE doc_id < 40),
+         norm AS (
+           SELECT doc_id, n_chars,
+                  array_to_string(
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0), ' ') AS s
+           FROM corpus),
+         fp AS (
+           SELECT doc_id, n_chars,
+                  list_reduce([0::BIGINT] || list_transform(
+                      range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
+                    (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                    AS cluster
+           FROM norm),
+         r AS (
+           SELECT cluster, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cluster) AS nm
+           FROM fp)
+         SELECT cluster, doc_id AS representative_id, n_chars AS quality,
+                CAST(nm AS BIGINT) AS n_members
+         FROM r WHERE rn = 1 ORDER BY cluster"""
   )
 }

@@ -848,4 +848,32 @@ object Dedup {
       .join(histFp, Seq(fpCol), "left_anti")
     definitelyNew.unionByName(verifiedNew).drop(fpCol)
   }
+
+  /** Pick the canonical SURVIVOR of each duplicate cluster — the step
+    * that ends every dedup pipeline ("which copy do we keep?"):
+    * highest `qualityCol` wins, ties broken by smallest id (the
+    * deterministic contract a re-run must reproduce). `clusterCol` is
+    * whatever keyed the duplicates — a [[graft.ops.TextAnalysis
+    * .fingerprint]], an aHash, or a [[duplicateClusters]] component id.
+    * Returns one row per cluster: the representative id, its quality,
+    * and the member count.
+    *
+    * Scale shape: ONE keyed window (partitioned by cluster — clusters
+    * are many, so it parallelizes; never a global sort) over the
+    * already-clustered frame.
+    */
+  def clusterRepresentatives(df: DataFrame, clusterCol: String,
+                             idCol: String,
+                             qualityCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(clusterCol))
+    val ranked = df.select(col(clusterCol), col(idCol),
+        qualityCol.as("_q"))
+      .withColumn("_rn", row_number().over(
+        w.orderBy(col("_q").desc, col(idCol).asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+    ranked.filter(col("_rn") === 1)
+      .select(col(clusterCol), col(idCol).as("representative_id"),
+        col("_q").as("quality"), col("n_members").cast("long"))
+  }
 }

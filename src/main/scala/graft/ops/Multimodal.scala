@@ -458,4 +458,49 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
+    * all (idA < idB) pairs whose [[averageHash]] halves differ in at
+    * most `maxHamming` of the 64 bits. Candidate generation is BANDED
+    * (LSH shape, the MinHash lesson): the hash splits into four 16-bit
+    * bands — by pigeonhole, Hamming ≤ 3 forces at least one band to
+    * match EXACTLY, so candidates come from four |band value| bucket
+    * joins, never an all-pairs cross; the exact Hamming distance
+    * (bit_count of the xor, per 32-bit half — the halves keep every
+    * term sign-safe for the SQL oracle) then verifies each candidate.
+    * `maxHamming ≤ 3` is the banding guarantee; the verify step means
+    * false candidates cost only their own comparison.
+    */
+  def ahashNearDupPairs(df: DataFrame, idCol: String,
+                        hiCol: String, loCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4×16-bit banding guarantees recall only for maxHamming ≤ 3")
+    val hashed = df.select(col(idCol), col(hiCol).as("_hi"),
+        col(loCol).as("_lo"))
+      .filter(col("_hi").isNotNull && col("_lo").isNotNull)
+    val banded = hashed.select(col(idCol), col("_hi"), col("_lo"),
+      explode(array(
+        struct(lit(0).as("b"), (col("_lo") % 65536).as("v")),
+        struct(lit(1).as("b"),
+          (shiftright(col("_lo"), 16) % 65536).as("v")),
+        struct(lit(2).as("b"), (col("_hi") % 65536).as("v")),
+        struct(lit(3).as("b"),
+          (shiftright(col("_hi"), 16) % 65536).as("v")))).as("_band"))
+      .select(col(idCol), col("_hi"), col("_lo"),
+        col("_band.b").as("_b"), col("_band.v").as("_v"))
+    val a = banded.select(col(idCol).as("_ida"), col("_hi").as("_hia"),
+      col("_lo").as("_loa"), col("_b"), col("_v"))
+    val b = banded.select(col(idCol).as("_idb"), col("_hi").as("_hib"),
+      col("_lo").as("_lob"), col("_b"), col("_v"))
+    a.join(b, Seq("_b", "_v"))
+      .filter(col("_ida") < col("_idb"))
+      .select(col("_ida"), col("_idb"),
+        (bit_count(col("_hia").bitwiseXOR(col("_hib"))) +
+          bit_count(col("_loa").bitwiseXOR(col("_lob"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("_ida").as("id_a"), col("_idb").as("id_b"))
+      .agg(min(col("hamming")).cast("int").as("hamming"))
+  }
 }

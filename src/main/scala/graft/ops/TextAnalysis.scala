@@ -660,4 +660,28 @@ object TextAnalysis {
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("_w")), 4).as("bm25"))
   }
+
+  /** Hashing-trick featurizer (Weinberger 2009): map each token to a
+    * fixed bucket `charPolyHash(token) mod dim` and count term
+    * frequency per (doc, bucket) — the unbounded-vocabulary-safe sparse
+    * featurization (no vocabulary fit, no dictionary broadcast, new
+    * tokens at serve time land in a deterministic bucket). Output is
+    * the sparse triplet form (id, bucket, tf).
+    *
+    * Scale shape: one tokenize + explode, then a single
+    * map-side-combined groupBy to |docs × occupied buckets| — the hash
+    * is the codegen'd 52-bit char-poly ([[fingerprint]]'s), so the
+    * bucket algebra replays exactly in SQL.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    require(dim > 0, "featureHash needs a positive dimension")
+    df.select(col(idCol),
+        explode(tokenized(col(textCol))).as("_tok"))
+      .select(col(idCol),
+        pmod(graft.functions.TextHash.charPolyHash(col("_tok")),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
 }

@@ -129,4 +129,73 @@ class GraphStatsOpsSpec extends SparkSpec {
       TextNormalize.normalize(col("s"), "NFX")
     }
   }
+
+  test("featureHash: buckets are charPolyHash mod dim; collisions sum") {
+    import graft.functions.TextHash
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "alpha beta alpha"), (2L, "Beta  beta")).toDF("id", "t")
+    val out = TextAnalysis.featureHash(df, "id", "t", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def b(tok: String): Long = {
+      val h = Seq(Tuple1(tok)).toDF("s")
+        .select(TextHash.charPolyHash(col("s"))).collect().head.getLong(0)
+      ((h % 64) + 64) % 64
+    }
+    assert(out((1L, b("alpha"))) == 2L)
+    assert(out((1L, b("beta"))) == 1L)
+    // casefold + whitespace-run tokenization: "Beta  beta" → beta ×2
+    assert(out((2L, b("beta"))) == 2L)
+    assert(out.keys.count(_._1 == 2L) == 1)
+    // dim 1: everything collides into bucket 0 — tf sums, never drops
+    val one = TextAnalysis.featureHash(df, "id", "t", dim = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one(1L) == 3L && one(2L) == 2L)
+  }
+
+  test("ahashNearDupPairs: banded candidates + exact verify — finds " +
+    "every pair ≤ maxHamming, drops spread-out near misses") {
+    import graft.ops.Multimodal
+    // base hash, a 2-bit variant (both flips in one band), an exact
+    // dup, and a 4-bit variant with ONE flip in EACH band (no band
+    // matches base — the candidate never exists, and it must not:
+    // hamming 4 > 3)
+    val base = (0x0F0F0F0FL, 0x00FF00FFL)
+    val twoBits = (base._1 ^ 0x3L, base._2) // bits 0,1 of hi band 2
+    val fourSpread = (base._1 ^ 0x00010001L, base._2 ^ 0x00010001L)
+    val rows = Seq(
+      (1L, base._1, base._2),
+      (2L, twoBits._1, twoBits._2),
+      (3L, base._1, base._2),
+      (4L, fourSpread._1, fourSpread._2))
+      .toDF("id", "h", "l")
+    val out = Multimodal.ahashNearDupPairs(rows, "id", "h", "l")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 3L)) == 0, "exact dup at hamming 0")
+    assert(out((1L, 2L)) == 2 && out((2L, 3L)) == 2)
+    assert(!out.contains((1L, 4L)) && !out.contains((3L, 4L)),
+      "hamming-4 pair excluded even when bands would catch it")
+    assert(out.size == 3)
+    // null hash halves are skipped, not joined
+    val withNull = Seq((1L, Some(base._1), Some(base._2)),
+      (2L, Option.empty[Long], Option.empty[Long])).toDF("id", "h", "l")
+    assert(Multimodal.ahashNearDupPairs(withNull, "id", "h", "l")
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.ahashNearDupPairs(rows, "id", "h", "l", maxHamming = 4)
+    }
+  }
+
+  test("clusterRepresentatives: quality argmax, id tie-break, member " +
+    "counts") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (10L, 1L, 5.0), (10L, 2L, 9.0), (10L, 3L, 9.0), // tie at 9 → id 2
+      (20L, 7L, 1.0))                                  // singleton
+      .toDF("cluster", "id", "q")
+    val out = Dedup.clusterRepresentatives(df, "cluster", "id", col("q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(10L) == (2L, 9.0, 3L))
+    assert(out(20L) == (7L, 1.0, 1L))
+  }
 }
