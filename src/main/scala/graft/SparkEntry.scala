@@ -2960,6 +2960,37 @@ object SparkEntry {
       graft.ops.Dedup.clusterRepresentatives(corpus, "cluster",
           "doc_id", col("n_chars"))
         .orderBy("cluster")
+    }),
+
+    // EXACT trailing-7-day distinct actives per event type — the
+    // sliding COUNT(DISTINCT) that cannot partial-aggregate, made
+    // one-pass by the contribution explode: each (type, user, day)
+    // active contributes to windows [day, day+6], de-dup, count.
+    "q163_trailing_distinct" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_type"), col("user_id"),
+        graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.TemporalFeatures.trailingDistinct(base, Seq("event_type"),
+          col("user_id"), col("day"), windowBuckets = 7)
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Deterministic negative sampling (implicit-feedback training
+    // data): for each user, 2 event types they never produced — drawn
+    // by hash, never rand(), so the oracle replays every pick: catalog
+    // index, charPolyHash(user#draw#seed) mod |items|, anti-join,
+    // first-k by draw order.
+    "q164_negative_sample" -> ((s, dir) => {
+      // every-5th-event interactions keep the catalog full while
+      // leaving most (user, type) pairs ABSENT — so the sample is
+      // non-trivially populated and the anti-join actually prunes
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(pmod(col("event_id"), lit(5)) === 0)
+      graft.ops.Splits.negativeSample(ev, "user_id", "event_type",
+          k = 2, seed = 7L)
+        .orderBy("user_id", "draw_rank")
     })
   )
 
@@ -6413,6 +6444,58 @@ object SparkEntry {
            FROM fp)
          SELECT cluster, doc_id AS representative_id, n_chars AS quality,
                 CAST(nm AS BIGINT) AS n_members
-         FROM r WHERE rn = 1 ORDER BY cluster"""
+         FROM r WHERE rn = 1 ORDER BY cluster""",
+    // the contribution explode replayed: distinct actives → each day
+    // feeds windows [day, day+6] → de-dup → count → only observed ends
+    "q163_trailing_distinct" ->
+      """WITH a AS (
+           SELECT DISTINCT event_type AS k, user_id AS e,
+                  epoch_us(ts) // 86400000000 AS b
+           FROM events),
+         c AS (SELECT DISTINCT k, e, b + t.o AS bucket
+               FROM a, unnest(range(0, 7)) t(o)),
+         obs AS (SELECT DISTINCT k, b AS bucket FROM a)
+         SELECT c.k AS event_type, c.bucket AS bucket,
+                CAST(count(*) AS BIGINT) AS n_distinct
+         FROM c JOIN obs ON c.k = obs.k AND c.bucket = obs.bucket
+         GROUP BY 1, 2 ORDER BY event_type, c.bucket""",
+    // every pick replayed: dense catalog index by item order, draw j →
+    // charPolyHash(user#j#seed) mod |items|, anti-join positives,
+    // duplicate items collapse to min draw, first 2 by draw order
+    "q164_negative_sample" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events
+                     WHERE event_id % 5 = 0),
+         items AS (SELECT DISTINCT event_type AS item FROM ev),
+         idx AS (SELECT item,
+                        row_number() OVER (ORDER BY item) - 1 AS i
+                 FROM items),
+         nn AS (SELECT count(*) AS n FROM items),
+         users AS (SELECT DISTINCT user_id AS u FROM ev),
+         draws AS (SELECT u, t.j,
+                          u::VARCHAR || '#' || t.j::VARCHAR || '#7' AS s
+                   FROM users, unnest(range(0, 6)) t(j)),
+         pick AS (SELECT u, j,
+                    list_reduce(
+                      [0::BIGINT] || list_transform(
+                        range(1, length(s) + 1),
+                        x -> unicode(s[x])::BIGINT),
+                      (a, c) -> (a * 31 + c) & ((1::BIGINT << 52) - 1))
+                      % nn.n AS p
+                  FROM draws, nn),
+         cand AS (SELECT u, item, j FROM pick JOIN idx ON pick.p = idx.i),
+         pos AS (SELECT DISTINCT user_id AS u, event_type AS item
+                 FROM ev),
+         neg AS (SELECT c.u, c.item, c.j
+                 FROM cand c LEFT JOIN pos
+                   ON c.u = pos.u AND c.item = pos.item
+                 WHERE pos.u IS NULL),
+         fd AS (SELECT u, item, min(j) AS j FROM neg GROUP BY 1, 2),
+         r AS (SELECT u, item,
+                      row_number() OVER (PARTITION BY u ORDER BY j ASC)
+                        AS rk
+               FROM fd)
+         SELECT u AS user_id, item AS event_type, CAST(rk AS INT)
+                  AS draw_rank
+         FROM r WHERE rk <= 2 ORDER BY user_id, draw_rank"""
   )
 }

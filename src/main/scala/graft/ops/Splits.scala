@@ -542,4 +542,78 @@ object Splits {
           .otherwise("train"))
       .drop("_cv_t")
   }
+
+  /** Deterministic negative sampling for implicit-feedback training
+    * data: for each user, up to `k` items the user did NOT interact
+    * with, drawn pseudo-randomly but REPRODUCIBLY (hash thresholds,
+    * never `rand()` — the q120 convention, so a re-run and an external
+    * oracle produce the identical sample).
+    *
+    * Mechanics: the item catalog gets a dense deterministic index
+    * (row_number by item order); each user draws `oversample·k`
+    * candidates — draw j picks the item at index
+    * `charPolyHash(user '#' j '#' seed) mod |items|` — interacted pairs
+    * are anti-joined away, duplicate candidate items collapse to their
+    * smallest draw, and the first `k` survivors by draw order win. A
+    * user whose draws all hit interacted items yields fewer than `k`
+    * rows (documented; raise `oversample` for dense users).
+    *
+    * Scale shape: |users|·oversample·k generated rows, one join to the
+    * item index (broadcast when small), one anti-join to interactions,
+    * one per-user window — nothing quadratic in catalog or corpus.
+    */
+  def negativeSample(interactions: DataFrame, userCol: String,
+                     itemCol: String, k: Int, seed: Long,
+                     oversample: Int = 3): DataFrame = {
+    require(k >= 1 && oversample >= 1, "k and oversample must be ≥ 1")
+    // dense 0-based catalog index in item order WITHOUT a global-sort
+    // SinglePartition window (the PlanAudit rule): range-partition by
+    // item (ordered, non-overlapping ranges in partition-id order),
+    // rank within each partition, then add broadcast per-partition
+    // offsets — the Sharding two-level prefix sum. The offsets collect
+    // is |partitions| rows, bounded.
+    val items = interactions.select(col(itemCol).as("_item")).distinct()
+      .repartitionByRange(col("_item"))
+      .withColumn("_pid", spark_partition_id())
+    val wPart = Window.partitionBy(col("_pid")).orderBy(col("_item"))
+    val ranked = items.withColumn("_pos",
+      row_number().over(wPart).cast("long"))
+    val partCounts = ranked.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    require(partCounts.nonEmpty, "negativeSample needs a non-empty catalog")
+    val offsets = partCounts.map(_._1)
+      .zip(partCounts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val nItems = partCounts.map(_._2).sum
+    val offsetCol = element_at(
+      map(offsets.toSeq.sortBy(_._1).flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }: _*), col("_pid"))
+    val indexed = ranked
+      .withColumn("_idx", offsetCol + col("_pos") - 1L)
+      .select(col("_item"), col("_idx"))
+    val users = interactions.select(col(userCol).as("_user")).distinct()
+    val draws = users.select(col("_user"),
+        explode(sequence(lit(0), lit(oversample * k - 1))).as("_j"))
+      .withColumn("_pick",
+        pmod(graft.functions.TextHash.charPolyHash(
+          concat(col("_user").cast("string"), lit("#"),
+            col("_j").cast("string"), lit("#"), lit(seed.toString))),
+          lit(nItems)))
+    val candidates = draws
+      .join(broadcast(indexed), col("_pick") === col("_idx"))
+      .select(col("_user"), col("_item"), col("_j"))
+    val positives = interactions
+      .select(col(userCol).as("_user"), col(itemCol).as("_item"))
+      .distinct()
+    val negatives = candidates.join(positives, Seq("_user", "_item"),
+      "left_anti")
+    // duplicate item draws collapse to the smallest j, then first k win
+    val firstDraw = negatives.groupBy(col("_user"), col("_item"))
+      .agg(min(col("_j")).as("_j"))
+    val wUser = Window.partitionBy(col("_user")).orderBy(col("_j").asc)
+    firstDraw.withColumn("_rank", row_number().over(wUser))
+      .filter(col("_rank") <= k)
+      .select(col("_user").as(userCol), col("_item").as(itemCol),
+        col("_rank").cast("int").as("draw_rank"))
+  }
 }

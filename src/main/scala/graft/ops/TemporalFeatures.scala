@@ -64,4 +64,45 @@ object TemporalFeatures {
         round(sum(valueCol), 2).as("total"))
       .na.fill(0L, values.map(_ + "_n"))
   }
+
+  /** EXACT trailing-window distinct entities per key — "distinct active
+    * users in the trailing `windowBuckets` days", the feature-store
+    * staple that is genuinely hard at scale because COUNT(DISTINCT)
+    * over a sliding frame cannot partial-aggregate. The classic
+    * contribution-explode makes it one-pass exact:
+    *
+    *  1. collapse to distinct (key, entity, bucket) actives — the only
+    *     data-sized shuffle, map-side combined;
+    *  2. each active bucket contributes the entity to windows
+    *     [bucket, bucket + w − 1] (a ≤w-element `sequence` explode on
+    *     the already-collapsed frame);
+    *  3. de-dup (key, entity, window) — an entity active twice inside
+    *     one window counts once — and count per (key, window);
+    *  4. keep only windows whose END bucket was observed in the data
+    *     (no phantom trailing days after the last event).
+    *
+    * `bucketCol` is the integer time bucket (e.g. epoch days). Output:
+    * keys, `bucket`, `n_distinct`.
+    */
+  def trailingDistinct(df: DataFrame, keys: Seq[String],
+                       entityCol: Column, bucketCol: Column,
+                       windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, "windowBuckets must be at least 1")
+    val k = keys.map(col)
+    val active = df
+      .select((k :+ entityCol.as("_e") :+
+        bucketCol.cast("long").as("_b")): _*)
+      .distinct()
+    val contrib = active
+      .select((k :+ col("_e") :+
+        explode(sequence(col("_b"),
+          col("_b") + lit(windowBuckets - 1).cast("long")))
+          .as("bucket")): _*)
+      .distinct()
+    val observed = active.select((k :+ col("_b").as("bucket")): _*)
+      .distinct()
+    contrib.groupBy((k :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n_distinct"))
+      .join(observed, keys :+ "bucket")
+  }
 }

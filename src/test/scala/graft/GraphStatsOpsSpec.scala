@@ -185,6 +185,50 @@ class GraphStatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("trailingDistinct: contribution explode = exact sliding " +
+    "COUNT(DISTINCT), in-window repeats collapse, phantom days dropped") {
+    import graft.ops.TemporalFeatures
+    val df = Seq(
+      ("k", 100L, 1L), ("k", 100L, 1L), // A on day 1 (twice)
+      ("k", 100L, 3L),                  // A again day 3
+      ("k", 200L, 3L))                  // B on day 3
+      .toDF("g", "e", "d")
+    val out = TemporalFeatures.trailingDistinct(df, Seq("g"),
+        col("e"), col("d"), windowBuckets = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // observed days: 1 and 3 only (no phantom day 2/4/5 rows)
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == 1L, "day 1 window [−1..1]: A only")
+    assert(out(3L) == 2L,
+      "day 3 window [1..3]: A (active twice → once) + B")
+  }
+
+  test("negativeSample: no positives sampled, ≤k per user, " +
+    "deterministic across runs, items from the catalog") {
+    import graft.ops.Splits
+    val inter = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"),
+      (3L, "b"), (3L, "c"), (9L, "d"))
+      .toDF("u", "it")
+    val s1 = Splits.negativeSample(inter, "u", "it", k = 2, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val s2 = Splits.negativeSample(inter, "u", "it", k = 2, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(s1.sortBy(x => (x._1, x._3)).toSeq ==
+      s2.sortBy(x => (x._1, x._3)).toSeq, "hash draws, not rand()")
+    val positives = Set((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"),
+      (3L, "b"), (3L, "c"), (9L, "d"))
+    assert(s1.forall { case (u, it, _) => !positives((u, it)) },
+      "a sampled pair must never be an interaction")
+    assert(s1.forall { case (_, it, _) => Set("a", "b", "c", "d")(it) })
+    s1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 2 &&
+        rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // user 2 has 3 non-interacted items in a 4-item catalog: with 6
+    // draws the oversampling should fill both slots
+    assert(s1.count(_._1 == 2L) == 2)
+  }
+
   test("clusterRepresentatives: quality argmax, id tie-break, member " +
     "counts") {
     import graft.ops.Dedup
