@@ -2991,6 +2991,137 @@ object SparkEntry {
       graft.ops.Splits.negativeSample(ev, "user_id", "event_type",
           k = 2, seed = 7L)
         .orderBy("user_id", "draw_rank")
+    }),
+
+    // Per-node triangle counts (clustering-coefficient numerator) via
+    // degree-ordered orientation — wedge fan-out bounded by O(√|E|)
+    // out-degree at every node regardless of skew. Triangle membership
+    // is orientation-invariant, so the oracle replays with the simpler
+    // id-ordered enumeration over the same canonical edge set.
+    "q165_triangles" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+        .filter(col("l_orderkey") % 29 === 0)
+      val edges = li.select(
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 150).as("src"),
+        ((col("l_partkey") + col("l_suppkey") * 3) % 150).as("dst"))
+      graft.ops.GraphOps.triangleCounts(edges, "src", "dst")
+        .orderBy("node")
+    }),
+
+    // Typo-level fuzzy dedup: Levenshtein ≤ 1 pairs over 24-char title
+    // keys with planted substitution + deletion variants, found via the
+    // prefix/suffix pigeonhole blocks (never n²) and verified exact.
+    // The oracle pairs EXHAUSTIVELY in SQL — parity proves the blocking
+    // loses nothing.
+    "q166_edit_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("key"))
+      val subVar = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("key"), 1, 10), lit("Z"),
+            substring(col("key"), 12, 13)).as("key"))
+      val delVar = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(substring(col("key"), 1, 6),
+            substring(col("key"), 8, 17)).as("key"))
+      val all = docs.unionByName(subVar).unionByName(delVar)
+      graft.ops.Dedup.editDistancePairs(all, "doc_id", "key", prefixLen = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // One-sided CUSUM drift alarms per user — the sequential max(0, ·)
+    // recursion computed as a closed prefix form (running sum − running
+    // min), two window aggregates, no iteration. Integer deviations
+    // (floor(value) − 55, just above the corpus mean of ~50) make every
+    // statistic exact for the oracle.
+    "q167_cusum" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("value").isNotNull)
+      val scored = graft.ops.TemporalFeatures.cusum(ev, Seq("user_id"),
+        Seq(graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts"),
+          col("event_id")),
+        floor(col("value")).cast("long") - 55, threshold = 300L)
+      scored.groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          max(col("cusum")).as("max_cusum"))
+        .orderBy("user_id")
+    }),
+
+    // Multi-relevant retrieval eval: MAP@10 / P@10 / R@10 of exact
+    // cosine kNN against label-match qrels — the TREC-style complement
+    // of q144's single-relevant metrics. Average precision accumulates
+    // as the exact integer Σ(hits≤r)·(2520/r) before ONE final
+    // division, so the oracle replays it bit-identically.
+    "q168_map_eval" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+      val run = graft.ops.Similarity.bruteForceKnn(
+        emb, "vec_id", "embedding",
+        queries.select(col("qid"), col("qe")), "qid", "qe", k = 10)
+      val qrels = emb.select(col("vec_id"), col("label"))
+        .join(broadcast(queries.select(col("qid"), col("qlabel"))),
+          col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      graft.ops.Similarity.precisionRecallEval(run, "qid", "vec_id",
+          "rank", qrels, "qid", "vec_id", k = 10)
+        .orderBy("qid")
+    }),
+
+    // Cohort retention curves by first-active epoch day: one distinct
+    // (user, day) collapse, per-user min for the cohort, then
+    // |cohorts × periods| frames — integers until the one retention
+    // division.
+    "q169_retention" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"),
+          graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+            .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.TemporalFeatures.retentionCohorts(base, col("user_id"),
+          col("day"))
+        .orderBy("cohort", "period_index")
+    }),
+
+    // Gini concentration of line-item revenue (cents) per returnflag —
+    // the rank form on exact integers, tie-order-invariant, one keyed
+    // window + one groupBy.
+    "q170_gini" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Statistics.giniConcentration(li, Seq("l_returnflag"),
+          floor(col("l_extendedprice") * 100))
+        .orderBy("l_returnflag")
+    }),
+
+    // Association rules over (user, day) baskets of event types:
+    // support / confidence / lift from exact membership counts — the
+    // recommender-bootstrap co-occurrence analysis.
+    "q171_assoc_rules" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"), col("event_type"),
+          graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+            .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.Associations.pairRules(base,
+          concat(col("user_id").cast("string"), lit("#"),
+            col("day").cast("string")),
+          col("event_type"))
+        .orderBy("item_a", "item_b")
+    }),
+
+    // CUPED variance-reduced A/B readout: pooled θ from exact integer
+    // sums, per-arm adjusted means as one fixed double dag — no
+    // per-row float accumulation anywhere.
+    "q172_cuped" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("value").isNotNull)
+      graft.ops.Statistics.cupedAdjust(ev,
+          pmod(col("user_id"), lit(2)).as("arm"),
+          floor(col("value")).cast("long"),
+          expr("CAST(floor(value) AS BIGINT) div 2") +
+            pmod(col("event_id"), lit(7)))
+        .orderBy("arm")
     })
   )
 
@@ -6496,6 +6627,204 @@ object SparkEntry {
                FROM fd)
          SELECT u AS user_id, item AS event_type, CAST(rk AS INT)
                   AS draw_rank
-         FROM r WHERE rk <= 2 ORDER BY user_id, draw_rank"""
+         FROM r WHERE rk <= 2 ORDER BY user_id, draw_rank""",
+    // triangle membership is orientation-invariant: the id-ordered
+    // enumeration (a < b < c over canonical edges) must equal the
+    // engine's degree-ordered wedge closure node for node
+    "q165_triangles" ->
+      """WITH raw AS (
+           SELECT (l_partkey * 7 + l_suppkey) % 150 AS u,
+                  (l_partkey + l_suppkey * 3) % 150 AS v
+           FROM lineitem WHERE l_orderkey % 29 = 0),
+         e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+               FROM raw WHERE u <> v),
+         t AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+               FROM e e1 JOIN e e2 ON e2.a = e1.b
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         corners AS (SELECT n1 AS node FROM t
+                     UNION ALL SELECT n2 FROM t
+                     UNION ALL SELECT n3 FROM t),
+         nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+         SELECT nodes.node,
+                CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+         FROM nodes LEFT JOIN (SELECT node, count(*) AS n FROM corners
+                               GROUP BY 1) c ON nodes.node = c.node
+         ORDER BY nodes.node""",
+    // the pigeonhole blocks must lose nothing vs this EXHAUSTIVE
+    // all-pairs Levenshtein over the same keys + planted variants
+    "q166_edit_pairs" ->
+      """WITH base AS (SELECT doc_id, substring(text, 1, 24) AS key
+                       FROM documents),
+         sub AS (SELECT doc_id + 100000 AS doc_id,
+                        substring(key, 1, 10) || 'Z' ||
+                          substring(key, 12, 13) AS key
+                 FROM base WHERE doc_id % 5 = 0),
+         del AS (SELECT doc_id + 200000 AS doc_id,
+                        substring(key, 1, 6) || substring(key, 8, 17)
+                          AS key
+                 FROM base WHERE doc_id % 7 = 0),
+         al AS (SELECT * FROM base UNION ALL SELECT * FROM sub
+                UNION ALL SELECT * FROM del)
+         SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                CAST(levenshtein(x.key, y.key) AS BIGINT) AS dist
+         FROM al x JOIN al y ON x.doc_id < y.doc_id
+         WHERE levenshtein(x.key, y.key) <= 1
+         ORDER BY id_a, id_b""",
+    // S_i = P_i − min(0, min_{j≤i} P_j) replayed with two explicit
+    // ROWS-frame running windows over the identical total order
+    "q167_cusum" ->
+      """WITH s AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                  CAST(floor(value) AS BIGINT) - 55 AS d
+           FROM events WHERE value IS NOT NULL),
+         p1 AS (SELECT user_id, tsu, event_id,
+                       sum(d) OVER (PARTITION BY user_id
+                         ORDER BY tsu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS ps
+                FROM s),
+         p2 AS (SELECT user_id,
+                       ps - least(min(ps) OVER (PARTITION BY user_id
+                         ORDER BY tsu, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         0) AS cs
+                FROM p1)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN cs >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_alarms,
+                max(cs) AS max_cusum
+         FROM p2 GROUP BY 1 ORDER BY user_id""",
+    // the full eval dag replayed: exact cosine top-10 run (score desc,
+    // id tie-break), label-match qrels, AP as the exact integer
+    // Σ(hits≤r)·(2520//r) with one final division
+    "q168_map_eval" ->
+      """WITH q AS (SELECT vec_id AS qid,
+                           CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+                    FROM embeddings WHERE vec_id < 5),
+         run AS (SELECT qid, vec_id, rk FROM (
+                   SELECT q.qid, e.vec_id,
+                          row_number() OVER (PARTITION BY q.qid
+                            ORDER BY list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                              e.vec_id ASC) AS rk
+                   FROM embeddings e CROSS JOIN q
+                   WHERE e.vec_id <> q.qid)
+                 WHERE rk <= 10),
+         rel AS (SELECT q.qid, e.vec_id FROM embeddings e
+                 JOIN q ON e.label = q.ql AND e.vec_id <> q.qid),
+         reln AS (SELECT qid, CAST(count(*) AS BIGINT) AS rel_n
+                  FROM rel GROUP BY 1),
+         h AS (SELECT run.qid, rk,
+                      row_number() OVER (PARTITION BY run.qid
+                        ORDER BY rk ASC) AS hh
+               FROM run JOIN rel ON run.qid = rel.qid
+                 AND run.vec_id = rel.vec_id),
+         ag AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+                       CAST(sum(hh * (2520 // rk)) AS BIGINT) AS aps
+                FROM h GROUP BY 1)
+         SELECT q.qid, coalesce(reln.rel_n, 0) AS rel_n,
+                coalesce(ag.n_hits, 0) AS n_hits,
+                CASE WHEN reln.rel_n IS NOT NULL THEN
+                  round(coalesce(ag.n_hits, 0)::DOUBLE / 10.0, 6) END
+                  AS p_at_k,
+                CASE WHEN reln.rel_n IS NOT NULL THEN
+                  round(coalesce(ag.n_hits, 0)::DOUBLE
+                        / reln.rel_n::DOUBLE, 6) END AS r_at_k,
+                CASE WHEN reln.rel_n IS NOT NULL THEN
+                  round(coalesce(ag.aps, 0)::DOUBLE
+                        / (2520.0::DOUBLE
+                           * least(reln.rel_n, 10)::DOUBLE), 6) END
+                  AS ap_at_k
+         FROM q LEFT JOIN reln ON q.qid = reln.qid
+         LEFT JOIN ag ON q.qid = ag.qid
+         ORDER BY q.qid""",
+    // distinct actives → per-user min cohort → |cohorts × periods|
+    // counts; integers until the one retention division
+    "q169_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS e,
+                           epoch_us(ts) // 86400000000 AS b
+                    FROM events WHERE user_id IS NOT NULL),
+         c AS (SELECT e, min(b) AS cohort FROM a GROUP BY 1),
+         sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM c GROUP BY 1),
+         act AS (SELECT c.cohort, a.b - c.cohort AS period_index,
+                        CAST(count(*) AS BIGINT) AS n_active
+                 FROM a JOIN c ON a.e = c.e GROUP BY 1, 2)
+         SELECT act.cohort, act.period_index, sz.n_cohort, act.n_active,
+                round(act.n_active::DOUBLE / sz.n_cohort::DOUBLE, 6)
+                  AS retention
+         FROM act JOIN sz ON act.cohort = sz.cohort
+         ORDER BY act.cohort, act.period_index""",
+    // the rank form replayed: G = (2Σi·x − (n+1)Σx) / (nΣx), exact
+    // integers to the one division; tie order provably irrelevant
+    "q170_gini" ->
+      """WITH v AS (SELECT l_returnflag AS k,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT)
+                             AS x
+                    FROM lineitem),
+         r AS (SELECT k, x, row_number() OVER (PARTITION BY k
+                 ORDER BY x ASC) AS i FROM v),
+         g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS total,
+                      CAST(sum(i * x) AS BIGINT) AS ix
+               FROM r GROUP BY 1)
+         SELECT k AS l_returnflag, n, total,
+                CASE WHEN total <> 0 THEN
+                  round((2.0::DOUBLE * ix - (n + 1) * total)
+                        / (n * total)::DOUBLE, 6) END AS gini
+         FROM g ORDER BY l_returnflag""",
+    // membership collapse → within-basket pairs → exact counts; every
+    // rule metric a single division over integers
+    "q171_assoc_rules" ->
+      """WITH m AS (SELECT DISTINCT
+                      CAST(user_id AS VARCHAR) || '#' ||
+                        CAST(epoch_us(ts) // 86400000000 AS VARCHAR)
+                        AS bk,
+                      event_type AS it
+                    FROM events WHERE event_type IS NOT NULL),
+         nb AS (SELECT count(DISTINCT bk) AS n FROM m),
+         itn AS (SELECT it, CAST(count(*) AS BIGINT) AS ni
+                 FROM m GROUP BY 1),
+         p AS (SELECT x.it AS item_a, y.it AS item_b,
+                      CAST(count(*) AS BIGINT) AS n_ab
+               FROM m x JOIN m y ON x.bk = y.bk AND x.it < y.it
+               GROUP BY 1, 2)
+         SELECT p.item_a, p.item_b, a.ni AS n_a, b.ni AS n_b, p.n_ab,
+                round(p.n_ab::DOUBLE / nb.n::DOUBLE, 6) AS support,
+                round(p.n_ab::DOUBLE / a.ni::DOUBLE, 6) AS conf_a_to_b,
+                round(p.n_ab::DOUBLE / b.ni::DOUBLE, 6) AS conf_b_to_a,
+                round(p.n_ab::DOUBLE * nb.n::DOUBLE
+                      / (a.ni * b.ni)::DOUBLE, 6) AS lift
+         FROM p JOIN itn a ON p.item_a = a.it
+         JOIN itn b ON p.item_b = b.it CROSS JOIN nb
+         ORDER BY p.item_a, p.item_b""",
+    // pooled θ from five exact integer sums, per-arm adjusted means as
+    // the identical fixed double dag
+    "q172_cuped" ->
+      """WITH b AS (SELECT user_id % 2 AS arm,
+                           CAST(floor(value) AS BIGINT) AS y,
+                           CAST(floor(value) AS BIGINT) // 2
+                             + event_id % 7 AS x
+                    FROM events WHERE value IS NOT NULL),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(x * y) AS BIGINT) AS sxy FROM b),
+         th AS (SELECT CASE WHEN n * sxx - sx * sx <> 0 THEN
+                         (n * sxy - sx * sy)::DOUBLE
+                           / (n * sxx - sx * sx)::DOUBLE END AS theta
+                FROM p),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS ax,
+                      CAST(sum(y) AS BIGINT) AS ay FROM b GROUP BY 1)
+         SELECT a.arm, a.n,
+                round(a.ay::DOUBLE / a.n::DOUBLE, 6) AS mean_metric,
+                round(a.ay::DOUBLE / a.n::DOUBLE
+                      - th.theta * (a.ax::DOUBLE / a.n::DOUBLE
+                                    - p.sx::DOUBLE / p.n::DOUBLE), 6)
+                  AS mean_adjusted,
+                round(th.theta, 6) AS theta
+         FROM a CROSS JOIN p CROSS JOIN th ORDER BY a.arm"""
   )
 }

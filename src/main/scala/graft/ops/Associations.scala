@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules — item co-occurrence with support /
+  * confidence / lift, the classic recommender-bootstrap and
+  * "users who did X also did Y" analytics op. Beyond the reference's
+  * own surface; part of the large-scale pipeline brief next to the
+  * negative-sampling and retrieval operators.
+  *
+  * Scale shape: ONE distinct collapse to (basket, item) membership
+  * (the only data-sized shuffle, map-side combined), then the pair
+  * frame is a within-basket self-join whose volume is Σ|basket|² over
+  * DISTINCT items per basket — bounded by the catalog breadth a basket
+  * can touch, not by raw event volume (a user with 10⁶ repeat clicks
+  * on one item contributes one membership row). For hub-heavy catalogs
+  * `maxBasketItems` caps the fan-out loudly instead of letting one
+  * mega-basket quadratically dominate a task.
+  */
+object Associations {
+
+  /** Pairwise rules over (basket, item) memberships derived from
+    * `df`. Every count is an exact integer; support / confidence /
+    * lift are single final divisions — fully replayable by an
+    * external SQL oracle.
+    *
+    * Output per unordered pair (item_a < item_b): n_a, n_b (baskets
+    * containing each), n_ab (both), support = n_ab/N,
+    * conf_a_to_b = n_ab/n_a, conf_b_to_a = n_ab/n_b,
+    * lift = n_ab·N/(n_a·n_b).
+    */
+  def pairRules(df: DataFrame, basketCol: Column, itemCol: Column,
+                minPairCount: Long = 1L,
+                maxBasketItems: Int = 10000): DataFrame = {
+    val memb = df.select(basketCol.as("_bk"),
+        itemCol.cast("string").as("_it"))
+      .filter(col("_bk").isNotNull && col("_it").isNotNull)
+      .distinct()
+      .cache()
+    // loud skew guard: one tiny max over the per-basket breadth frame
+    val widest = memb.groupBy("_bk").agg(count(lit(1)).as("_w"))
+      .agg(max(col("_w"))).collect().head
+    require(widest.isNullAt(0) || widest.getLong(0) <= maxBasketItems,
+      s"a basket touches more than $maxBasketItems distinct items — " +
+        "pre-prune hub items or raise maxBasketItems (pair volume is " +
+        "quadratic in basket breadth)")
+    val nBaskets = memb.select(col("_bk")).distinct().count()
+    val itemN = memb.groupBy(col("_it")).agg(count(lit(1)).as("_ni"))
+    val l = memb.select(col("_bk"), col("_it").as("item_a"))
+    val r = memb.select(col("_bk"), col("_it").as("item_b"))
+    val pairs = l.join(r, Seq("_bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("_it", "item_a")
+        .withColumnRenamed("_ni", "n_a")), Seq("item_a"))
+      .join(broadcast(itemN.withColumnRenamed("_it", "item_b")
+        .withColumnRenamed("_ni", "n_b")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"),
+        round(col("n_ab") / lit(nBaskets.toDouble), 6).as("support"),
+        round(col("n_ab") / col("n_a").cast("double"), 6)
+          .as("conf_a_to_b"),
+        round(col("n_ab") / col("n_b").cast("double"), 6)
+          .as("conf_b_to_a"),
+        round(col("n_ab").cast("double") * nBaskets /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+}

@@ -876,4 +876,56 @@ object Dedup {
       .select(col(clusterCol), col(idCol).as("representative_id"),
         col("_q").as("quality"), col("n_members").cast("long"))
   }
+
+  /** Typo-level near-duplicate pairs: all (id_a < id_b) pairs whose
+    * `strCol` values are within Levenshtein distance 1 — the fuzzy-key
+    * dedup for titles / URLs / product names where MinHash shingles are
+    * too coarse.
+    *
+    * Scale shape — pigeonhole blocking instead of an O(n²) cross join:
+    * a single edit at position p either leaves the first `prefixLen`
+    * characters intact (p ≥ prefixLen) or, when every string is at
+    * least 2·prefixLen long, leaves the last `prefixLen` characters
+    * intact (p < prefixLen ⇒ the edit sits strictly before the final
+    * prefixLen characters). So every true pair co-buckets under the
+    * exact-prefix key OR the exact-suffix key; candidates are the two
+    * bucketed self-joins (length difference ≤ 1), de-duped, then
+    * verified with the exact `levenshtein` — candidate volume is
+    * Σ|bucket|², never n². Inputs shorter than 2·prefixLen are
+    * rejected loudly rather than silently losing the guarantee.
+    *
+    * Output: (id_a, id_b, dist) with dist ∈ {0, 1}.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        prefixLen: Int = 8): DataFrame = {
+    require(prefixLen >= 1, "prefixLen must be at least 1")
+    val base = df.select(col(idCol).cast("long").as("_id"),
+        col(strCol).cast("string").as("_s"))
+      .filter(col("_s").isNotNull)
+      .withColumn("_n", length(col("_s")))
+      .cache()
+    // the pigeonhole guarantee needs len ≥ 2·prefixLen everywhere
+    val shortCount = base.filter(col("_n") < 2 * prefixLen).limit(1).count()
+    require(shortCount == 0L,
+      s"editDistancePairs(prefixLen=$prefixLen) requires every string " +
+        s"to be at least ${2 * prefixLen} chars")
+    def bucketed(key: Column): DataFrame = {
+      val l = base.select(key.as("_k"), col("_id").as("id_a"),
+        col("_s").as("_sa"), col("_n").as("_na"))
+      val r = base.select(key.as("_k"), col("_id").as("id_b"),
+        col("_s").as("_sb"), col("_n").as("_nb"))
+      l.join(r, Seq("_k"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("_na") - col("_nb")) <= 1)
+        .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
+    }
+    val cands = bucketed(substring(col("_s"), 1, prefixLen))
+      .unionByName(bucketed(substring(col("_s"), -prefixLen, prefixLen)))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long"))
+  }
 }
+

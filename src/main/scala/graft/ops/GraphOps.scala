@@ -100,4 +100,64 @@ object GraphOps {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Per-node triangle counts over an undirected (multi-)edge frame —
+    * the clustering-coefficient numerator and the classic link-spam /
+    * community-density signal next to [[pageRank]].
+    *
+    * Scale shape — degree-ordered orientation (compact-forward): after
+    * collapsing to canonical distinct edges (low id < high id, no self
+    * loops), each edge is oriented from its lower-(degree, id) endpoint
+    * to its higher one. Every wedge is then enumerated at its LOWEST
+    * corner, so the self-join fan-out per node is out-degree², and
+    * out-degree is O(√|E|) for every node regardless of skew — a
+    * celebrity node with 10⁸ followers contributes no 10¹⁶-pair wedge
+    * explosion because its edges point INTO it. The wedge frame is
+    * closed against the oriented edge set with one more equi-join.
+    * Triangle membership is orientation-invariant, so an external
+    * oracle can replay with the simpler id-ordered enumeration.
+    *
+    * Returns (node, n_triangles) for every node of the canonical edge
+    * set, zeros included.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set: low < high, loops dropped, distinct
+    val und = edges
+      .select(col(srcCol).cast("long").as("_u"), col(dstCol).cast("long").as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .select(least(col("_u"), col("_v")).as("_a"),
+        greatest(col("_u"), col("_v")).as("_b"))
+      .distinct()
+    val deg = und.select(col("_a").as("node"))
+      .union(und.select(col("_b")))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    // total order (degree, id): orient each edge low → high under it
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "_a").withColumnRenamed("_deg", "_da"), "_a")
+      .join(deg.withColumnRenamed("node", "_b").withColumnRenamed("_deg", "_db"), "_b")
+    val oriented = withDeg.select(
+        when(struct(col("_da"), col("_a")) < struct(col("_db"), col("_b")),
+          struct(col("_a").as("s"), col("_b").as("d"),
+            col("_db").as("dd")))
+          .otherwise(struct(col("_b").as("s"), col("_a").as("d"),
+            col("_da").as("dd"))).as("_e"))
+      .select(col("_e.s").as("s"), col("_e.d").as("d"), col("_e.dd").as("dd"))
+      .cache()
+    // wedges at the lowest corner: (s; b, c) with ord(b) < ord(c), then
+    // close against the oriented edge b → c
+    val x = oriented.select(col("s"), col("d").as("b"), col("dd").as("db"))
+    val y = oriented.select(col("s"), col("d").as("c"), col("dd").as("dc"))
+    val wedges = x.join(y, Seq("s"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val closing = oriented.select(col("s").as("b"), col("d").as("c"))
+    val triangles = wedges.join(closing, Seq("b", "c"))
+      .select(col("s").as("n1"), col("b").as("n2"), col("c").as("n3"))
+    val corners = triangles.select(col("n1").as("node"))
+      .union(triangles.select(col("n2")))
+      .union(triangles.select(col("n3")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node")).join(corners, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

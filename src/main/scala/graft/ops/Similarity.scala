@@ -130,6 +130,70 @@ object Similarity {
       .join(broadcast(metrics), Seq(queryIdCol), "left")
   }
 
+  /** Multi-relevant ranked-retrieval evaluation — MAP@k, precision@k,
+    * recall@k per query from a ranked RUN and a relevance-judgment
+    * (qrels) frame, the TREC-style complement of [[rankEval]]'s
+    * single-relevant metrics. Run-producer-agnostic: feed it
+    * [[bruteForceKnn]], an IVF shortlist, a BM25 ranking, or a fused
+    * list — anything with (query, doc, rank ∈ 1..k).
+    *
+    * Exactness at the float boundary: average precision is
+    * Σ_{hit at rank r} (hits≤r)/r, a sum of small rationals whose
+    * float total would depend on summation order. It is instead
+    * accumulated as the EXACT integer Σ (hits≤r)·(L/r) with
+    * L = lcm(1..k), then divided once by L·min(|rel|, k) — so the
+    * whole metric dag is integer until a single final division, and
+    * an external SQL oracle replays it bit-identically in any row
+    * order. (k ≤ 20 keeps every term within long range.)
+    *
+    * Scale shape: the run is |queries|·k rows; qrels joins by
+    * (query, doc); every aggregate is a map-side-combinable groupBy on
+    * qid. Nothing is corpus-sized. Queries with NO qrels row surface
+    * with rel_n = 0 and NULL metrics (the [[rankEval]] missing-query
+    * lesson), never silently dropped.
+    *
+    * Output: (qid, rel_n, n_hits, p_at_k, r_at_k, ap_at_k).
+    */
+  def precisionRecallEval(run: DataFrame, qidCol: String, docCol: String,
+                          rankCol: String,
+                          qrels: DataFrame, relQidCol: String,
+                          relDocCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, "precisionRecallEval supports 1 ≤ k ≤ 20")
+    val L: Long = (1 to k).foldLeft(1L) { (acc, i) =>
+      val g = BigInt(acc).gcd(BigInt(i)).toLong; acc / g * i
+    }
+    val r = run.select(col(qidCol).as("qid"), col(docCol).as("_doc"),
+        col(rankCol).cast("long").as("_rk"))
+      .filter(col("_rk") <= k)
+    val rel = qrels.select(col(relQidCol).as("qid"),
+      col(relDocCol).as("_doc")).distinct()
+    val relN = rel.groupBy("qid").agg(count(lit(1)).as("rel_n"))
+    // hits in rank order; hits≤r is a row_number within qid (ranks are
+    // distinct within a run list, so the order is total)
+    val w = Window.partitionBy(col("qid")).orderBy(col("_rk").asc)
+    val hits = r.join(rel, Seq("qid", "_doc"))
+      .withColumn("_h", row_number().over(w))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("_h") * (lit(L) / col("_rk")).cast("long")).as("_aps"))
+    r.select(col("qid")).distinct()
+      .join(broadcast(relN), Seq("qid"), "left")
+      .join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("rel_n"), lit(0L)).as("rel_n"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("rel_n").isNotNull,
+          round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6))
+          .as("p_at_k"),
+        when(col("rel_n").isNotNull,
+          round(coalesce(col("n_hits"), lit(0L)) / col("rel_n")
+            .cast("double"), 6)).as("r_at_k"),
+        when(col("rel_n").isNotNull,
+          round(coalesce(col("_aps"), lit(0L)) /
+            (lit(L.toDouble) * least(col("rel_n"), lit(k.toLong))
+              .cast("double")), 6)).as("ap_at_k"))
+  }
+
   /** Deterministic random-hyperplane signature: `nBits` sign bits of dot
     * products against pseudo-random hyperplanes derived from (seed, bit,
     * dim) — no fit step, reproducible across runs. Backed by the codegen'd

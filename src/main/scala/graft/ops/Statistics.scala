@@ -712,4 +712,81 @@ object Statistics {
       .select((k :+ col("_x").as("score") :+ col("_c").as("n") :+
         round(col("_g"), 6).as("fitted")): _*)
   }
+
+  /** Gini concentration coefficient per key over an INTEGER value
+    * column — "how concentrated is spend / activity / token mass
+    * across members", the inequality summary next to the entropy
+    * family. Uses the rank form on ascending order,
+    * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) — every term an exact
+    * integer until the single final division, so an external SQL
+    * oracle replays it bit-identically. Rank order among TIED values
+    * doesn't change Σ i·x (equal x share the same coefficient set), so
+    * no tie-break is needed.
+    *
+    * Scale shape: ONE keyed window (parallel across keys) + one
+    * map-side-combined groupBy; nothing driver-side. Keys with
+    * Σx = 0 emit NULL (concentration of nothing is undefined).
+    * Long overflow bound: Σ i·x ≤ n·Σx must stay under 2⁶³ — fine for
+    * per-key frames (n·Σx ≥ 2⁶³ needs both a trillion-row key and
+    * billion-scale values).
+    */
+  def giniConcentration(df: DataFrame, keys: Seq[String],
+                        valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    val w = Window.partitionBy(k: _*).orderBy(col("_x").asc)
+    df.select((k :+ valueCol.cast("long").as("_x")): _*)
+      .filter(col("_x").isNotNull)
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"),
+        sum(col("_i") * col("_x")).as("_ix"))
+      .select((k :+ col("n") :+ col("total") :+
+        when(col("total") =!= 0L,
+          round((lit(2.0) * col("_ix") - (col("n") + 1L) * col("total")) /
+            (col("n") * col("total")).cast("double"), 6)).as("gini")): _*)
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013):
+    * adjust each arm's metric mean by θ·(covariate mean shift), with
+    * θ = cov(x, y)/var(x) POOLED across arms — the standard
+    * pre-experiment-covariate variance reduction.
+    *
+    * Exactness: metric and covariate are taken as LONGs, so the five
+    * pooled sums (n, Σx, Σy, Σxx, Σxy) and the per-arm sums are exact
+    * integers; θ and every adjusted mean are then a fixed dag of
+    * IEEE-double ops an external SQL oracle replays bit-identically —
+    * there is NO per-row float accumulation anywhere.
+    *
+    * Scale shape: two map-side-combined aggregations over one scan
+    * shape (global sums + per-arm sums), a broadcast of five numbers.
+    * Output per arm: n, mean_metric, mean_adjusted, theta.
+    */
+  def cupedAdjust(df: DataFrame, armCol: Column, metricCol: Column,
+                  covariateCol: Column): DataFrame = {
+    val base = df.select(armCol.as("arm"),
+        metricCol.cast("long").as("_y"), covariateCol.cast("long").as("_x"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val pooled = base.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+      sum(col("_y")).as("_sy"), sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    val arms = base.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_ax"),
+        sum(col("_y")).as("_ay"))
+    // θ = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²): exact-integer numerator and
+    // denominator, ONE double division (guard: zero covariate variance)
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("_theta",
+        when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L,
+          (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double") /
+            (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+              .cast("double")))
+      .select(col("arm"), col("n"),
+        round(col("_ay") / col("n").cast("double"), 6).as("mean_metric"),
+        round(col("_ay") / col("n").cast("double") -
+          col("_theta") * (col("_ax") / col("n").cast("double") -
+            col("_sx") / col("_n").cast("double")), 6).as("mean_adjusted"),
+        round(col("_theta"), 6).as("theta"))
+  }
 }

@@ -105,4 +105,75 @@ object TemporalFeatures {
       .agg(count(lit(1)).as("n_distinct"))
       .join(observed, keys :+ "bucket")
   }
+
+  /** Cohort retention curves — the growth-analytics staple: bucket
+    * each entity into the cohort of its FIRST active period, then for
+    * every (cohort, later period) report how many of the cohort were
+    * active and the retention fraction.
+    *
+    * Scale shape: one distinct collapse to (entity, bucket) actives
+    * (map-side combined — the only data-sized shuffle), one per-entity
+    * min for the cohort (re-aggregates the collapsed frame), one
+    * entity-keyed join back, then everything is |cohorts × periods|
+    * frames. All integers until the single retention division, so an
+    * external oracle replays exactly.
+    *
+    * `bucketCol` is the integer period (epoch weeks, days…). Output:
+    * (cohort, period_index, n_cohort, n_active, retention) — period 0
+    * is the cohort's own bucket, retention 1.0 by construction.
+    */
+  def retentionCohorts(df: DataFrame, entityCol: Column,
+                       bucketCol: Column): DataFrame = {
+    val active = df.select(entityCol.as("_e"),
+        bucketCol.cast("long").as("_b"))
+      .filter(col("_e").isNotNull && col("_b").isNotNull)
+      .distinct()
+    val cohorts = active.groupBy("_e").agg(min(col("_b")).as("cohort"))
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    active.join(cohorts, "_e")
+      .groupBy(col("cohort"), (col("_b") - col("cohort")).as("period_index"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("period_index"), col("n_cohort"),
+        col("n_active"),
+        round(col("n_active") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+  }
+
+  /** One-sided CUSUM change-point statistic per key — the sequential
+    * drift alarm ("has this user's / sensor's level shifted up?") that
+    * complements the batch drift battery in [[Monitoring]].
+    *
+    * The textbook recursion S_i = max(0, S_{i−1} + d_i) looks
+    * inherently sequential, but it has a closed prefix form:
+    * S_i = P_i − min_{0≤j≤i} P_j with P the running sum of the
+    * deviations d (and P_0 = 0) — so the whole statistic is TWO
+    * running window aggregates over one keyed shuffle, no iteration,
+    * no driver state, exactly as distributed as a window can be.
+    *
+    * `deviationCol` is the already-centered per-row deviation
+    * (x − target − slack), cast to LONG — integer deviations make the
+    * prefix sums exact, so an external SQL oracle replays the value dag
+    * bit-identically with no float summation-order hazard.
+    *
+    * Output: the input keys + order columns with `cusum` (S_i) and
+    * `alarm` (S_i ≥ threshold).
+    */
+  def cusum(df: DataFrame, keys: Seq[String], orderCols: Seq[Column],
+            deviationCol: Column, threshold: Long): DataFrame = {
+    val k = keys.map(col)
+    val oc = orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val on = oc.indices.map(i => col(s"_o$i"))
+    val base = df.select((k ++ oc :+
+      deviationCol.cast("long").as("_d")): _*)
+    val wRun = Window.partitionBy(k: _*).orderBy(on: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // P_0 = 0 enters as least(minP, 0): the empty prefix is a valid j
+    val withP = base.withColumn("_p", sum(col("_d")).over(wRun))
+    withP
+      .withColumn("cusum",
+        col("_p") - least(min(col("_p")).over(wRun), lit(0L)))
+      .withColumn("alarm", col("cusum") >= threshold)
+      .drop("_d", "_p")
+  }
 }
