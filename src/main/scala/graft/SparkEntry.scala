@@ -3122,6 +3122,167 @@ object SparkEntry {
           expr("CAST(floor(value) AS BIGINT) div 2") +
             pmod(col("event_id"), lit(7)))
         .orderBy("arm")
+    }),
+
+    // Near-key pair detection: same-user same-type events within one
+    // hour — the at-least-once-redelivery artifact finder. Bucket-
+    // banded (width = δ, probe b and b+1), never a rank window or n²;
+    // the oracle pairs exhaustively per (user, type) in SQL.
+    "q173_near_events" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"), col("event_type"),
+        col("event_id"),
+        graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          .as("ts_us"))
+      graft.ops.Dedup.nearKeyPairs(base, "event_id", col("ts_us"),
+          delta = 3600000000L,
+          partitionCols = Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type", "id_a", "id_b")
+    }),
+
+    // kNN label-agreement (label-noise screen): fraction of each
+    // query's 10 cosine neighbours carrying a different label — one
+    // exact division over integer counts.
+    "q174_label_noise" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("ql"))
+      graft.ops.Similarity.labelAgreement(emb, "vec_id", "embedding",
+          "label", queries, "qid", "qe", "ql", k = 10)
+        .orderBy("qid")
+    }),
+
+    // Rolling z-score anomalies per user: trailing-10-prior-row
+    // baseline, the z-test evaluated entirely in integers
+    // ((n·x − S)² > z²·(n·Q − S²)) — no sqrt, no float accumulation.
+    "q175_rolling_anomaly" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("value").isNotNull)
+      val scored = graft.ops.TemporalFeatures.rollingAnomaly(ev,
+        Seq("user_id"),
+        Seq(graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts"),
+          col("event_id")),
+        floor(col("value")).cast("long"), window = 10, z = 3)
+      scored.groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("anomaly").isNotNull, 1L).otherwise(0L))
+            .as("n_checked"),
+          sum(when(col("anomaly") === true, 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .orderBy("user_id")
+    }),
+
+    // Benford first-digit deviation of revenue cents per returnflag:
+    // digit from the integer's decimal string, exact counts, χ² terms
+    // as one fixed double dag (TPC-H prices are decidedly NOT Benford
+    // — the statistic must say so, loudly and reproducibly).
+    "q176_benford" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+      graft.ops.Statistics.benfordDeviation(li, Seq("l_returnflag"),
+          floor(col("l_extendedprice") * 100))
+        .orderBy("l_returnflag", "digit")
+    }),
+
+    // Poisson-bootstrap 95% CI for the per-type mean: deterministic
+    // hash-inverted Poisson(1) weights (integer threshold compares
+    // against floor(CDF·2⁵²)), |keys × 100| exact integer sums, CI as
+    // order statistics of the replicate means — no RNG anywhere.
+    "q177_bootstrap_ci" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("value").isNotNull)
+      graft.ops.Statistics.bootstrapMeanCI(ev, Seq("event_type"),
+          col("event_id"), floor(col("value")), replicates = 100,
+          seed = 42L, loIndex = 3, hiIndex = 98)
+        .orderBy("event_type")
+    }),
+
+    // Integer half-life decayed activity score per user as of epoch
+    // day 19755 (7-day half-life): x >> ⌊age/7⌋ — exponential-ish
+    // decay with zero floats, PIT-guarded against future rows.
+    "q178_decayed_score" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("value").isNotNull)
+      val base = ev.select(col("user_id"), col("value"),
+          graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+            .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.TemporalFeatures.decayedScore(base, Seq("user_id"),
+          col("day"), floor(col("value")), asOfBucket = 19755L,
+          halfLifeBuckets = 7)
+        .orderBy("user_id")
+    }),
+
+    // k-anonymity audit at k = 5 over the (event_type, user bucket,
+    // day) quasi-identifier — group-size histogram + share of rows in
+    // re-identifiable groups, exact integers + one division.
+    "q179_k_anonymity" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("event_type"),
+          pmod(col("user_id"), lit(32)).as("user_bucket"),
+          graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+            .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.Statistics.kAnonymityAudit(base,
+          Seq("event_type", "user_bucket", "day"), k = 5L)
+        .orderBy("group_size")
+    }),
+
+    // Forward-window churn labels: per (user, active day), the gap to
+    // the next active day and the >3-day inactivity label — censored
+    // tails stay NULL when the observation window can't see a full
+    // horizon. A LABEL generator (reads the future by design).
+    "q180_churn_labels" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"),
+          graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+            .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.TemporalFeatures.forwardInactivityLabels(base,
+          col("user_id"), col("day"), horizon = 3,
+          asOfBucket = 19752L)
+        .orderBy("entity", "bucket")
+    }),
+
+    // Discrete return-hazard curve from inter-activity day gaps with
+    // right-censored tails — gap histogram, suffix-sum at-risk via a
+    // broadcast band-join, one division per row.
+    "q181_hazard" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"),
+          graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+            .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.TemporalFeatures.hazardCurve(base, col("user_id"),
+          col("day"), asOfBucket = 19755L)
+        .orderBy("t")
+    }),
+
+    // Degree assortativity of the q165 graph: hub-to-hub vs
+    // hub-to-leaf mixing — the sqrt cancels under edge symmetrization,
+    // so r is exact integers to one division.
+    "q182_assortativity" -> ((s, dir) => {
+      val li = s.read.parquet(TestTables.parquet(dir, "lineitem"))
+        .filter(col("l_orderkey") % 29 === 0)
+      val edges = li.select(
+        ((col("l_partkey") * 7 + col("l_suppkey")) % 150).as("src"),
+        ((col("l_partkey") + col("l_suppkey") * 3) % 150).as("dst"))
+      graft.ops.GraphOps.degreeAssortativity(edges, "src", "dst")
+    }),
+
+    // Sequential pattern support: event type A then B within 3 days,
+    // counted per USER (ordered complement of q171's co-occurrence) —
+    // distinct memberships first, per-entity candidate join, exact
+    // entity counts.
+    "q183_seq_patterns" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"), col("event_type"),
+          graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+            .as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.Associations.sequencePatterns(base, col("user_id"),
+          col("event_type"), col("day"), windowBuckets = 3)
+        .orderBy("antecedent", "consequent")
     })
   )
 
@@ -6825,6 +6986,270 @@ object SparkEntry {
                                     - p.sx::DOUBLE / p.n::DOUBLE), 6)
                   AS mean_adjusted,
                 round(th.theta, 6) AS theta
-         FROM a CROSS JOIN p CROSS JOIN th ORDER BY a.arm"""
+         FROM a CROSS JOIN p CROSS JOIN th ORDER BY a.arm""",
+    // the banding must lose nothing vs this exhaustive per-(user,type)
+    // pairing at |Δts| ≤ 1 hour
+    "q173_near_events" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                           epoch_us(ts) AS k
+                    FROM events WHERE event_id IS NOT NULL),
+         p AS (SELECT a.user_id, a.event_type,
+                      least(a.event_id, b.event_id) AS id_a,
+                      greatest(a.event_id, b.event_id) AS id_b,
+                      least(a.k, b.k) AS key_a,
+                      greatest(a.k, b.k) AS key_b,
+                      abs(a.k - b.k) AS diff
+               FROM e a JOIN e b
+                 ON a.user_id = b.user_id
+                AND a.event_type = b.event_type
+                AND a.event_id < b.event_id
+                AND abs(a.k - b.k) <= 3600000000)
+         SELECT user_id, event_type, id_a, id_b, key_a, key_b, diff
+         FROM p ORDER BY user_id, event_type, id_a, id_b""",
+    // q168's cosine top-10 replay + a neighbour-label join; the
+    // disagreement score is one division over integer counts
+    "q174_label_noise" ->
+      """WITH q AS (SELECT vec_id AS qid,
+                           CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+                    FROM embeddings WHERE vec_id < 30),
+         run AS (SELECT qid, vec_id, ql FROM (
+                   SELECT q.qid, e.vec_id, q.ql,
+                          row_number() OVER (PARTITION BY q.qid
+                            ORDER BY list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                              e.vec_id ASC) AS rk
+                   FROM embeddings e CROSS JOIN q
+                   WHERE e.vec_id <> q.qid)
+                 WHERE rk <= 10),
+         j AS (SELECT run.qid, run.ql, e.label AS nl
+               FROM run JOIN embeddings e ON run.vec_id = e.vec_id)
+         SELECT qid, CAST(count(*) AS BIGINT) AS n_neighbors,
+                CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_same,
+                CAST(sum(CASE WHEN nl = ql THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_diff,
+                round(sum(CASE WHEN nl = ql THEN 0 ELSE 1 END)::DOUBLE
+                      / count(*)::DOUBLE, 6) AS noise_score
+         FROM j GROUP BY 1 ORDER BY qid""",
+    // the integer z-test replayed over the identical trailing frame:
+    // (n·x − S)² > 9·(n·Q − S²), verdicts only on full frames
+    "q175_rolling_anomaly" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+                           CAST(floor(value) AS BIGINT) AS x
+                    FROM events WHERE value IS NOT NULL),
+         wf AS (SELECT user_id, x,
+                       sum(x) OVER w AS sx, sum(x * x) OVER w AS qx,
+                       count(x) OVER w AS n
+                FROM s WINDOW w AS (PARTITION BY user_id
+                  ORDER BY tsu, event_id
+                  ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+         fl AS (SELECT user_id,
+                       CASE WHEN n = 10 THEN
+                         (CASE WHEN (n * x - sx) * (n * x - sx)
+                                    > 9 * (n * qx - sx * sx)
+                               THEN 1 ELSE 0 END) END AS an
+                FROM wf)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(an) AS BIGINT) AS n_checked,
+                CAST(coalesce(sum(an), 0) AS BIGINT) AS n_anomalies
+         FROM fl GROUP BY 1 ORDER BY user_id""",
+    // digit from the integer's decimal string; χ² terms from the same
+    // (count, n, log10(1+1/d)) dag, dense 1..9 grid per key
+    "q176_benford" ->
+      """WITH v AS (SELECT l_returnflag AS k,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT)
+                             AS x
+                    FROM lineitem),
+         c AS (SELECT k,
+                      CAST(substring(CAST(x AS VARCHAR), 1, 1) AS INT)
+                        AS digit,
+                      CAST(count(*) AS BIGINT) AS n_obs
+               FROM v WHERE x > 0 GROUP BY 1, 2),
+         t AS (SELECT k, CAST(sum(n_obs) AS BIGINT) AS n
+               FROM c GROUP BY 1),
+         g AS (SELECT t.k, t.n, CAST(u.digit AS INT) AS digit
+               FROM t, unnest(range(1, 10)) u(digit))
+         SELECT g.k AS l_returnflag, g.digit,
+                coalesce(c.n_obs, 0) AS n_obs,
+                round(coalesce(c.n_obs, 0)::DOUBLE / g.n::DOUBLE, 6)
+                  AS p_obs,
+                round(log10(1.0::DOUBLE + 1.0::DOUBLE
+                            / g.digit::DOUBLE), 6) AS p_exp,
+                round((coalesce(c.n_obs, 0) - g.n
+                        * log10(1.0::DOUBLE + 1.0::DOUBLE
+                                / g.digit::DOUBLE))
+                      * (coalesce(c.n_obs, 0) - g.n
+                          * log10(1.0::DOUBLE + 1.0::DOUBLE
+                                  / g.digit::DOUBLE))
+                      / (g.n * log10(1.0::DOUBLE + 1.0::DOUBLE
+                                     / g.digit::DOUBLE)), 6)
+                  AS chi2_term
+         FROM g LEFT JOIN c ON g.k = c.k AND g.digit = c.digit
+         ORDER BY g.k, g.digit""",
+    // every weight replayed: charPolyHash(id#b#42) mod 10^6 against
+    // the five floor(PoissonCDF·10^6) integer thresholds
+    // (JVM-identical constants), |keys × 100| integer sums, CI by
+    // row_number
+    "q177_bootstrap_ci" ->
+      """WITH b AS (SELECT event_type AS k,
+                           CAST(event_id AS VARCHAR) AS id,
+                           CAST(floor(value) AS BIGINT) AS x
+                    FROM events
+                    WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         hw AS (SELECT k, x, rb,
+                       list_reduce(
+                         [0::BIGINT] || list_transform(
+                           range(1, length(s) + 1),
+                           i -> unicode(s[i])::BIGINT),
+                         (a, c) -> (a * 31 + c)
+                           & ((1::BIGINT << 52) - 1)) AS h
+                FROM (SELECT k, x, t.rb,
+                             id || '#' || CAST(t.rb AS VARCHAR) || '#42'
+                               AS s
+                      FROM b, unnest(range(0, 100)) t(rb))),
+         ww AS (SELECT k, rb, x,
+                       CASE WHEN h % 1000000 < 367879 THEN 0
+                            WHEN h % 1000000 < 735758 THEN 1
+                            WHEN h % 1000000 < 919698 THEN 2
+                            WHEN h % 1000000 < 981011 THEN 3
+                            WHEN h % 1000000 < 996340 THEN 4
+                            ELSE 5 END AS w
+                FROM hw),
+         sums AS (SELECT k, rb, CAST(sum(w) AS BIGINT) AS n,
+                         CAST(sum(w * x) AS BIGINT) AS sxw
+                  FROM ww GROUP BY 1, 2 HAVING sum(w) > 0),
+         m AS (SELECT k, rb, sxw::DOUBLE / n::DOUBLE AS mean_b,
+                      row_number() OVER (PARTITION BY k
+                        ORDER BY sxw::DOUBLE / n::DOUBLE ASC, rb ASC)
+                        AS r
+               FROM sums),
+         ci AS (SELECT k,
+                       min(CASE WHEN r = 3 THEN mean_b END) AS lo,
+                       min(CASE WHEN r = 98 THEN mean_b END) AS hi
+                FROM m GROUP BY 1),
+         f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS t FROM b GROUP BY 1)
+         SELECT f.k AS event_type, f.n,
+                round(f.t::DOUBLE / f.n::DOUBLE, 6) AS mean,
+                round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+         FROM f JOIN ci ON f.k = ci.k ORDER BY event_type""",
+    // the shift-decay replayed with integer division and >>
+    "q178_decayed_score" ->
+      """WITH b AS (SELECT user_id,
+                           epoch_us(ts) // 86400000000 AS day,
+                           CAST(floor(value) AS BIGINT) AS x
+                    FROM events WHERE value IS NOT NULL),
+         d AS (SELECT user_id, x,
+                      x >> least((19755 - day) // 7, 62)::INT AS dx
+               FROM b)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(x) AS BIGINT) AS raw_sum,
+                CAST(sum(dx) AS BIGINT) AS decayed_score
+         FROM d GROUP BY 1 ORDER BY user_id""",
+    // group sizes → histogram → share of rows in groups under k
+    "q179_k_anonymity" ->
+      """WITH d AS (SELECT event_type, user_id % 32 AS ub,
+                           epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS gs FROM d
+               GROUP BY event_type, ub, day),
+         h AS (SELECT gs AS group_size,
+                      CAST(count(*) AS BIGINT) AS n_groups
+               FROM s GROUP BY 1),
+         h2 AS (SELECT group_size, n_groups,
+                       group_size * n_groups AS n_rows,
+                       group_size < 5 AS below_k
+                FROM h),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot,
+                      CAST(sum(CASE WHEN below_k THEN n_rows ELSE 0 END)
+                           AS BIGINT) AS bad
+               FROM h2)
+         SELECT h2.group_size, h2.n_groups,
+                CAST(h2.n_rows AS BIGINT) AS n_rows, h2.below_k,
+                t.tot AS total_rows,
+                round(t.bad::DOUBLE / t.tot::DOUBLE, 6) AS share_below_k
+         FROM h2 CROSS JOIN t ORDER BY h2.group_size""",
+    // lead() gap + the three-way label (observed gap / censored-but-
+    // observable / unobservable NULL) replayed verbatim
+    "q180_churn_labels" ->
+      """WITH a AS (SELECT DISTINCT user_id AS entity,
+                           epoch_us(ts) // 86400000000 AS bucket
+                    FROM events WHERE user_id IS NOT NULL),
+         l AS (SELECT entity, bucket,
+                      lead(bucket) OVER (PARTITION BY entity
+                        ORDER BY bucket) - bucket AS next_gap
+               FROM a)
+         SELECT entity, bucket, next_gap,
+                CASE WHEN next_gap IS NOT NULL THEN next_gap > 3
+                     WHEN 19752 - bucket > 3 THEN true END AS churned
+         FROM l ORDER BY entity, bucket""",
+    // gap histogram + suffix-sum at-risk + one division, censored
+    // tails to the as-of day
+    "q181_hazard" ->
+      """WITH a AS (SELECT DISTINCT user_id AS e,
+                           epoch_us(ts) // 86400000000 AS b
+                    FROM events WHERE user_id IS NOT NULL),
+         g AS (SELECT e, coalesce(nx - b, 19755 - b) AS t,
+                      nx IS NULL AS cens
+               FROM (SELECT e, b, lead(b) OVER (PARTITION BY e
+                       ORDER BY b) AS nx FROM a)),
+         g2 AS (SELECT * FROM g WHERE t > 0),
+         h AS (SELECT t,
+                      CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END)
+                           AS BIGINT) AS n_events,
+                      CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_censored
+               FROM g2 GROUP BY 1),
+         ar AS (SELECT h1.t, h1.n_events, h1.n_censored,
+                       CAST(sum(h2.n_events + h2.n_censored) AS BIGINT)
+                         AS at_risk
+                FROM h h1 JOIN h h2 ON h2.t >= h1.t GROUP BY 1, 2, 3)
+         SELECT t, n_events, n_censored, at_risk,
+                round(n_events::DOUBLE / at_risk::DOUBLE, 6) AS hazard
+         FROM ar ORDER BY t""",
+    // symmetrized endpoint-degree correlation: the sqrt cancels, so
+    // the replay is integer sums to one division
+    "q182_assortativity" ->
+      """WITH raw AS (
+           SELECT (l_partkey * 7 + l_suppkey) % 150 AS u,
+                  (l_partkey + l_suppkey * 3) % 150 AS v
+           FROM lineitem WHERE l_orderkey % 29 = 0),
+         e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+               FROM raw WHERE u <> v),
+         d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT a AS node FROM e
+                     UNION ALL SELECT b FROM e) GROUP BY 1),
+         p AS (SELECT da.deg AS x, db.deg AS y
+               FROM e JOIN d da ON e.a = da.node
+               JOIN d db ON e.b = db.node),
+         sym AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(x * y) AS BIGINT) AS sxy FROM sym)
+         SELECT n AS n_ordered_pairs,
+                CASE WHEN n * sxx - sx * sx <> 0 THEN
+                  round((n * sxy - sx * sx)::DOUBLE
+                        / (n * sxx - sx * sx)::DOUBLE, 6) END
+                  AS assortativity
+         FROM s""",
+    // ordered A-then-B support per user: distinct memberships, the
+    // windowed pair join, entity-level de-dup, exact counts
+    "q183_seq_patterns" ->
+      """WITH m AS (SELECT DISTINCT user_id AS e, event_type AS it,
+                           epoch_us(ts) // 86400000000 AS b
+                    FROM events
+                    WHERE user_id IS NOT NULL
+                      AND event_type IS NOT NULL),
+         ne AS (SELECT count(DISTINCT e) AS n FROM m),
+         p AS (SELECT DISTINCT x.e, x.it AS antecedent,
+                      y.it AS consequent
+               FROM m x JOIN m y ON x.e = y.e AND y.b > x.b
+                 AND y.b <= x.b + 3)
+         SELECT antecedent, consequent,
+                CAST(count(*) AS BIGINT) AS n_entities,
+                round(count(*)::DOUBLE / ne.n::DOUBLE, 6) AS support
+         FROM p CROSS JOIN ne GROUP BY 1, 2, ne.n
+         ORDER BY antecedent, consequent"""
   )
 }

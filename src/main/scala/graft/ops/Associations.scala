@@ -68,4 +68,48 @@ object Associations {
         round(col("n_ab").cast("double") * nBaskets /
           (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
   }
+
+  /** Sequential pattern support — "entities that did A and then B
+    * within `windowBuckets` periods": the ORDERED complement of
+    * [[pairRules]]' unordered co-occurrence, the input to next-action
+    * models and funnel mining.
+    *
+    * An entity supports (A → B) iff it has A active in some bucket d
+    * and B active in (d, d + windowBuckets]. Repeat activity collapses
+    * first (distinct (entity, item, bucket) memberships — the only
+    * data-sized shuffle), the candidate join runs per entity over the
+    * collapsed frame (volume Σ per-entity |memberships|², bounded by
+    * catalog × window, not raw events), and the pattern de-dups per
+    * entity before counting, so support counts ENTITIES — all exact
+    * integers plus one share division.
+    *
+    * Output per (antecedent, consequent): n_entities,
+    * support = n_entities / |entities with any membership|.
+    * Self-patterns (A → A) count only true repeats in later buckets.
+    */
+  def sequencePatterns(df: DataFrame, entityCol: Column, itemCol: Column,
+                       bucketCol: Column, windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, "windowBuckets must be at least 1")
+    val memb = df.select(entityCol.as("_e"),
+        itemCol.cast("string").as("_it"), bucketCol.cast("long").as("_b"))
+      .filter(col("_e").isNotNull && col("_it").isNotNull &&
+        col("_b").isNotNull)
+      .distinct()
+      .cache()
+    val nEntities = memb.select(col("_e")).distinct().count()
+    val a = memb.select(col("_e"), col("_it").as("antecedent"),
+      col("_b").as("_ba"))
+    val b = memb.select(col("_e"), col("_it").as("consequent"),
+      col("_b").as("_bb"))
+    val patterns = a.join(b, Seq("_e"))
+      .filter(col("_bb") > col("_ba") &&
+        col("_bb") <= col("_ba") + windowBuckets)
+      .select(col("_e"), col("antecedent"), col("consequent"))
+      .distinct()
+    patterns.groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_entities"))
+      .select(col("antecedent"), col("consequent"), col("n_entities"),
+        round(col("n_entities") / lit(nEntities.toDouble), 6)
+          .as("support"))
+  }
 }

@@ -927,5 +927,47 @@ object Dedup {
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist").cast("long"))
   }
-}
 
+  /** Near-key pair detection: all (id_a, id_b) pairs agreeing on
+    * `partitionCols` whose integer `keyCol` values differ by at most
+    * `delta` — the at-least-once-ingestion artifact finder ("same user,
+    * same action, seconds apart = probable redelivery") and the numeric
+    * sorted-neighborhood blocking primitive for entity resolution.
+    *
+    * Scale shape — bucket-banded, never a rank window: keys bucket at
+    * width `delta`, so any qualifying pair sits in the same or adjacent
+    * buckets; candidates are ONE equi-join on (partitionCols, bucket)
+    * with the left side probing bucket b and b+1. No global sort, no
+    * SinglePartition window, no n² — candidate volume is Σ|bucket|²
+    * within each partition key. The exact |Δkey| ≤ delta verify runs
+    * row-local on candidates only.
+    *
+    * Output: partitionCols, id_a < id_b, key_a, key_b, diff.
+    */
+  def nearKeyPairs(df: DataFrame, idCol: String, keyCol: Column,
+                   delta: Long,
+                   partitionCols: Seq[String] = Nil): DataFrame = {
+    require(delta >= 1, "delta must be at least 1")
+    val p = partitionCols.map(col)
+    val base = df.select((p :+ col(idCol).as("_id") :+
+        keyCol.cast("long").as("_k")): _*)
+      .filter(col("_id").isNotNull && col("_k").isNotNull)
+      .withColumn("_bkt", expr(s"_k div ${delta}L"))
+    val probes = base.withColumn("_probe",
+      explode(array(col("_bkt"), col("_bkt") + 1)))
+    val l = probes.select((p :+ col("_id").as("_ida") :+
+      col("_k").as("_ka") :+ col("_probe")): _*)
+    val r = base.select((p :+ col("_id").as("_idb") :+
+      col("_k").as("_kb") :+ col("_bkt").as("_probe")): _*)
+    l.join(r, partitionCols :+ "_probe")
+      .filter(col("_ida") =!= col("_idb") &&
+        abs(col("_ka") - col("_kb")) <= delta)
+      .select((p :+
+        least(col("_ida"), col("_idb")).as("id_a") :+
+        greatest(col("_ida"), col("_idb")).as("id_b") :+
+        least(col("_ka"), col("_kb")).as("key_a") :+
+        greatest(col("_ka"), col("_kb")).as("key_b") :+
+        abs(col("_ka") - col("_kb")).as("diff")): _*)
+      .distinct()
+  }
+}

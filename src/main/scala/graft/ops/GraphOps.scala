@@ -160,4 +160,49 @@ object GraphOps {
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Degree assortativity of an undirected graph — the Pearson
+    * correlation of endpoint degrees over edges (Newman 2002):
+    * positive = hubs attach to hubs (social nets), negative = hubs
+    * attach to leaves (hub-and-spoke infrastructure). A one-number
+    * structure summary next to [[triangleCounts]]' local density.
+    *
+    * Exactness: degrees are integers, and each undirected edge
+    * contributes BOTH ordered pairs (da, db), (db, da) — the standard
+    * symmetrization — so the correlation sums (n, Σx, Σxx, Σxy, with
+    * Σx = Σy and Σxx = Σyy by symmetry) are exact integers AND the
+    * sqrt in Pearson's denominator cancels algebraically:
+    * r = (nΣxy − (Σx)²) / (nΣxx − (Σx)²), integers to one division.
+    * Degenerate variance (regular graphs) → NULL.
+    *
+    * Scale shape: canonical-edge collapse, a degree frame, two
+    * node-keyed joins, one global five-sum aggregate.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("_u"), col(dstCol).cast("long").as("_v"))
+      .filter(col("_u") =!= col("_v"))
+      .select(least(col("_u"), col("_v")).as("_a"),
+        greatest(col("_u"), col("_v")).as("_b"))
+      .distinct()
+    val deg = und.select(col("_a").as("node"))
+      .union(und.select(col("_b")))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    val paired = und
+      .join(deg.withColumnRenamed("node", "_a").withColumnRenamed("_deg", "_da"), "_a")
+      .join(deg.withColumnRenamed("node", "_b").withColumnRenamed("_deg", "_db"), "_b")
+    // both orientations: Σx = Σy and Σxx = Σyy by construction
+    val sym = paired.select(col("_da").as("_x"), col("_db").as("_y"))
+      .unionByName(paired.select(col("_db").as("_x"), col("_da").as("_y")))
+    val sums = sym.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    sums.select(col("_n").as("n_ordered_pairs"),
+      when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L,
+        round((col("_n") * col("_sxy") - col("_sx") * col("_sx"))
+          .cast("double") /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+            .cast("double"), 6)).as("assortativity"))
+  }
 }

@@ -194,6 +194,41 @@ object Similarity {
               .cast("double")), 6)).as("ap_at_k"))
   }
 
+  /** kNN label-agreement scores — the classic label-noise detector for
+    * training data: a point whose k nearest neighbours mostly carry a
+    * DIFFERENT label is a mislabeling suspect (or sits on a class
+    * boundary). Runs [[bruteForceKnn]] for the query panel, joins the
+    * neighbours' labels, and reports per query the same/different
+    * split and the disagreement score n_diff/k — one exact division
+    * over integer counts, oracle-replayable.
+    *
+    * Scale shape: inherits bruteForceKnn's one-corpus-scan ×
+    * broadcast-queries shape (swap an ANN shortlist upstream at corpus
+    * scale); the label join touches |queries|·k rows.
+    */
+  def labelAgreement(corpus: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String,
+                     queries: DataFrame, queryIdCol: String,
+                     queryVecCol: String, queryLabelCol: String,
+                     k: Int, metric: Metric = Cosine): DataFrame = {
+    val run = bruteForceKnn(corpus, idCol, vecCol,
+      queries.select(col(queryIdCol), col(queryVecCol)),
+      queryIdCol, queryVecCol, k, metric)
+    val nbrLabels = corpus.select(col(idCol),
+      col(labelCol).as("_nl"))
+    val qLabels = broadcast(queries.select(col(queryIdCol),
+      col(queryLabelCol).as("_ql")))
+    run.join(nbrLabels, Seq(idCol)).join(qLabels, Seq(queryIdCol))
+      .groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("_nl") <=> col("_ql"), 1L).otherwise(0L))
+          .as("n_same"),
+        sum(when(col("_nl") <=> col("_ql"), 0L).otherwise(1L))
+          .as("n_diff"))
+      .withColumn("noise_score",
+        round(col("n_diff") / col("n_neighbors").cast("double"), 6))
+  }
+
   /** Deterministic random-hyperplane signature: `nBits` sign bits of dot
     * products against pseudo-random hyperplanes derived from (seed, bit,
     * dim) — no fit step, reproducible across runs. Backed by the codegen'd

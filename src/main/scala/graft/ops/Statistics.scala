@@ -747,6 +747,146 @@ object Statistics {
             (col("n") * col("total")).cast("double"), 6)).as("gini")): _*)
   }
 
+  /** Poisson-bootstrap confidence interval for the per-key mean — THE
+    * cluster-scale bootstrap (resampling-by-index is impossible when
+    * the data doesn't fit anywhere; per-row independent Poisson(1)
+    * weights need one scan). Every replicate weight is DETERMINISTIC:
+    * w(row, b) inverts the Poisson(1) CDF at
+    * u = charPolyHash(id#b#seed) mod 10⁶, evaluated as INTEGER
+    * threshold comparisons against floor(CDF·10⁶) — no RNG, no float
+    * at the weight boundary, so an external SQL oracle replays every
+    * weight. (mod 10⁶, not /2⁵²: the char polynomial of a SHORT string
+    * never reaches the top of the 52-bit range, but its low decimal
+    * residues mix immediately. The CDF is truncated at w = 5;
+    * P(W ≥ 6) < 6·10⁻⁴ — the same deterministic truncation on both
+    * engines, so parity is exact even though the tail is clipped.)
+    *
+    * Scale shape: one `replicates`-way row-local explode collapses
+    * map-side to |keys × replicates| (Σw, Σw·x) integer sums; the CI
+    * is a tiny per-key sort of B replicate means (row_number over
+    * |keys|·B rows). Replicate means with Σw = 0 (possible only for
+    * near-empty keys) drop out of the order statistics explicitly.
+    *
+    * Output per key: n, mean (full sample), ci_lo, ci_hi — the
+    * loIndex-th and hiIndex-th smallest replicate means (1-based), so
+    * the caller picks the coverage (e.g. 3/98 of B = 100 ≈ 95%).
+    */
+  def bootstrapMeanCI(df: DataFrame, keys: Seq[String], idCol: Column,
+                      valueCol: Column, replicates: Int = 100,
+                      seed: Long = 42L, loIndex: Int = 3,
+                      hiIndex: Int = 98): DataFrame = {
+    require(replicates >= 4, "need at least 4 replicates")
+    require(loIndex >= 1 && hiIndex <= replicates && loIndex < hiIndex,
+      "CI indices must satisfy 1 ≤ lo < hi ≤ replicates")
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.map(col)
+    // Poisson(1) CDF at 0..4, scaled to the mod-10^6 residue domain
+    val cdf = {
+      val e = math.exp(-1.0)
+      val pmf = Seq(e, e, e / 2, e / 6, e / 24)
+      pmf.scanLeft(0.0)(_ + _).tail
+        .map(c => math.floor(c * 1000000.0).toLong)
+    }
+    val base = df.select((k :+ idCol.cast("string").as("_id") :+
+        valueCol.cast("long").as("_x")): _*)
+      .filter(col("_x").isNotNull && col("_id").isNotNull)
+    val rep = base.select((k :+ col("_id") :+ col("_x") :+
+      explode(sequence(lit(0), lit(replicates - 1))).as("_b")): _*)
+    val u = pmod(graft.functions.TextHash.charPolyHash(
+      concat(col("_id"), lit("#"), col("_b").cast("string"),
+        lit("#" + seed))), lit(1000000L))
+    val w = when(u < cdf(0), 0L).when(u < cdf(1), 1L)
+      .when(u < cdf(2), 2L).when(u < cdf(3), 3L)
+      .when(u < cdf(4), 4L).otherwise(5L)
+    val sums = rep.withColumn("_w", w)
+      .groupBy((k :+ col("_b")): _*)
+      .agg(sum(col("_w")).as("_n"), sum(col("_w") * col("_x")).as("_s"))
+      .filter(col("_n") > 0L)
+      .withColumn("_m", col("_s") / col("_n").cast("double"))
+    val ord = Window.partitionBy(k: _*).orderBy(col("_m").asc, col("_b").asc)
+    val ranked = sums.withColumn("_r", row_number().over(ord))
+    val ci = ranked.groupBy(k: _*).agg(
+      min(when(col("_r") === loIndex, col("_m"))).as("_lo"),
+      min(when(col("_r") === hiIndex, col("_m"))).as("_hi"))
+    val full = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_t"))
+    full.join(ci, keys)
+      .select((k :+ col("n") :+
+        round(col("_t") / col("n").cast("double"), 6).as("mean") :+
+        round(col("_lo"), 6).as("ci_lo") :+
+        round(col("_hi"), 6).as("ci_hi")): _*)
+  }
+
+  /** k-anonymity audit over quasi-identifier columns — the privacy
+    * screen next to the PII battery: how many rows sit in a
+    * quasi-identifier group smaller than k (re-identifiable by the
+    * combination). One map-side-combined groupBy to group sizes, then
+    * a |distinct sizes| histogram — all exact integers plus one share
+    * division.
+    *
+    * Output per observed group size: n_groups, n_rows, below_k, and
+    * the key-less summary columns (total rows, share of rows below k)
+    * repeated per row for a single-frame report.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_gs"))
+    val hist = sizes.groupBy(col("_gs").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_rows", col("group_size") * col("n_groups"))
+      .withColumn("below_k", col("group_size") < k)
+    val tot = hist.agg(sum(col("n_rows")).as("_tot"),
+      sum(when(col("below_k"), col("n_rows")).otherwise(0L)).as("_bad"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("group_size"), col("n_groups"), col("n_rows"),
+        col("below_k"), col("_tot").as("total_rows"),
+        round(col("_bad") / col("_tot").cast("double"), 6)
+          .as("share_below_k"))
+  }
+
+  /** Benford first-digit deviation per key — the fabricated-numbers /
+    * broken-ETL screen: natural multi-scale positive quantities put
+    * first significant digit d at P(d) = log₁₀(1 + 1/d); a column that
+    * disagrees hard was truncated, defaulted, or synthesized. The
+    * digit is taken from the INTEGER value's decimal string (no float
+    * log10 at the digit boundary), counts are exact integers, and each
+    * χ² contribution is one fixed double dag from (count, n, digit) —
+    * oracle-replayable.
+    *
+    * Output per (keys, digit 1..9): n_obs, p_obs, p_exp, chi2_term.
+    * Digits with zero observations still emit rows (their χ² term is
+    * n·p_exp), so Σ chi2_term per key is the complete statistic.
+    * Non-positive values are excluded (Benford is defined on positive
+    * magnitudes).
+    */
+  def benfordDeviation(df: DataFrame, keys: Seq[String],
+                       valueCol: Column): DataFrame = {
+    val k = keys.map(col)
+    val counts = df.select((k :+ valueCol.cast("long").as("_v")): _*)
+      .filter(col("_v") > 0L)
+      .select((k :+ substring(col("_v").cast("string"), 1, 1)
+        .cast("int").as("digit")): _*)
+      .groupBy((k :+ col("digit")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(k: _*).agg(sum(col("_c")).as("_n"))
+    // dense 1..9 grid per key (|keys| × 9 rows — tiny) so missing
+    // digits still contribute their expected mass to the statistic
+    val grid = totals.select((k :+ col("_n") :+
+      explode(sequence(lit(1), lit(9))).as("digit")): _*)
+    val pExp = log10(lit(1.0) + lit(1.0) / col("digit"))
+    val e = col("_n") * pExp
+    val dev = coalesce(col("_c"), lit(0L)) - e
+    grid.join(counts, keys :+ "digit", "left")
+      .select((k :+ col("digit") :+
+        coalesce(col("_c"), lit(0L)).as("n_obs") :+
+        round(coalesce(col("_c"), lit(0L)) / col("_n").cast("double"), 6)
+          .as("p_obs") :+
+        round(pExp, 6).as("p_exp") :+
+        round(dev * dev / e, 6).as("chi2_term")): _*)
+  }
+
   /** CUPED variance-reduced experiment readout (Deng et al. 2013):
     * adjust each arm's metric mean by θ·(covariate mean shift), with
     * θ = cov(x, y)/var(x) POOLED across arms — the standard

@@ -106,6 +106,158 @@ object TemporalFeatures {
       .join(observed, keys :+ "bucket")
   }
 
+  /** Time-decayed activity score per key with INTEGER half-life decay:
+    * each contribution counts x >> ⌊age / halfLife⌋ (a right shift per
+    * elapsed half-life) — the recency-weighted popularity / activity
+    * feature without a single float: exponential-ish decay, exact
+    * integer arithmetic, trivially map-side combinable, and an
+    * external SQL oracle replays every term with integer division.
+    * (Float e^{−λ·age} decay sums are order-dependent; shifts are not.)
+    *
+    * `asOfBucket` is the reference period (e.g. "today" in epoch
+    * days) — an explicit parameter, never sniffed from the data, so
+    * backfills reproduce. Contributions from the future of `asOfBucket`
+    * are rejected loudly (a feature computed "as of" a day must not see
+    * later data — the PIT rule). Output per key: n_events, raw_sum,
+    * decayed_score.
+    */
+  def decayedScore(df: DataFrame, keys: Seq[String], bucketCol: Column,
+                   valueCol: Column, asOfBucket: Long,
+                   halfLifeBuckets: Int): DataFrame = {
+    require(halfLifeBuckets >= 1, "halfLifeBuckets must be at least 1")
+    val k = keys.map(col)
+    val base = df.select((k :+ bucketCol.cast("long").as("_b") :+
+        valueCol.cast("long").as("_x")): _*)
+      .filter(col("_x").isNotNull && col("_b").isNotNull)
+    val future = base.filter(col("_b") > asOfBucket).limit(1).count()
+    require(future == 0L,
+      s"decayedScore(asOf=$asOfBucket) saw a bucket after the as-of " +
+        "point — point-in-time correctness forbids future contributions")
+    val halfLives = least(expr(s"(${asOfBucket}L - _b) div $halfLifeBuckets"),
+      lit(62L))
+    base
+      .withColumn("_hl", halfLives.cast("int"))
+      .withColumn("_d", expr("shiftright(_x, _hl)"))
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n_events"), sum(col("_x")).as("raw_sum"),
+        sum(col("_d")).as("decayed_score"))
+  }
+
+  /** Forward-looking inactivity (churn) LABELS: for every (entity,
+    * active bucket), did the entity go quiet for more than `horizon`
+    * buckets afterwards? `next_gap` is the distance to the next active
+    * bucket (NULL at the entity's last activity — right-censored), and
+    * `churned` is gap > horizon, with the censored tail labeled
+    * churned only when the observation window can actually SEE a full
+    * horizon past the bucket (`asOfBucket − bucket > horizon`),
+    * NULL otherwise — an unobservable label must stay NULL, not
+    * default to false.
+    *
+    * This is a LABEL generator: it reads the future by design, so its
+    * output may only ever join a training frame as the target, never
+    * as a feature (the inverse of the PIT rule the feature side
+    * enforces). One distinct collapse + one lead() per entity.
+    */
+  def forwardInactivityLabels(df: DataFrame, entityCol: Column,
+                              bucketCol: Column, horizon: Int,
+                              asOfBucket: Long): DataFrame = {
+    require(horizon >= 1, "horizon must be at least 1")
+    val active = df.select(entityCol.as("entity"),
+        bucketCol.cast("long").as("bucket"))
+      .filter(col("entity").isNotNull && col("bucket").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("entity")).orderBy(col("bucket").asc)
+    active
+      .withColumn("next_gap", lead(col("bucket"), 1).over(w) - col("bucket"))
+      .withColumn("churned",
+        when(col("next_gap").isNotNull, col("next_gap") > horizon)
+          .otherwise(when(lit(asOfBucket) - col("bucket") > horizon,
+            lit(true))))
+  }
+
+  /** Discrete return-hazard curve from inter-activity gaps: for each
+    * consecutive pair of active buckets per entity, the gap g is an
+    * observed "returned after g" event; the tail from the last
+    * activity to `asOfBucket` is right-censored (the entity might
+    * still return). hazard(t) = events(t) / atRisk(t) with
+    * atRisk(t) = Σ_{g ≥ t} events(g) + Σ_{c ≥ t} censored(c) — the
+    * discrete Kaplan-Meier hazard, computed EXACTLY: gap histograms
+    * are integers, at-risk counts are suffix sums over the tiny
+    * |distinct gaps| frame, and the hazard is one division per row.
+    *
+    * Output per gap t: n_events, n_censored, at_risk, hazard.
+    */
+  def hazardCurve(df: DataFrame, entityCol: Column, bucketCol: Column,
+                  asOfBucket: Long): DataFrame = {
+    val active = df.select(entityCol.as("_e"),
+        bucketCol.cast("long").as("_b"))
+      .filter(col("_e").isNotNull && col("_b").isNotNull)
+      .distinct()
+    val w = Window.partitionBy(col("_e")).orderBy(col("_b").asc)
+    val gaps = active
+      .withColumn("_next", lead(col("_b"), 1).over(w))
+      .select(col("_e"),
+        when(col("_next").isNotNull, col("_next") - col("_b"))
+          .otherwise(lit(asOfBucket) - col("_b")).as("t"),
+        col("_next").isNull.as("_cens"))
+      .filter(col("t") > 0L)
+    val hist = gaps.groupBy(col("t"))
+      .agg(sum(when(!col("_cens"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("_cens"), 1L).otherwise(0L)).as("n_censored"))
+    // at-risk = suffix sums over the |distinct gaps| frame — a
+    // broadcast band-join on the tiny histogram, NOT a SinglePartition
+    // window (the q149/q152 keyed-cumsum rule, keyless edition)
+    val tot = hist.select(col("t").as("_t2"),
+      (col("n_events") + col("n_censored")).as("_c"))
+    hist.join(broadcast(tot), col("_t2") >= col("t"))
+      .groupBy(col("t"), col("n_events"), col("n_censored"))
+      .agg(sum(col("_c")).as("at_risk"))
+      .select(col("t"), col("n_events"), col("n_censored"),
+        col("at_risk"),
+        round(col("n_events") / col("at_risk").cast("double"), 6)
+          .as("hazard"))
+  }
+
+  /** Rolling z-score anomaly flags per key — "is this reading far from
+    * ITS OWN recent baseline", the per-entity complement of the global
+    * drift battery. The baseline is the trailing `window` PRIOR rows
+    * (the current row never contaminates its own baseline), and the
+    * z-test is evaluated ENTIRELY in integers:
+    *
+    *   |x − S/n| > z·σ  ⇔  (n·x − S)² > z²·(n·Q − S²)
+    *
+    * with S = Σx, Q = Σx² over the frame — so there is no float
+    * accumulation, no sqrt, and an external SQL oracle replays every
+    * comparison exactly. `valueCol` must be integer-valued (cast to
+    * LONG); magnitude bound: n·max|x|² must stay under 2⁶³ (doc'd like
+    * [[graft.ops.Statistics.giniConcentration]]).
+    *
+    * Rows whose trailing frame is not yet full get `anomaly = NULL`
+    * (no verdict), not false — a half-full baseline is not evidence.
+    * Output: keys + order cols + `x`, `n_prior`, `anomaly`.
+    */
+  def rollingAnomaly(df: DataFrame, keys: Seq[String],
+                     orderCols: Seq[Column], valueCol: Column,
+                     window: Int, z: Int = 3): DataFrame = {
+    require(window >= 2, "window must be at least 2")
+    require(z >= 1, "z must be at least 1")
+    val k = keys.map(col)
+    val oc = orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val on = oc.indices.map(i => col(s"_o$i"))
+    val w = Window.partitionBy(k: _*).orderBy(on: _*)
+      .rowsBetween(-window, -1)
+    val base = df.select((k ++ oc :+ valueCol.cast("long").as("x")): _*)
+      .withColumn("_s", sum(col("x")).over(w))
+      .withColumn("_q", sum(col("x") * col("x")).over(w))
+      .withColumn("n_prior", count(col("x")).over(w))
+    val n = col("n_prior")
+    val lhs = (n * col("x") - col("_s")) * (n * col("x") - col("_s"))
+    val rhs = lit(z.toLong * z) * (n * col("_q") - col("_s") * col("_s"))
+    base.withColumn("anomaly",
+        when(n === window.toLong, lhs > rhs))
+      .drop("_s", "_q")
+  }
+
   /** Cohort retention curves — the growth-analytics staple: bucket
     * each entity into the cohort of its FIRST active period, then for
     * every (cohort, later period) report how many of the cohort were
