@@ -50,25 +50,37 @@ for name in sorted(oracle):
     g = got[gcols].sort_values(gcols).reset_index(drop=True)
     w = want[wcols].sort_values(wcols).reset_index(drop=True)
     same = True
+    why = ""
     for c in gcols:
         gv, wv = g[c], w[c]
+        # The driver's hash is dtype-sensitive: a DuckDB HUGEINT vs a
+        # Spark BIGINT hashes differently even when every value is equal
+        # (the q115/q167 failure class).  Mirror that: dtype mismatch is
+        # a hard FAIL here, never a silent astype fallback.
+        if str(gv.dtype) != str(wv.dtype):
+            same = False
+            why = (f"dtype mismatch in column {c}: "
+                   f"got {gv.dtype} want {wv.dtype} "
+                   f"(add an explicit CAST in the oracle SQL)")
+            break
         try:
-            import pandas as pd
             if not gv.equals(wv):
-                # numeric tolerance fallback for dtype mismatches only
                 import numpy as np
-                if gv.dtype.kind in "if" and wv.dtype.kind in "if":
-                    if not np.allclose(gv.astype(float), wv.astype(float),
-                                       rtol=0, atol=0, equal_nan=True):
+                if gv.dtype.kind in "if":
+                    if not np.allclose(gv, wv, rtol=0, atol=0,
+                                       equal_nan=True):
                         same = False
                 else:
                     if list(gv.astype(str)) != list(wv.astype(str)):
                         same = False
-        except Exception as e:
+        except Exception:
             same = False
         if not same:
-            fails.append((name, f"values differ in column {c}"))
+            why = why or f"values differ in column {c}"
             break
+    if not same:
+        fails.append((name, why))
+        continue
     if same:
         print(f"PASS {name} ({len(got)} rows)")
 

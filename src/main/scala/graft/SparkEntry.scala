@@ -3598,12 +3598,14 @@ object SparkEntry {
                            row_number() OVER (PARTITION BY qid
                                               ORDER BY sim DESC, vec_id ASC) AS rnk
                     FROM pairs)
-         SELECT qid, vec_id, round(sim, 4) AS score, rnk AS "rank"
+         SELECT qid, vec_id, round(sim, 4) AS score,
+                CAST(rnk AS INTEGER) AS "rank"
          FROM ranked WHERE rnk <= 5 ORDER BY qid, "rank"""",
     "q27_text_tokens" ->
-      """SELECT doc_id, length(text) AS n_chars_c,
-                len(list_filter(string_split_regex(text, '\s+'),
-                                x -> len(x) > 0)) AS n_tokens
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_c,
+                CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS INTEGER)
+                  AS n_tokens
          FROM documents ORDER BY doc_id""",
     "q28_text_quality" ->
       """SELECT doc_id,
@@ -4266,8 +4268,9 @@ object SparkEntry {
          ORDER BY span""",
     "q69_sql_text_functions" ->
       """SELECT doc_id,
-                len(list_filter(string_split_regex(text, '\s+'),
-                                x -> len(x) > 0)) AS n_tokens,
+                CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                     x -> len(x) > 0)) AS INTEGER)
+                  AS n_tokens,
                 list_reduce(
                   [0::BIGINT] || list_transform(
                     range(1, length(s) + 1), i -> unicode(s[i])::BIGINT),
@@ -6400,7 +6403,8 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY qid
                     ORDER BY rrf_score DESC, id ASC) AS fused_rank
            FROM fused)
-         SELECT qid, id, rrf_score, n_lists, fused_rank
+         SELECT qid, id, rrf_score, n_lists,
+                CAST(fused_rank AS INTEGER) AS fused_rank
          FROM fr WHERE fused_rank <= 5 ORDER BY qid, fused_rank""",
     // q45's recall-floor pattern: seeded PQ train → deterministic
     // codebooks → deterministic shortlist-100+refine recall vs the
@@ -6504,7 +6508,7 @@ object SparkEntry {
                              ORDER BY sim DESC, vec_id ASC) AS rnk
                     FROM pairs)
          SELECT qid, vec_id AS negative_id, round(sim, 4) AS score,
-                rnk AS "rank"
+                CAST(rnk AS INTEGER) AS "rank"
          FROM ranked WHERE rnk <= 10 ORDER BY qid, "rank"""",
     // the produce→fetch byte stack (avro encode → v2 batch framing →
     // CRC-verified parse → avro decode) is lossless, so the oracle is
@@ -6853,7 +6857,7 @@ object SparkEntry {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CASE WHEN cs >= 300 THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_alarms,
-                max(cs) AS max_cusum
+                CAST(max(cs) AS BIGINT) AS max_cusum
          FROM p2 GROUP BY 1 ORDER BY user_id""",
     // the full eval dag replayed: exact cosine top-10 run (score desc,
     // id tie-break), label-match qrels, AP as the exact integer
@@ -6994,10 +6998,10 @@ object SparkEntry {
                            epoch_us(ts) AS k
                     FROM events WHERE event_id IS NOT NULL),
          p AS (SELECT a.user_id, a.event_type,
-                      least(a.event_id, b.event_id) AS id_a,
-                      greatest(a.event_id, b.event_id) AS id_b,
-                      least(a.k, b.k) AS key_a,
-                      greatest(a.k, b.k) AS key_b,
+                      a.event_id AS id_a,
+                      b.event_id AS id_b,
+                      a.k AS key_a,
+                      b.k AS key_b,
                       abs(a.k - b.k) AS diff
                FROM e a JOIN e b
                  ON a.user_id = b.user_id

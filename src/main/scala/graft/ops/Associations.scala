@@ -33,19 +33,24 @@ object Associations {
   def pairRules(df: DataFrame, basketCol: Column, itemCol: Column,
                 minPairCount: Long = 1L,
                 maxBasketItems: Int = 10000): DataFrame = {
+    // localCheckpoint (not cache): one eager materialization whose
+    // blocks free on GC, instead of CacheManager entries that pile up
+    // across invocations in a long-lived session
     val memb = df.select(basketCol.as("_bk"),
         itemCol.cast("string").as("_it"))
       .filter(col("_bk").isNotNull && col("_it").isNotNull)
       .distinct()
-      .cache()
-    // loud skew guard: one tiny max over the per-basket breadth frame
-    val widest = memb.groupBy("_bk").agg(count(lit(1)).as("_w"))
-      .agg(max(col("_w"))).collect().head
-    require(widest.isNullAt(0) || widest.getLong(0) <= maxBasketItems,
+      .localCheckpoint()
+    // ONE driver action serves both the loud skew guard and |baskets|:
+    // the per-basket breadth frame's row count IS the basket count
+    val stats = memb.groupBy("_bk").agg(count(lit(1)).as("_w"))
+      .agg(max(col("_w")).as("_max"), count(lit(1)).as("_n"))
+      .collect().head
+    require(stats.isNullAt(0) || stats.getLong(0) <= maxBasketItems,
       s"a basket touches more than $maxBasketItems distinct items — " +
         "pre-prune hub items or raise maxBasketItems (pair volume is " +
         "quadratic in basket breadth)")
-    val nBaskets = memb.select(col("_bk")).distinct().count()
+    val nBaskets = stats.getLong(1)
     val itemN = memb.groupBy(col("_it")).agg(count(lit(1)).as("_ni"))
     val l = memb.select(col("_bk"), col("_it").as("item_a"))
     val r = memb.select(col("_bk"), col("_it").as("item_b"))
@@ -95,7 +100,7 @@ object Associations {
       .filter(col("_e").isNotNull && col("_it").isNotNull &&
         col("_b").isNotNull)
       .distinct()
-      .cache()
+      .localCheckpoint()
     val nEntities = memb.select(col("_e")).distinct().count()
     val a = memb.select(col("_e"), col("_it").as("antecedent"),
       col("_b").as("_ba"))

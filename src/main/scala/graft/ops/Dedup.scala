@@ -899,11 +899,13 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         prefixLen: Int = 8): DataFrame = {
     require(prefixLen >= 1, "prefixLen must be at least 1")
+    // localCheckpoint (not cache): blocks free on GC instead of
+    // accumulating CacheManager entries across invocations
     val base = df.select(col(idCol).cast("long").as("_id"),
         col(strCol).cast("string").as("_s"))
       .filter(col("_s").isNotNull)
       .withColumn("_n", length(col("_s")))
-      .cache()
+      .localCheckpoint()
     // the pigeonhole guarantee needs len ≥ 2·prefixLen everywhere
     val shortCount = base.filter(col("_n") < 2 * prefixLen).limit(1).count()
     require(shortCount == 0L,
@@ -942,7 +944,9 @@ object Dedup {
     * within each partition key. The exact |Δkey| ≤ delta verify runs
     * row-local on candidates only.
     *
-    * Output: partitionCols, id_a < id_b, key_a, key_b, diff.
+    * Output: partitionCols, id_a < id_b, key_a = id_a's key,
+    * key_b = id_b's key (aligned per id, NOT the sorted key pair —
+    * when the smaller id carries the larger key, key_a > key_b), diff.
     */
   def nearKeyPairs(df: DataFrame, idCol: String, keyCol: Column,
                    delta: Long,
@@ -965,8 +969,10 @@ object Dedup {
       .select((p :+
         least(col("_ida"), col("_idb")).as("id_a") :+
         greatest(col("_ida"), col("_idb")).as("id_b") :+
-        least(col("_ka"), col("_kb")).as("key_a") :+
-        greatest(col("_ka"), col("_kb")).as("key_b") :+
+        when(col("_ida") < col("_idb"), col("_ka"))
+          .otherwise(col("_kb")).as("key_a") :+
+        when(col("_ida") < col("_idb"), col("_kb"))
+          .otherwise(col("_ka")).as("key_b") :+
         abs(col("_ka") - col("_kb")).as("diff")): _*)
       .distinct()
   }

@@ -76,12 +76,14 @@ object GraphOps {
         col(dstCol).cast("long").as("_d"))
       .agg(count(lit(1)).cast("double").as("_w"))
     val outW = ew.groupBy(col("_s")).agg(sum(col("_w")).as("_ow"))
+    // localCheckpoint (not cache): blocks free on GC instead of
+    // accumulating CacheManager entries across invocations
     val share = ew.join(outW, "_s")
       .select(col("_s"), col("_d"), (col("_w") / col("_ow")).as("_share"))
-      .cache()
+      .localCheckpoint()
     val nodes = share.select(col("_s").as("node"))
       .union(share.select(col("_d")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     var i = 0
     while (i < iterations) {
@@ -142,7 +144,7 @@ object GraphOps {
           .otherwise(struct(col("_b").as("s"), col("_a").as("d"),
             col("_da").as("dd"))).as("_e"))
       .select(col("_e.s").as("s"), col("_e.d").as("d"), col("_e.dd").as("dd"))
-      .cache()
+      .localCheckpoint()
     // wedges at the lowest corner: (s; b, c) with ord(b) < ord(c), then
     // close against the oriented edge b → c
     val x = oriented.select(col("s"), col("d").as("b"), col("dd").as("db"))
@@ -173,6 +175,10 @@ object GraphOps {
     * Σx = Σy and Σxx = Σyy by symmetry) are exact integers AND the
     * sqrt in Pearson's denominator cancels algebraically:
     * r = (nΣxy − (Σx)²) / (nΣxx − (Σx)²), integers to one division.
+    * The sums and their products are carried in DECIMAL(38,0), not
+    * LONG — Σxy grows up to deg²·|E| and hub-heavy graphs would wrap
+    * 64-bit past 9.2·10¹⁸; decimal buys 10³⁸ headroom (beyond that
+    * the result is NULL, never silently wrong).
     * Degenerate variance (regular graphs) → NULL.
     *
     * Scale shape: canonical-edge collapse, a degree frame, two
@@ -195,11 +201,18 @@ object GraphOps {
     // both orientations: Σx = Σy and Σxx = Σyy by construction
     val sym = paired.select(col("_da").as("_x"), col("_db").as("_y"))
       .unionByName(paired.select(col("_db").as("_x"), col("_da").as("_y")))
-    val sums = sym.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
-      sum(col("_x") * col("_x")).as("_sxx"),
-      sum(col("_x") * col("_y")).as("_sxy"))
-    sums.select(col("_n").as("n_ordered_pairs"),
-      when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L,
+    // DECIMAL(38,0) sums and products: n·Σxy, n·Σxx, (Σx)² are long
+    // products of long sums and would silently wrap past 9.2·10¹⁸ on
+    // hub-heavy graphs (Σxy grows up to deg²·|E|); decimal buys 10³⁸
+    // headroom and the final ratio casts to double anyway
+    val xd = col("_x").cast("decimal(38,0)")
+    val yd = col("_y").cast("decimal(38,0)")
+    val sums = sym.agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+      sum(xd).as("_sx"),
+      sum(xd * col("_x")).as("_sxx"),
+      sum(xd * col("_y")).as("_sxy"))
+    sums.select(col("_n").cast("long").as("n_ordered_pairs"),
+      when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= lit(0),
         round((col("_n") * col("_sxy") - col("_sx") * col("_sx"))
           .cast("double") /
           (col("_n") * col("_sxx") - col("_sx") * col("_sx"))

@@ -218,12 +218,16 @@ object Similarity {
       col(labelCol).as("_nl"))
     val qLabels = broadcast(queries.select(col(queryIdCol),
       col(queryLabelCol).as("_ql")))
+    // plain (not null-safe) equality: a NULL label on either side
+    // counts as DISAGREEMENT — an unlabeled neighbour cannot vouch for
+    // the query's label, and this matches SQL `nl = ql` CASE semantics
+    // so the oracle replays exactly
     run.join(nbrLabels, Seq(idCol)).join(qLabels, Seq(queryIdCol))
       .groupBy(col(queryIdCol))
       .agg(count(lit(1)).as("n_neighbors"),
-        sum(when(col("_nl") <=> col("_ql"), 1L).otherwise(0L))
+        sum(when(col("_nl") === col("_ql"), 1L).otherwise(0L))
           .as("n_same"),
-        sum(when(col("_nl") <=> col("_ql"), 0L).otherwise(1L))
+        sum(when(col("_nl") === col("_ql"), 0L).otherwise(1L))
           .as("n_diff"))
       .withColumn("noise_score",
         round(col("n_diff") / col("n_neighbors").cast("double"), 6))

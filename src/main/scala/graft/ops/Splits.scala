@@ -559,12 +559,17 @@ object Splits {
     * rows (documented; raise `oversample` for dense users).
     *
     * Scale shape: |users|·oversample·k generated rows, one join to the
-    * item index (broadcast when small), one anti-join to interactions,
-    * one per-user window — nothing quadratic in catalog or corpus.
+    * item index — broadcast ONLY while the catalog is at most
+    * `broadcastItemLimit` rows (default 10⁷ ≈ a few hundred MB of
+    * (item, idx) pairs; the exact count is known from the offset
+    * collect), else a shuffle equi-join — one anti-join to
+    * interactions, one per-user window — nothing quadratic in catalog
+    * or corpus.
     */
   def negativeSample(interactions: DataFrame, userCol: String,
                      itemCol: String, k: Int, seed: Long,
-                     oversample: Int = 3): DataFrame = {
+                     oversample: Int = 3,
+                     broadcastItemLimit: Long = 10000000L): DataFrame = {
     require(k >= 1 && oversample >= 1, "k and oversample must be ≥ 1")
     // dense 0-based catalog index in item order WITHOUT a global-sort
     // SinglePartition window (the PlanAudit rule): range-partition by
@@ -599,8 +604,14 @@ object Splits {
           concat(col("_user").cast("string"), lit("#"),
             col("_j").cast("string"), lit("#"), lit(seed.toString))),
           lit(nItems)))
+    // broadcast the catalog only when it genuinely fits an executor
+    // (nItems is already exact from the offset collect); a 10⁹-item
+    // catalog falls back to a shuffle equi-join instead of OOMing the
+    // broadcast build side
+    val idxSide =
+      if (nItems <= broadcastItemLimit) broadcast(indexed) else indexed
     val candidates = draws
-      .join(broadcast(indexed), col("_pick") === col("_idx"))
+      .join(idxSide, col("_pick") === col("_idx"))
       .select(col("_user"), col("_item"), col("_j"))
     val positives = interactions
       .select(col(userCol).as("_user"), col(itemCol).as("_item"))

@@ -892,11 +892,13 @@ object Statistics {
     * θ = cov(x, y)/var(x) POOLED across arms — the standard
     * pre-experiment-covariate variance reduction.
     *
-    * Exactness: metric and covariate are taken as LONGs, so the five
+    * Exactness: metric and covariate are taken as LONGs; the five
     * pooled sums (n, Σx, Σy, Σxx, Σxy) and the per-arm sums are exact
-    * integers; θ and every adjusted mean are then a fixed dag of
-    * IEEE-double ops an external SQL oracle replays bit-identically —
-    * there is NO per-row float accumulation anywhere.
+    * integers, with the quadratic sums and the n·Σ products carried in
+    * DECIMAL(38,0) (10³⁸ headroom vs long's 9.2·10¹⁸ — mirrors the
+    * oracle's int128); θ and every adjusted mean are then a fixed dag
+    * of IEEE-double ops an external SQL oracle replays bit-identically
+    * — there is NO per-row float accumulation anywhere.
     *
     * Scale shape: two map-side-combined aggregations over one scan
     * shape (global sums + per-arm sums), a broadcast of five numbers.
@@ -907,20 +909,27 @@ object Statistics {
     val base = df.select(armCol.as("arm"),
         metricCol.cast("long").as("_y"), covariateCol.cast("long").as("_x"))
       .filter(col("_x").isNotNull && col("_y").isNotNull)
+    // Σxx/Σxy (and their n·Σ products below) accumulate in
+    // DECIMAL(38,0), not LONG: per-row x², x·y products of large
+    // covariates would silently wrap past 9.2·10¹⁸; decimal buys
+    // 10³⁸ headroom and matches the oracle's int128 arithmetic before
+    // the one double division
+    val xd = col("_x").cast("decimal(38,0)")
     val pooled = base.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
-      sum(col("_y")).as("_sy"), sum(col("_x") * col("_x")).as("_sxx"),
-      sum(col("_x") * col("_y")).as("_sxy"))
+      sum(col("_y")).as("_sy"), sum(xd * col("_x")).as("_sxx"),
+      sum(xd * col("_y")).as("_sxy"))
     val arms = base.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("_x")).as("_ax"),
         sum(col("_y")).as("_ay"))
     // θ = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²): exact-integer numerator and
     // denominator, ONE double division (guard: zero covariate variance)
+    val sxd = col("_sx").cast("decimal(38,0)")
     arms.crossJoin(broadcast(pooled))
       .withColumn("_theta",
-        when(col("_n") * col("_sxx") - col("_sx") * col("_sx") =!= 0L,
-          (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+        when(col("_n") * col("_sxx") - sxd * col("_sx") =!= lit(0),
+          (col("_n") * col("_sxy") - sxd * col("_sy"))
             .cast("double") /
-            (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+            (col("_n") * col("_sxx") - sxd * col("_sx"))
               .cast("double")))
       .select(col("arm"), col("n"),
         round(col("_ay") / col("n").cast("double"), 6).as("mean_metric"),

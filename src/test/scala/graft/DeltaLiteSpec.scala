@@ -244,4 +244,61 @@ class DeltaLiteSpec extends SparkSpec {
     assert(finalIds == expected,
       s"overwrite at v$owV, appends ${appends}: got $finalIds")
   }
+
+  test("two writer PROCESSES race on one table: every commit owns a " +
+    "distinct contiguous version, no rows lost (cross-process " +
+    "put-if-absent atomicity)") {
+    // the thread-pool contention spec above could be satisfied by a
+    // JVM-level lock; this one cannot — two forked JVMs share only the
+    // filesystem, so surviving the race proves the createLink publish
+    // is atomic at the OS level, the protocol's actual claim
+    val t = tmp()
+    DeltaLite.create(Seq((0L, "seed")).toDF("id", "v"), t)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val nPerWriter = 4
+    val procs = Seq("1", "2").map { w =>
+      val cmd = Seq(javaBin, "-Xmx2g", "-cp", cp,
+        "graft.tools.DeltaLiteCheck", "append", t, w, nPerWriter.toString)
+      w -> new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    }
+    // drain each child's merged output on its own thread: a blocked
+    // 64 KB pipe would otherwise stall one child while we wait on the
+    // other, serializing the race this spec exists to create
+    val drains = procs.map { case (w, p) =>
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val th = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var l = br.readLine()
+        while (l != null) { buf.add(l); l = br.readLine() }
+      })
+      th.setDaemon(true); th.start()
+      (w, p, buf, th)
+    }
+    val outs = drains.map { case (w, p, buf, th) =>
+      val rc = p.waitFor()
+      th.join(10000)
+      val lines = {
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toList
+      }
+      assert(rc == 0, s"writer $w failed:\n" +
+        lines.takeRight(25).mkString("\n"))
+      val marker = lines.find(_.startsWith("GRAFT_DL_APPEND"))
+        .getOrElse(fail(s"no marker from writer $w"))
+      w -> marker.split("versions=")(1).split(",").map(_.toLong).toSeq
+    }
+    val allVersions = outs.flatMap(_._2)
+    assert(allVersions.size == 2 * nPerWriter &&
+      allVersions.toSet.size == 2 * nPerWriter,
+      s"every commit must own its own version: $outs")
+    assert(DeltaLite.versions(t) == (0L to (2L * nPerWriter)),
+      s"contiguous log, got ${DeltaLite.versions(t)}")
+    val ids = DeltaLite.snapshot(spark, t)
+      .collect().map(_.getLong(0)).toSet
+    val expected = Set(0L) ++
+      (1 to nPerWriter).flatMap(i => Seq(1000L + i, 2000L + i))
+    assert(ids == expected, s"no append may be lost: got $ids")
+  }
 }

@@ -229,6 +229,30 @@ class GraphStatsOpsSpec extends SparkSpec {
     assert(s1.count(_._1 == 2L) == 2)
   }
 
+  test("negativeSample: forced-large catalog path (broadcastItemLimit " +
+    "exceeded) shuffles instead of broadcasting, same results") {
+    import graft.ops.Splits
+    val inter = Seq((1L, "a"), (1L, "b"), (2L, "a"), (3L, "a"),
+      (3L, "b"), (3L, "c"), (9L, "d"))
+      .toDF("u", "it")
+    val small = Splits.negativeSample(inter, "u", "it", k = 2, seed = 5L)
+    // catalog has 4 items; limit 1 forces the no-broadcast join path
+    val large = Splits.negativeSample(inter, "u", "it", k = 2, seed = 5L,
+      broadcastItemLimit = 1L)
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    assert(norm(small) == norm(large),
+      "join strategy must not change the sampled set")
+    // the guarded path carries no broadcast HINT on the catalog join
+    // (AQE may still pick a broadcast at runtime from size estimates —
+    // the point is the plan no longer FORCES a 10⁹-row build side)
+    def logical(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString
+    assert(logical(small).contains("ResolvedHint"))
+    assert(!logical(large).contains("ResolvedHint"))
+  }
+
   test("clusterRepresentatives: quality argmax, id tie-break, member " +
     "counts") {
     import graft.ops.Dedup

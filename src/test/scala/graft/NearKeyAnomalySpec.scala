@@ -35,6 +35,20 @@ class NearKeyAnomalySpec extends SparkSpec {
       rows.head.getAs[Long]("key_b") == 101L)
   }
 
+  test("nearKeyPairs: key_a/key_b align to id_a/id_b, not sorted keys") {
+    // the SMALLER id carries the LARGER key: id 1 has key 150, id 2 has
+    // key 140 — key_a must be 150 (id 1's key), key_b 140
+    val df = Seq(("x", 1L, 150L), ("x", 2L, 140L)).toDF("p", "id", "k")
+    val rows = Dedup.nearKeyPairs(df, "id", col("k"), delta = 50L,
+      partitionCols = Seq("p")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("id_a") == 1L &&
+      rows.head.getAs[Long]("id_b") == 2L)
+    assert(rows.head.getAs[Long]("key_a") == 150L &&
+      rows.head.getAs[Long]("key_b") == 140L)
+    assert(rows.head.getAs[Long]("diff") == 10L)
+  }
+
   test("labelAgreement: disagreement fraction over the k neighbours") {
     // 1-d embeddings on a line; query 10 at 0.0 with label 0. Its 4
     // nearest by L2 are 11(0.1,lab 0), 12(0.2,lab 1), 13(0.3,lab 1),
@@ -53,6 +67,24 @@ class NearKeyAnomalySpec extends SparkSpec {
     assert(out.getAs[Long]("n_same") == 1L)
     assert(out.getAs[Long]("n_diff") == 3L)
     assert(out.getAs[Double]("noise_score") == 0.75)
+  }
+
+  test("labelAgreement: NULL neighbour labels count as disagreement " +
+    "(plain equality, matching SQL CASE semantics)") {
+    // query 10 (label 0); 4 nearest: 11 (label 0), 12 (NULL), 13 (NULL),
+    // 14 (label 1) → n_same 1, n_diff 3 — a NULL label can't vouch
+    val corpus = Seq((10L, Array(0.0f), Some(0)), (11L, Array(0.1f), Some(0)),
+      (12L, Array(0.2f), None), (13L, Array(0.3f), None),
+      (14L, Array(0.4f), Some(1)), (15L, Array(9.9f), Some(0)))
+      .toDF("id", "vec", "lab")
+    val q = corpus.filter($"id" === 10L)
+      .select($"id".as("qid"), $"vec".as("qv"), $"lab".as("qlab"))
+    val out = Similarity.labelAgreement(corpus, "id", "vec", "lab",
+        q, "qid", "qv", "qlab", k = 4,
+        metric = graft.functions.VectorFunctions.L2)
+      .collect().head
+    assert(out.getAs[Long]("n_same") == 1L)
+    assert(out.getAs[Long]("n_diff") == 3L)
   }
 
   test("rollingAnomaly: null verdicts until the frame fills, spike " +
