@@ -3283,6 +3283,159 @@ object SparkEntry {
       graft.ops.Associations.sequencePatterns(base, col("user_id"),
           col("event_type"), col("day"), windowBuckets = 3)
         .orderBy("antecedent", "consequent")
+    }),
+
+    // Jensen–Shannon divergence drift — the BOUNDED member of the drift
+    // battery (PSI is unbounded, KS a single max gap, W1 in value
+    // units; JSD ∈ [0, ln 2] so one alert threshold transfers across
+    // features). Same window split, grid and smoothing as q101.
+    "q184_jsd_drift" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val cutUs =
+        java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val flagged = ev.select(col("event_type"), col("value"),
+        (graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          < lit(cutUs)).as("is_ref"))
+      graft.ops.Monitoring.jsdDrift(flagged, Seq("event_type"),
+          col("value"), col("is_ref"), bins = 10, lo = 0.0, hi = 25.0)
+        .orderBy("event_type")
+    }),
+
+    // Truncated rank-biased overlap between the cosine and L2 exact
+    // top-10 runs — the ranker-agreement gate (how much do two metrics'
+    // retrievals agree, weighted toward rank 1).
+    "q185_rbo" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cos = graft.ops.Similarity.bruteForceKnn(
+        emb, "vec_id", "embedding", queries, "qid", "qe", k = 10,
+        metric = graft.functions.VectorFunctions.Cosine)
+      val l2 = graft.ops.Similarity.bruteForceKnn(
+        emb, "vec_id", "embedding", queries, "qid", "qe", k = 10,
+        metric = graft.functions.VectorFunctions.L2)
+      graft.ops.Similarity.rankBiasedOverlap(cos, l2, "qid", "vec_id",
+          "rank", k = 10, p = 0.9)
+        .orderBy("qid")
+    }),
+
+    // Out-of-vocabulary rate: vocabulary fitted on the first 300 docs,
+    // every later doc scored by its token-occurrence OOV fraction — the
+    // tokenizer-coverage / domain-shift gate.
+    "q186_oov_rate" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.oovRate(docs.filter(col("doc_id") < 300),
+          docs.filter(col("doc_id") >= 300), "doc_id", "text",
+          topK = 500)
+        .orderBy("doc_id")
+    }),
+
+    // Kaplan–Meier survival over per-user activity spans: duration =
+    // whole days between first and last event + 1; the terminal event
+    // is OBSERVED when the user went quiet ≥ 7 days before the corpus
+    // horizon, else the span is right-censored at the horizon.
+    "q187_kaplan_meier" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val base = ev.select(col("user_id"),
+        graft.functions.TimeFunctions.eventTimeToMicros(ev, "ts")
+          .as("ts_us"))
+      val spans = base.groupBy("user_id")
+        .agg(min(col("ts_us")).as("_first"), max(col("ts_us")).as("_last"))
+      val horizon = base.agg(max(col("ts_us")).as("_hz"))
+      val dur = spans.crossJoin(broadcast(horizon))
+        .select(expr("(_last - _first) div 86400000000 + 1").as("dur"),
+          (col("_last") < col("_hz") - lit(7L * 86400000000L)).as("ev"))
+      graft.ops.TemporalFeatures.kaplanMeier(dur, col("dur"), col("ev"))
+        .orderBy("t")
+    }),
+
+    // Per-class simplified silhouette over the embedding space — the
+    // label-separability screen (classes whose mean silhouette hugs 0
+    // overlap their neighbours and predict label noise).
+    "q188_silhouette" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      graft.ops.Similarity.classSilhouette(emb, "vec_id", "embedding",
+          "label")
+        .orderBy("label")
+    }),
+
+    // PPMI word association over ±2-token windows on the first 200
+    // docs, hapax pairs pruned — the distributional-similarity
+    // co-occurrence table.
+    "q189_ppmi" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.ppmiPairs(docs.filter(col("doc_id") < 200),
+          "doc_id", "text", window = 2, minPairCount = 2L)
+        .orderBy("word_a", "word_b")
+    }),
+
+    // Kendall tau over q185's two rankings — RBO says how much the
+    // lists share; tau says whether the shared part is ordered the
+    // same way.
+    "q190_kendall_tau" -> ((s, dir) => {
+      val emb = s.read.parquet(TestTables.parquet(dir, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cos = graft.ops.Similarity.bruteForceKnn(
+        emb, "vec_id", "embedding", queries, "qid", "qe", k = 10,
+        metric = graft.functions.VectorFunctions.Cosine)
+      val l2 = graft.ops.Similarity.bruteForceKnn(
+        emb, "vec_id", "embedding", queries, "qid", "qe", k = 10,
+        metric = graft.functions.VectorFunctions.L2)
+      graft.ops.Similarity.kendallTau(cos, l2, "qid", "vec_id", "rank",
+          k = 10)
+        .orderBy("qid")
+    }),
+
+    // Character-distribution entropy per document — the vocabulary-free
+    // compression proxy of the quality battery.
+    "q191_char_entropy" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.charEntropy(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Zipf rank–frequency slope over the top-200 vocabulary — corpus
+    // health in one number (natural prose sits near −1).
+    "q192_zipf_slope" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.zipfSlope(docs, "doc_id", "text", topK = 200)
+    }),
+
+    // Type-grain vocabulary overlap of every language slice against
+    // English — the corpus-level companion to q186's OOV rate.
+    "q193_vocab_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.vocabOverlap(docs, "text", col("lang"), "en")
+        .orderBy("group_key")
+    }),
+
+    // IPW-adjusted outcome means (purchase vs view, value in cents,
+    // user-hash strata) — the observational companion to q172's CUPED.
+    "q194_ipw" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+        .filter(col("event_type").isin("purchase", "view"))
+      graft.ops.Statistics.ipwAdjust(ev,
+          col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"),
+          Seq(pmod(col("user_id"), lit(5))))
+        .orderBy("treated")
+    }),
+
+    // Held-out NLL of q155's transition model: fit before the q101
+    // cutover, score after — the behaviour-drift sequence check.
+    "q195_transition_nll" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      val cutUs =
+        java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val tsUs = TimeFunctions.eventTimeToMicros(ev, "ts")
+      val model = graft.ops.GraphOps.transitionCounts(
+        ev.filter(tsUs < cutUs), "user_id",
+        Seq(tsUs, col("event_id")), col("event_type"))
+      graft.ops.GraphOps.transitionNll(model,
+          ev.filter(tsUs >= cutUs), "user_id",
+          Seq(tsUs, col("event_id")), col("event_type"))
+        .orderBy("user_id")
     })
   )
 
@@ -7254,6 +7407,350 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_entities,
                 round(count(*)::DOUBLE / ne.n::DOUBLE, 6) AS support
          FROM p CROSS JOIN ne GROUP BY 1, 2, ne.n
-         ORDER BY antecedent, consequent"""
+         ORDER BY antecedent, consequent""",
+    // q101's grid/smoothing with the JSD formula: p·ln(p/m) + q·ln(q/m)
+    // summed over bins, halved — m = (p+q)/2
+    "q184_jsd_drift" ->
+      """WITH e AS (
+           SELECT event_type,
+                  epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+                    AS is_ref,
+                  least(greatest(CAST(floor(value / 2.5) AS INT), 0), 9)
+                    AS bin
+           FROM events),
+         c AS (SELECT event_type, bin,
+                      sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+                      sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS det_n
+               FROM e GROUP BY event_type, bin),
+         k AS (SELECT DISTINCT event_type FROM e),
+         b AS (SELECT event_type, t.b AS bin
+               FROM k, unnest(range(0, 10)) AS t(b)),
+         f AS (SELECT b.event_type, b.bin,
+                      coalesce(ref_n, 0) AS ref_n,
+                      coalesce(det_n, 0) AS det_n
+               FROM b LEFT JOIN c ON b.event_type = c.event_type
+                                 AND b.bin = c.bin),
+         t AS (SELECT event_type, sum(ref_n) AS rt, sum(det_n) AS dt
+               FROM f GROUP BY event_type),
+         f2 AS (SELECT f.event_type,
+                       (ref_n + 0.5) / (rt + 5.0) AS p,
+                       (det_n + 0.5) / (dt + 5.0) AS q,
+                       rt, dt
+                FROM f JOIN t ON f.event_type = t.event_type)
+         SELECT event_type,
+                round(sum(p * ln(p / ((p + q) / 2.0))
+                          + q * ln(q / ((p + q) / 2.0))) / 2.0, 4) AS jsd,
+                CAST(max(rt) AS BIGINT) AS ref_total,
+                CAST(max(dt) AS BIGINT) AS det_total
+         FROM f2 GROUP BY event_type ORDER BY event_type""",
+    // both rankings replayed exactly (cosine desc / L2 asc, vec_id
+    // tie-break); a common id entering at depth m contributes the
+    // row-local geometric tail sum_{d=m..10} p^(d-1)/d
+    "q185_rbo" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 8),
+         cosr AS (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY list_cosine_similarity(
+                             CAST(embedding AS DOUBLE[]), qe) DESC,
+                             vec_id ASC) AS rnk
+                  FROM embeddings, q WHERE vec_id <> qid),
+         l2r AS (SELECT qid, vec_id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY list_distance(
+                            CAST(embedding AS DOUBLE[]), qe) ASC,
+                            vec_id ASC) AS rnk
+                 FROM embeddings, q WHERE vec_id <> qid),
+         a AS (SELECT qid, vec_id, rnk AS ra FROM cosr WHERE rnk <= 10),
+         b AS (SELECT qid, vec_id, rnk AS rb FROM l2r WHERE rnk <= 10),
+         j AS (SELECT a.qid, greatest(ra, rb) AS m
+               FROM a JOIN b ON a.qid = b.qid AND a.vec_id = b.vec_id),
+         w AS (SELECT qid, count(*) AS n_common,
+                      sum(list_sum(list_transform(range(m, 11),
+                        d -> pow(0.9, d - 1) / d))) AS sw
+               FROM j GROUP BY qid)
+         SELECT u.qid, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+                round(coalesce(sw, 0.0) * (1.0 - 0.9), 6) AS rbo
+         FROM (SELECT DISTINCT qid FROM a) u LEFT JOIN w USING (qid)
+         ORDER BY qid""",
+    // vocabulary = top-500 tokens of docs < 300 (count desc, token asc);
+    // every doc >= 300 scored by occurrence-grain OOV fraction
+    "q186_oov_rate" ->
+      """WITH tr AS (SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> len(x) > 0)) AS tok
+                     FROM documents WHERE doc_id < 300),
+         v AS (SELECT tok FROM (
+                 SELECT tok, count(*) AS n FROM tr GROUP BY tok
+                 ORDER BY n DESC, tok ASC LIMIT 500)),
+         c AS (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(lower(text), '\s+'),
+                 x -> len(x) > 0)) AS tok
+               FROM documents WHERE doc_id >= 300)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+                round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*)::DOUBLE, 6) AS oov_rate
+         FROM c LEFT JOIN v ON c.tok = v.tok
+         GROUP BY doc_id ORDER BY doc_id""",
+    // per-user span durations (whole days + 1), observed iff the user
+    // went quiet >= 7 days before the horizon; then the KM dag replayed:
+    // at-risk suffix sums, exp(sum ln(1 - d/n)) prefix product with the
+    // d = n absorbing state routed through an integer flag
+    "q187_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         s AS (SELECT user_id, min(us) AS f, max(us) AS l
+               FROM e GROUP BY user_id),
+         hz AS (SELECT max(us) AS h FROM e),
+         d AS (SELECT (l - f) // 86400000000 + 1 AS t,
+                      (l < h - 604800000000) AS ev
+               FROM s CROSS JOIN hz),
+         hist AS (SELECT t, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d_n,
+                         sum(CASE WHEN NOT ev THEN 1 ELSE 0 END) AS c_n
+                  FROM d WHERE t > 0 GROUP BY t),
+         ar AS (SELECT h.t, h.d_n, h.c_n, sum(h2.d_n + h2.c_n) AS n
+                FROM hist h JOIN hist h2 ON h2.t >= h.t GROUP BY 1, 2, 3),
+         surv AS (SELECT a.t, a.d_n, a.c_n, a.n,
+                         max(CASE WHEN f.d_n = f.n THEN 1 ELSE 0 END)
+                           AS dead,
+                         sum(CASE WHEN f.d_n < f.n THEN
+                           ln(1.0 - f.d_n / CAST(f.n AS DOUBLE)) END)
+                           AS lnsum
+                  FROM ar a LEFT JOIN (SELECT * FROM ar WHERE d_n > 0) f
+                    ON f.t <= a.t
+                  GROUP BY 1, 2, 3, 4)
+         SELECT t, CAST(d_n AS BIGINT) AS n_events,
+                CAST(c_n AS BIGINT) AS n_censored,
+                CAST(n AS BIGINT) AS at_risk,
+                CASE WHEN coalesce(dead, 0) = 1 THEN 0.0
+                     ELSE round(exp(coalesce(lnsum, 0.0)), 6)
+                END AS survival
+         FROM surv ORDER BY t""",
+    // centroids as per-(label, dim) averages assembled to ordered
+    // lists; the distance fold replays Spark's zip_with/aggregate
+    // element order exactly
+    "q188_silhouette" ->
+      """WITH base AS (SELECT vec_id AS id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings
+                       WHERE label IS NOT NULL AND embedding IS NOT NULL
+                         AND len(embedding) > 0),
+         dims AS (SELECT label, i, v[i] AS x
+                  FROM base, unnest(range(1, len(v) + 1)) AS u(i)),
+         cent AS (SELECT label AS clab, i, avg(x) AS c
+                  FROM dims GROUP BY 1, 2),
+         ca AS (SELECT clab, list(c ORDER BY i) AS cv
+                FROM cent GROUP BY clab),
+         dd AS (SELECT b.id, b.label, ca.clab,
+                       sqrt(list_sum(list_transform(
+                         range(1, len(b.v) + 1),
+                         i -> (b.v[i] - ca.cv[i]) * (b.v[i] - ca.cv[i]))))
+                         AS dist
+                FROM base b CROSS JOIN ca),
+         s AS (SELECT id, label,
+                      min(CASE WHEN label = clab THEN dist END) AS a,
+                      min(CASE WHEN label <> clab THEN dist END) AS b
+               FROM dd GROUP BY 1, 2)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+                round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                               ELSE (b - a) / greatest(a, b) END), 6)
+                  AS mean_silhouette
+         FROM s WHERE a IS NOT NULL AND b IS NOT NULL
+         GROUP BY label ORDER BY label""",
+    // position-banded pairs (0 < pos_b - pos_a <= 2), canonical word
+    // order, marginals over the SAME pair population (N = 2·|pairs|),
+    // ratio formed in DOUBLE like the engine
+    "q189_ppmi" ->
+      """WITH base AS (SELECT doc_id, list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS l
+                       FROM documents WHERE doc_id < 200),
+         toks AS (SELECT doc_id, i AS pos, l[i] AS tok
+                  FROM base, unnest(range(1, len(l) + 1)) AS u(i)),
+         pr AS (SELECT least(a.tok, b.tok) AS word_a,
+                       greatest(a.tok, b.tok) AS word_b
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                  AND b.pos > a.pos AND b.pos <= a.pos + 2),
+         cnt AS (SELECT word_a, word_b, count(*) AS n_ab
+                 FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         occ AS (SELECT w, count(*) AS nw FROM (
+                   SELECT word_a AS w FROM pr
+                   UNION ALL SELECT word_b FROM pr) GROUP BY w),
+         tot AS (SELECT 2 * count(*) AS n FROM pr)
+         SELECT word_a, word_b, CAST(n_ab AS BIGINT) AS n_ab,
+                CAST(oa.nw AS BIGINT) AS n_a,
+                CAST(ob.nw AS BIGINT) AS n_b,
+                round(greatest(0.0, ln(
+                  (CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE))
+                  / (CAST(oa.nw AS DOUBLE) * CAST(ob.nw AS DOUBLE)))), 6)
+                  AS ppmi
+         FROM cnt JOIN occ oa ON cnt.word_a = oa.w
+                  JOIN occ ob ON cnt.word_b = ob.w
+                  CROSS JOIN tot
+         ORDER BY word_a, word_b""",
+    // q185's two rankings, then tau over the common set: a per-query
+    // pair self-join with sign algebra (ranks are row_number, tie-free)
+    "q190_kendall_tau" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 8),
+         cosr AS (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY list_cosine_similarity(
+                             CAST(embedding AS DOUBLE[]), qe) DESC,
+                             vec_id ASC) AS rnk
+                  FROM embeddings, q WHERE vec_id <> qid),
+         l2r AS (SELECT qid, vec_id,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY list_distance(
+                            CAST(embedding AS DOUBLE[]), qe) ASC,
+                            vec_id ASC) AS rnk
+                 FROM embeddings, q WHERE vec_id <> qid),
+         a AS (SELECT qid, vec_id, rnk AS ra FROM cosr WHERE rnk <= 10),
+         b AS (SELECT qid, vec_id, rnk AS rb FROM l2r WHERE rnk <= 10),
+         j AS (SELECT a.qid, a.vec_id, ra, rb
+               FROM a JOIN b ON a.qid = b.qid AND a.vec_id = b.vec_id),
+         pr AS (SELECT x.qid,
+                       sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                           THEN 1 ELSE 0 END) AS nc,
+                       sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                           THEN 1 ELSE 0 END) AS nd,
+                       count(*) AS np
+                FROM j x JOIN j y ON x.qid = y.qid
+                  AND x.vec_id < y.vec_id
+                GROUP BY x.qid),
+         cm AS (SELECT qid, count(*) AS ncom FROM j GROUP BY qid)
+         SELECT u.qid,
+                CAST(coalesce(ncom, 0) AS BIGINT) AS n_common,
+                CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+                CAST(coalesce(nc, 0) AS BIGINT) AS n_concordant,
+                CAST(coalesce(nd, 0) AS BIGINT) AS n_discordant,
+                CASE WHEN np > 0 THEN
+                  round(CAST(nc - nd AS DOUBLE) / CAST(np AS DOUBLE), 6)
+                END AS tau
+         FROM (SELECT DISTINCT qid FROM a) u
+           LEFT JOIN cm USING (qid) LEFT JOIN pr USING (qid)
+         ORDER BY qid""",
+    // character histogram per doc via 1-based char indexing (the q69
+    // convention), entropy as ln/ln2 replaying Spark's log(2, x) dag
+    "q191_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, text[i] AS c
+                     FROM documents,
+                          unnest(range(1, length(text) + 1)) AS u(i)),
+         cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(n) AS tot, count(*) AS nd
+                 FROM cnt GROUP BY 1)
+         SELECT cnt.doc_id, CAST(max(tot) AS BIGINT) AS n_chars_c,
+                CAST(max(nd) AS BIGINT) AS n_distinct_chars,
+                round(-sum((n / CAST(tot AS DOUBLE))
+                  * (ln(n / CAST(tot AS DOUBLE)) / ln(2.0))), 4)
+                  AS char_entropy
+         FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+         GROUP BY cnt.doc_id ORDER BY cnt.doc_id""",
+    // q109's exact vocabulary ranking (top 200), then the least-squares
+    // dag over (ln rank, ln count)
+    "q192_zipf_slope" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+               AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS n_occurrences
+               FROM t GROUP BY token),
+         top AS (SELECT n_occurrences,
+                        row_number() OVER (ORDER BY n_occurrences DESC,
+                                           token ASC) AS rank
+                 FROM c
+                 ORDER BY n_occurrences DESC, token ASC LIMIT 200),
+         p AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                      ln(CAST(n_occurrences AS DOUBLE)) AS y
+               FROM top),
+         s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(x * y) AS sxy
+               FROM p)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                  AS slope,
+                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       * sx) / CAST(n AS DOUBLE), 6) AS intercept
+         FROM s""",
+    // distinct (lang, token) collapse, overlap against the English
+    // vocabulary at type grain
+    "q193_vocab_overlap" ->
+      """WITH raw AS (SELECT lang AS g, unnest(list_filter(
+                        string_split_regex(lower(text), '\s+'),
+                        x -> len(x) > 0)) AS tok
+                      FROM documents WHERE lang IS NOT NULL),
+         tk AS (SELECT DISTINCT g, tok FROM raw),
+         ref AS (SELECT tok FROM tk WHERE g = 'en'),
+         rs AS (SELECT count(*) AS nr FROM ref),
+         sz AS (SELECT g, count(*) AS nt FROM tk WHERE g <> 'en'
+                GROUP BY g),
+         cm AS (SELECT g, count(*) AS ncm FROM tk JOIN ref USING (tok)
+                WHERE g <> 'en' GROUP BY g)
+         SELECT sz.g AS group_key, CAST(nt AS BIGINT) AS n_tokens,
+                CAST(nr AS BIGINT) AS n_ref_tokens,
+                CAST(coalesce(ncm, 0) AS BIGINT) AS n_common,
+                round(coalesce(ncm, 0)
+                  / CAST(nt + nr - coalesce(ncm, 0) AS DOUBLE), 6)
+                  AS jaccard
+         FROM sz LEFT JOIN cm USING (g) CROSS JOIN rs
+         ORDER BY group_key""",
+    // per-stratum integer sums, common support, then the
+    // post-stratification dag (Hajek IPW with exact binned propensity)
+    "q194_ipw" ->
+      """WITH e AS (SELECT user_id % 5 AS s,
+                           event_type = 'purchase' AS t,
+                           CAST(round(value * 100) AS BIGINT) AS y
+                    FROM events
+                    WHERE event_type IN ('purchase', 'view')
+                      AND value IS NOT NULL),
+         st AS (SELECT s,
+                       sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+                       sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+                       sum(CASE WHEN t THEN y ELSE 0 END) AS yt,
+                       sum(CASE WHEN NOT t THEN y ELSE 0 END) AS yc
+                FROM e GROUP BY s),
+         cs AS (SELECT * FROM st WHERE nt > 0 AND nc > 0),
+         arms AS (SELECT true AS treated, nt + nc AS ns, nt AS na,
+                         yt AS ya FROM cs
+                  UNION ALL
+                  SELECT false, nt + nc, nc, yc FROM cs)
+         SELECT treated, CAST(sum(na) AS BIGINT) AS n,
+                round(CAST(sum(ya) AS DOUBLE)
+                      / CAST(sum(na) AS DOUBLE), 6) AS naive_mean,
+                round(sum(CAST(ns AS DOUBLE)
+                        * (CAST(ya AS DOUBLE) / CAST(na AS DOUBLE)))
+                      / CAST(sum(ns) AS DOUBLE), 6) AS ipw_mean
+         FROM arms GROUP BY treated ORDER BY treated""",
+    // q155's model fit before the cutover, add-0.5 smoothed scoring of
+    // the after-period sequences (V from the model's state set)
+    "q195_transition_nll" ->
+      """WITH cut AS (SELECT epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+                        AS c),
+         fitp AS (SELECT event_type AS f,
+                         lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS tt
+                  FROM events, cut WHERE epoch_us(ts) < c),
+         m AS (SELECT f, tt, count(*) AS n FROM fitp
+               WHERE tt IS NOT NULL GROUP BY 1, 2),
+         v AS (SELECT count(*) AS nv FROM
+                 (SELECT f AS s FROM m UNION SELECT tt FROM m)),
+         rt AS (SELECT f, sum(n) AS nf FROM m GROUP BY f),
+         scp AS (SELECT user_id, event_type AS f,
+                        lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS tt
+                 FROM events, cut WHERE epoch_us(ts) >= c),
+         sc AS (SELECT user_id, f, tt FROM scp WHERE tt IS NOT NULL),
+         p AS (SELECT user_id,
+                      (coalesce(n, 0) + 0.5)
+                        / (coalesce(nf, 0) + 0.5 * nv) AS prob
+               FROM sc LEFT JOIN m ON sc.f = m.f AND sc.tt = m.tt
+                 LEFT JOIN rt ON sc.f = rt.f
+                 CROSS JOIN v)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                round(-avg(ln(prob)), 4) AS avg_nll
+         FROM p GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -56,6 +56,54 @@ object GraphOps {
           col("_row_n").cast("double"), 6).as("p_transition"))
   }
 
+  /** Held-out negative log-likelihood of a fitted [[transitionCounts]]
+    * model: score a LATER period's per-entity transition pairs under
+    * the model's add-k smoothed row distributions, p(to | from) =
+    * (n_{from,to} + k) / (n_{from,·} + k·V) with V = the model's state
+    * count — unseen contexts degrade smoothly to the uniform 1/V.
+    * Per-entity mean NLL is the sequence-model generalization check
+    * (fit on window 1, score window 2: a rising NLL means behaviour
+    * drifted) — the event-sequence analog of
+    * [[graft.ops.TextAnalysis.bigramLmScore]]'s CCNet-style fluency
+    * filter, with the same fit-corpus ≠ scored-corpus discipline.
+    *
+    * Scale shape: the model is |states|² rows (broadcast, with its row
+    * totals and V); the scored side is one keyed lead window + one
+    * map-side-combined per-entity mean — one shuffle over the scored
+    * period.
+    */
+  def transitionNll(model: DataFrame, df: DataFrame, entityCol: String,
+                    orderCols: Seq[Column], stateCol: Column,
+                    addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, "addK must be positive")
+    val oc = orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(oc.indices.map(i => col(s"_o$i")): _*)
+    val pairs = df
+      .select(col(entityCol) +: stateCol.cast("string").as("_from") +:
+        oc: _*)
+      .withColumn("_to", lead(col("_from"), 1).over(w))
+      .filter(col("_to").isNotNull)
+      .select(col(entityCol), col("_from"), col("_to"))
+    val m = model.select(col("from_state").as("_mf"),
+      col("to_state").as("_mt"), col("n_transitions").as("_n"))
+    val vocab = m.select(col("_mf").as("_st"))
+      .unionByName(m.select(col("_mt").as("_st")))
+      .distinct().agg(count(lit(1)).as("_v"))
+    val rowTot = m.groupBy(col("_mf")).agg(sum(col("_n")).as("_nf"))
+      .withColumnRenamed("_mf", "_rf")
+    pairs
+      .join(broadcast(m),
+        col("_from") === col("_mf") && col("_to") === col("_mt"), "left")
+      .join(broadcast(rowTot), col("_from") === col("_rf"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_p", (coalesce(col("_n"), lit(0L)) + lit(addK)) /
+        (coalesce(col("_nf"), lit(0L)) + lit(addK) * col("_v")))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        round(-avg(log(col("_p"))), 4).as("avg_nll"))
+  }
+
   /** Fixed-iteration damped PageRank over a (multi-)edge frame.
     * Parallel edges are collapsed to weights once up front; a node's
     * contribution along an edge is `rank · w / Σw(out)`. Ranks follow

@@ -313,6 +313,60 @@ object Monitoring {
         max(col("_dt")).as("det_total"))
   }
 
+  /** Jensen–Shannon divergence drift per key group over the same fixed
+    * [lo, hi) bin grid as [[psiDrift]]/[[ksDrift]]/[[wassersteinDrift]]:
+    * JSD(P, Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2. The BOUNDED
+    * drift score the rest of the battery lacks — PSI is unbounded (one
+    * emptied bin dominates), KS is a single max gap, W1 is in value
+    * units; JSD ∈ [0, ln 2] always, symmetric, and finite even when a
+    * bin's mass vanishes on one side, so alert thresholds transfer
+    * across features without per-feature tuning. Same +0.5 Laplace
+    * smoothing as PSI so the three scores share one smoothed grid.
+    *
+    * Scale shape: identical to PSI — one map-side-combined count pass to
+    * |keys × bins| rows (or zero scans from stored partials via
+    * [[jsdFromCounts]]); everything after is tiny-frame algebra.
+    */
+  def jsdDrift(df: DataFrame, keys: Seq[String],
+               valueCol: org.apache.spark.sql.Column,
+               isRef: org.apache.spark.sql.Column,
+               bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
+      lit(0L)), lit((bins - 1).toLong)).cast("int")
+    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
+    jsdFromCounts(counts, keys, bins)
+  }
+
+  /** JSD from a stored per-(keys, bin) count frame (`bin`, `ref_n`,
+    * `det_n`) — the zero-scan fold over the SAME mergeable partials as
+    * [[psiFromCounts]], so a monitoring job scores PSI + KS + W1 + JSD
+    * from one count store without touching raw data.
+    */
+  def jsdFromCounts(counts: DataFrame, keys: Seq[String],
+                    bins: Int): DataFrame = {
+    val grid = counts.select(keys.map(col): _*).distinct()
+      .withColumn("bin", explode(sequence(lit(0), lit(bins - 1))))
+    val filled = grid.join(counts, keys :+ "bin", "left")
+      .select((keys.map(col) :+ col("bin") :+
+        coalesce(col("ref_n"), lit(0L)).as("ref_n") :+
+        coalesce(col("det_n"), lit(0L)).as("det_n")): _*)
+    val totals = filled.groupBy(keys.map(col): _*)
+      .agg(sum("ref_n").as("_rt"), sum("det_n").as("_dt"))
+    val p = (col("ref_n") + lit(0.5)) / (col("_rt") + lit(0.5 * bins))
+    val q = (col("det_n") + lit(0.5)) / (col("_dt") + lit(0.5 * bins))
+    val m = (p + q) / lit(2.0)
+    filled.join(totals, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(round(sum(p * log(p / m) + q * log(q / m)) / lit(2.0), 4)
+          .as("jsd"),
+        max(col("_rt")).as("ref_total"),
+        max(col("_dt")).as("det_total"))
+  }
+
   /** Two-sample chi-square homogeneity drift per key group over a
     * CATEGORICAL column: χ² = Σ over (category, window) cells of
     * (observed − expected)²/expected, expected under the pooled

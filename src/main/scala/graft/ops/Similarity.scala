@@ -397,4 +397,154 @@ object Similarity {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
     fused.withColumn("fused_rank", row_number().over(w))
   }
+
+  /** Truncated rank-biased overlap between two per-query rankings —
+    * the standard top-weighted similarity between an exact and an
+    * approximate retrieval run (or two rankers):
+    * RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · |A_{:d} ∩ B_{:d}| / d.
+    * Unlike Kendall/Spearman it handles non-conjoint lists (an id in
+    * only one ranking just never enters the intersection) and weights
+    * agreement at rank 1 most — exactly what an ANN-vs-exact regression
+    * gate needs. This is the truncated (minimum) RBO; extrapolation
+    * adds the unseen-tail assumption and is deliberately left out.
+    *
+    * Distributed form: a common id entering the intersection at depth
+    * m = max(rank_A, rank_B) contributes (1−p)·Σ_{d=m..k} p^{d−1}/d —
+    * a ROW-LOCAL geometric tail — so one (query, id) equi-join plus a
+    * per-query sum computes the double sum with no per-depth pass.
+    * Queries present in `a` but with zero overlap emit rbo = 0.
+    *
+    * Scale shape: one equi-join on (query, id) of two ≤ k·|queries|
+    * frames, one map-side-combined per-query sum. Nothing grows with
+    * the corpus — only with the ranking frames.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, queryCol: String,
+                        idCol: String, rankCol: String, k: Int,
+                        p: Double = 0.9): DataFrame = {
+    require(k >= 1, "k must be ≥ 1")
+    require(p > 0.0 && p < 1.0, "persistence p must be in (0, 1)")
+    val ra = a.select(col(queryCol), col(idCol),
+        col(rankCol).cast("int").as("_ra"))
+      .filter(col("_ra").between(1, k))
+    val rb = b.select(col(queryCol), col(idCol),
+        col(rankCol).cast("int").as("_rb"))
+      .filter(col("_rb").between(1, k))
+    val joined = ra.join(rb, Seq(queryCol, idCol))
+      .withColumn("_m", greatest(col("_ra"), col("_rb")))
+      // Σ_{d=m..k} p^{d−1}/d, row-local over a ≤ k-element sequence
+      .withColumn("_w", aggregate(sequence(col("_m"), lit(k)), lit(0.0),
+        (acc, d) => acc +
+          pow(lit(p), d.cast("double") - 1) / d.cast("double")))
+    val per = joined.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("_sw"))
+    ra.select(col(queryCol)).distinct()
+      .join(per, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("_sw"), lit(0.0)) * lit(1.0 - p), 6).as("rbo"))
+  }
+
+  /** Kendall rank correlation between two per-query top-k rankings,
+    * evaluated over their COMMON ids (both rankings come from
+    * row_number, so ranks are tie-free and tau-a = tau-b): tau =
+    * (concordant − discordant) / (n(n−1)/2). The sign-sensitive
+    * complement of [[rankBiasedOverlap]] — RBO says how much the lists
+    * share top-weighted; tau says whether the shared part is ordered
+    * the SAME WAY (an ANN index that returns the right set backwards
+    * scores high RBO and negative tau).
+    *
+    * Scale shape: the pair enumeration is a per-query self-join of the
+    * ≤ k-row common set — ≤ k(k−1)/2 rows per query, row-local sign
+    * algebra, one map-side-combined per-query sum. Nothing grows with
+    * the corpus. Queries with fewer than 2 common ids emit tau = NULL
+    * (no pair evidence), not 0.
+    */
+  def kendallTau(a: DataFrame, b: DataFrame, queryCol: String,
+                 idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be ≥ 1")
+    val ra = a.select(col(queryCol), col(idCol),
+        col(rankCol).cast("int").as("_ra"))
+      .filter(col("_ra").between(1, k))
+    val rb = b.select(col(queryCol), col(idCol),
+        col(rankCol).cast("int").as("_rb"))
+      .filter(col("_rb").between(1, k))
+    val j = ra.join(rb, Seq(queryCol, idCol))
+    val l = j.select(col(queryCol), col(idCol).as("_ia"),
+      col("_ra").as("_ra1"), col("_rb").as("_rb1"))
+    val r = j.select(col(queryCol), col(idCol).as("_ib"),
+      col("_ra").as("_ra2"), col("_rb").as("_rb2"))
+    val pairs = l.join(r, Seq(queryCol)).filter(col("_ia") < col("_ib"))
+      .select(col(queryCol),
+        when((col("_ra1") - col("_ra2")).cast("long") *
+          (col("_rb1") - col("_rb2")) > 0L, 1L).otherwise(0L).as("_c"),
+        when((col("_ra1") - col("_ra2")).cast("long") *
+          (col("_rb1") - col("_rb2")) < 0L, 1L).otherwise(0L).as("_d"))
+    val perPairs = pairs.groupBy(col(queryCol))
+      .agg(sum(col("_c")).as("n_concordant"),
+        sum(col("_d")).as("n_discordant"),
+        count(lit(1)).as("n_pairs"))
+    val common = j.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_common"))
+    ra.select(col(queryCol)).distinct()
+      .join(common, Seq(queryCol), "left")
+      .join(perPairs, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_concordant"), lit(0L)).as("n_concordant"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        when(col("n_pairs") > 0L,
+          round((col("n_concordant") - col("n_discordant")).cast("double")
+            / col("n_pairs").cast("double"), 6)).as("tau"))
+  }
+
+  /** Per-class simplified silhouette over an embedding column: for each
+    * vector, a = Euclidean distance to its OWN class centroid, b = the
+    * minimum distance to any OTHER class centroid, s = (b − a) /
+    * max(a, b) (0 when both distances are 0). Averaged per class, this
+    * is the standard label-separability screen over an embedding space
+    * — classes whose mean silhouette hugs 0 (or goes negative) overlap
+    * other classes and predict label noise / weak features before any
+    * model is trained. The SIMPLIFIED form (distance-to-centroid, not
+    * mean pairwise distance) is the one that scales: exact silhouette
+    * is O(n²) in the class sizes; this is one centroid pass + one
+    * |classes|-way broadcast comparison.
+    *
+    * Scale shape: centroids via one posexplode + map-side-combined
+    * (label, dim) average — |labels × dims| rows — assembled to arrays
+    * and broadcast; the corpus is scanned ONCE against all centroids
+    * with a row-local zip_with/aggregate distance, then one map-side
+    * per-label mean. Nothing shuffles at vector grain.
+    */
+  def classSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_v"),
+        col(labelCol).as("_lab"))
+      .filter(col("_lab").isNotNull && col("_v").isNotNull &&
+        size(col("_v")) > 0)
+    val cent = base
+      .select(col("_lab"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+      .groupBy(col("_lab").as("_clab"), col("_pos"))
+      .agg(avg(col("_x")).as("_c"))
+      .groupBy(col("_clab"))
+      .agg(transform(array_sort(collect_list(struct(col("_pos"),
+        col("_c")))), s => s.getField("_c")).as("_cv"))
+    val dists = base.crossJoin(broadcast(cent))
+      .withColumn("_dist", sqrt(aggregate(
+        zip_with(col("_v"), col("_cv"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t)))
+    val ab = dists.groupBy(col("_id"), col("_lab"))
+      .agg(min(when(col("_lab") === col("_clab"), col("_dist"))).as("_a"),
+        min(when(col("_lab") =!= col("_clab"), col("_dist"))).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+    ab.select(col("_lab"),
+        when(greatest(col("_a"), col("_b")) === 0.0, lit(0.0))
+          .otherwise((col("_b") - col("_a")) /
+            greatest(col("_a"), col("_b"))).as("_s"))
+      .groupBy(col("_lab"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_s")), 6).as("mean_silhouette"))
+      .withColumnRenamed("_lab", "label")
+  }
 }

@@ -938,4 +938,56 @@ object Statistics {
             col("_sx") / col("_n").cast("double")), 6).as("mean_adjusted"),
         round(col("_theta"), 6).as("theta"))
   }
+
+  /** Inverse-propensity-weighted outcome means over BINNED propensity
+    * strata — the observational-data companion to [[cupedAdjust]]
+    * (CUPED de-noises a randomized experiment; IPW de-biases a
+    * non-randomized comparison where treatment probability varies by
+    * stratum). With the propensity estimated exactly per stratum
+    * (p̂_s = n_{s,treated}/n_s), Hájek-normalized IPW reduces
+    * algebraically to post-stratification:
+    * μ̂_arm = Σ_s n_s · ȳ_{s,arm} / Σ_s n_s — so the whole estimator is
+    * per-(stratum, arm) integer sums and one fixed double dag, no
+    * per-row float weights anywhere.
+    *
+    * Strata are restricted to COMMON SUPPORT (both arms present) — the
+    * estimator is undefined where an arm has zero propensity, and
+    * silently extrapolating there is how observational analyses go
+    * wrong; both the naive and adjusted means below are computed over
+    * the same common-support population so the gap is attributable to
+    * reweighting alone.
+    *
+    * `metricCol` must be integer-valued (cast to LONG — scale prices to
+    * cents first), keeping every accumulated sum exact.
+    *
+    * Scale shape: one map-side-combined groupBy to |strata| rows, a
+    * broadcast of the stratum frame — identical to CUPED's footprint.
+    */
+  def ipwAdjust(df: DataFrame, treatedCol: Column, metricCol: Column,
+                strataCols: Seq[Column]): DataFrame = {
+    val sc = strataCols.zipWithIndex.map { case (c, i) => c.as(s"_s$i") }
+    val sn = sc.indices.map(i => col(s"_s$i"))
+    val base = df.select(sc :+ treatedCol.cast("boolean").as("_t") :+
+        metricCol.cast("long").as("_y"): _*)
+      .filter(col("_t").isNotNull && col("_y").isNotNull)
+    val strata = base.groupBy(sn: _*)
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_nt"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("_t"), col("_y")).otherwise(0L)).as("_yt"),
+        sum(when(!col("_t"), col("_y")).otherwise(0L)).as("_yc"))
+      .filter(col("_nt") > 0L && col("_nc") > 0L)
+    val arms = strata.select(
+        lit(true).as("treated"), (col("_nt") + col("_nc")).as("_ns"),
+        col("_nt").as("_na"), col("_yt").as("_ya"))
+      .unionByName(strata.select(
+        lit(false).as("treated"), (col("_nt") + col("_nc")).as("_ns"),
+        col("_nc").as("_na"), col("_yc").as("_ya")))
+    arms.groupBy(col("treated"))
+      .agg(sum(col("_na")).as("n"),
+        round(sum(col("_ya")).cast("double") /
+          sum(col("_na")).cast("double"), 6).as("naive_mean"),
+        round(sum(col("_ns").cast("double") *
+          (col("_ya").cast("double") / col("_na").cast("double"))) /
+          sum(col("_ns")).cast("double"), 6).as("ipw_mean"))
+  }
 }

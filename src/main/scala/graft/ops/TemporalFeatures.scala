@@ -218,6 +218,59 @@ object TemporalFeatures {
           .as("hazard"))
   }
 
+  /** Kaplan–Meier survival estimator over right-censored durations: one
+    * row per subject with duration `t` (positive integer buckets —
+    * days, sessions, …) and an event flag (true = the terminal event
+    * was OBSERVED at t; false = censored at t, still alive when
+    * observation ended). S(t) = Π_{tᵢ ≤ t, dᵢ > 0} (1 − dᵢ/nᵢ) with
+    * nᵢ = subjects at risk entering tᵢ — the standard retention /
+    * time-to-churn curve that [[hazardCurve]]'s per-bucket hazard
+    * integrates into a survival probability.
+    *
+    * The product is computed as exp(Σ ln(1 − dᵢ/nᵢ)) over the EVENT
+    * rows of the duration histogram — a fixed dag of IEEE-double ops an
+    * external SQL oracle replays — with the dᵢ = nᵢ absorbing state
+    * (survival exactly 0 from that point on) handled by an integer
+    * flag, never by ln(0).
+    *
+    * Scale shape: everything after the one map-side-combined duration
+    * histogram is |distinct durations|-sized — at-risk suffix sums and
+    * the survival prefix product are both broadcast band-joins on that
+    * tiny frame, never a SinglePartition window over data.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: Column,
+                  eventCol: Column): DataFrame = {
+    val base = df.select(durationCol.cast("long").as("t"),
+        eventCol.cast("boolean").as("_ev"))
+      .filter(col("t").isNotNull && col("t") > 0L && col("_ev").isNotNull)
+    val hist = base.groupBy(col("t"))
+      .agg(sum(when(col("_ev"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(!col("_ev"), 1L).otherwise(0L)).as("n_censored"))
+    val tot = hist.select(col("t").as("_t2"),
+      (col("n_events") + col("n_censored")).as("_c"))
+    val atRisk = hist.join(broadcast(tot), col("_t2") >= col("t"))
+      .groupBy(col("t"), col("n_events"), col("n_censored"))
+      .agg(sum(col("_c")).as("at_risk"))
+    val factors = atRisk
+      .select(col("t").as("_tf"), col("n_events").as("_d"),
+        col("at_risk").as("_n"))
+      .filter(col("_d") > 0L)
+    atRisk.join(broadcast(factors), col("_tf") <= col("t"), "left")
+      .groupBy(col("t"), col("n_events"), col("n_censored"),
+        col("at_risk"))
+      .agg(max(when(col("_d") === col("_n"), 1).otherwise(0)).as("_dead"),
+        // the d = n factor is excluded here (it would be ln 0); the
+        // _dead flag routes those rows to exact 0 instead
+        sum(when(col("_d") < col("_n"),
+          log(lit(1.0) - col("_d") / col("_n").cast("double"))))
+          .as("_lnsum"))
+      .select(col("t"), col("n_events"), col("n_censored"),
+        col("at_risk"),
+        when(coalesce(col("_dead"), lit(0)) === 1, lit(0.0))
+          .otherwise(round(exp(coalesce(col("_lnsum"), lit(0.0))), 6))
+          .as("survival"))
+  }
+
   /** Rolling z-score anomaly flags per key — "is this reading far from
     * ITS OWN recent baseline", the per-entity complement of the global
     * drift battery. The baseline is the trailing `window` PRIOR rows

@@ -684,4 +684,195 @@ object TextAnalysis {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** Out-of-vocabulary rate: fit a top-K whitespace-token vocabulary on
+    * `train` (count desc, token asc — [[vocabulary]]'s deterministic
+    * ranking), then score every `corpus` document with the fraction of
+    * its token OCCURRENCES outside that vocabulary. The standard
+    * tokenizer-coverage / domain-shift gate before training-data export:
+    * a corpus slice whose oov_rate jumps is either a new domain or
+    * mojibake, and either way it needs review before it reaches the
+    * tokenizer.
+    *
+    * Scale shape: the vocabulary is ≤ topK rows by construction, so the
+    * scoring join is ALWAYS a broadcast — the 100 TB corpus side never
+    * reshuffles at token grain; the per-doc groupBy partial-aggregates
+    * map-side to |docs| rows. The fit side is one explode + one
+    * map-side-combined count + a distributed TakeOrdered(topK).
+    * Empty-token documents (no tokens at all) are absent from the
+    * output, matching the grain "documents with ≥ 1 token".
+    */
+  def oovRate(train: DataFrame, corpus: DataFrame, idCol: String,
+              textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val vocab = train
+      .select(explode(tokenized(col(textCol))).as("_vtok"))
+      .groupBy(col("_vtok")).agg(count(lit(1)).as("_vn"))
+      .orderBy(col("_vn").desc, col("_vtok").asc)
+      .limit(topK)
+      .select(col("_vtok"))
+    val toks = corpus.select(col(idCol),
+      explode(tokenized(col(textCol))).as("_tok"))
+    toks.join(broadcast(vocab), toks("_tok") === vocab("_vtok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Per-document character-distribution entropy (bits): H = −Σ_c
+    * (n_c/N)·log₂(n_c/N) over the document's characters. The
+    * compression-ratio proxy of the quality battery — natural prose
+    * sits in a narrow entropy band; repeated-character degenerate text
+    * scores low, uniform gibberish/base64 blobs score high — and it
+    * needs no vocabulary, no model, no language assumption.
+    *
+    * Scale shape: one explode to character grain, one map-side-combined
+    * (doc, char) count (alphabet-bounded, so the combine is maximally
+    * effective), then |doc × alphabet| algebra. Empty documents emit no
+    * row (no distribution to score).
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol),
+        explode(filter(split(col(textCol), ""), c => length(c) > 0))
+          .as("_ch"))
+      .groupBy(col(idCol), col("_ch"))
+      .agg(count(lit(1)).as("_n"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum(col("_n")).as("_tot"),
+        count(lit(1)).as("n_distinct_chars"))
+    counts.join(totals, Seq(idCol))
+      .groupBy(col(idCol))
+      .agg(max(col("_tot")).as("n_chars_c"),
+        max(col("n_distinct_chars")).as("n_distinct_chars"),
+        round(-sum((col("_n") / col("_tot").cast("double")) *
+          log(2.0, col("_n") / col("_tot").cast("double"))), 4)
+          .as("char_entropy"))
+  }
+
+  /** Zipf rank–frequency diagnostic: least-squares slope of
+    * ln(frequency) against ln(rank) over the top-K [[vocabulary]] —
+    * natural-language corpora sit near slope −1 (Zipf's law); a slope
+    * far off it flags template spam (too flat) or a degenerate
+    * vocabulary (too steep) before the corpus reaches a tokenizer.
+    * One output row: n_terms, slope, intercept.
+    *
+    * Scale shape: everything beyond the vocabulary fit (one explode +
+    * combined count + TakeOrdered(topK)) is a ≤ topK-row aggregation —
+    * five sums and two divisions.
+    */
+  def zipfSlope(docs: DataFrame, idCol: String, textCol: String,
+                topK: Int): DataFrame = {
+    val pts = vocabulary(docs, idCol, textCol, topK)
+      .select(log(col("rank").cast("double")).as("_x"),
+        log(col("n_occurrences").cast("double")).as("_y"))
+    pts.agg(count(lit(1)).as("n_terms"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      .select(col("n_terms"),
+        round((col("n_terms") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("n_terms") * col("_sxx") - col("_sx") * col("_sx")), 6)
+          .as("slope"),
+        round((col("_sy") - (col("n_terms") * col("_sxy") -
+          col("_sx") * col("_sy")) /
+          (col("n_terms") * col("_sxx") - col("_sx") * col("_sx")) *
+          col("_sx")) / col("n_terms").cast("double"), 6).as("intercept"))
+  }
+
+  /** Distinct-vocabulary overlap of every group against a reference
+    * group: |V_g ∩ V_ref|, the two sizes, and the Jaccard index — the
+    * corpus-level companion to [[oovRate]] (OOV scores documents at
+    * occurrence grain; this scores whole slices at type grain: "how
+    * much of German's vocabulary does the English slice share").
+    *
+    * Scale shape: one distinct (group, token) collapse (map-side
+    * combined) is the only data-sized shuffle; the overlap join is
+    * type-grain (vocabulary-sized, zipf-bounded) and AQE broadcasts
+    * the reference side when it is small. The reference group itself
+    * is excluded from the output (its jaccard is 1 by construction).
+    */
+  def vocabOverlap(df: DataFrame, textCol: String, groupCol: Column,
+                   refGroup: String): DataFrame = {
+    val toks = df.select(groupCol.cast("string").as("_g"),
+        explode(tokenized(col(textCol))).as("_tok"))
+      .filter(col("_g").isNotNull)
+      .distinct()
+    val ref = toks.filter(col("_g") === refGroup)
+      .select(col("_tok").as("_rtok"))
+    val refSize = ref.agg(count(lit(1)).as("n_ref_tokens"))
+    val sizes = toks.filter(col("_g") =!= refGroup)
+      .groupBy(col("_g")).agg(count(lit(1)).as("n_tokens"))
+    val common = toks.filter(col("_g") =!= refGroup)
+      .join(ref, col("_tok") === col("_rtok"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("n_common"))
+    sizes.join(common, Seq("_g"), "left")
+      .crossJoin(broadcast(refSize))
+      .select(col("_g").as("group_key"), col("n_tokens"),
+        col("n_ref_tokens"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) /
+          (col("n_tokens") + col("n_ref_tokens") -
+            coalesce(col("n_common"), lit(0L))).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Positive pointwise mutual information over within-window word
+    * co-occurrence: for ordered token positions i < j with j − i ≤
+    * `window`, count pairs under the CANONICAL (least, greatest) word
+    * order, then PPMI(a, b) = max(0, ln(n_ab · N / (n_a · n_b))) where
+    * n_a/n_b are windowed-occurrence totals (each pair endpoint counted
+    * once per pair, so the marginals and N come from the SAME pair
+    * frame and the PMI identity Σ p(a,b) = 1 holds exactly). The
+    * classic distributional-similarity association score — the word
+    * analog of [[graft.ops.Associations.pairRules]]'s basket lift.
+    *
+    * Scale shape: tokens explode to |tokens| · window candidate rows
+    * via ONE equi-join on (doc, position + offset) — position banding,
+    * never a per-document cartesian — then everything collapses to
+    * |vocab²∩seen| count rows with map-side combine. `minPairCount`
+    * prunes the hapax tail early (the count filter runs before the
+    * marginal join).
+    */
+  def ppmiPairs(docs: DataFrame, idCol: String, textCol: String,
+                window: Int, minPairCount: Long = 1L): DataFrame = {
+    require(window >= 1, "window must be ≥ 1")
+    val toks = docs
+      .select(col(idCol).as("_doc"),
+        posexplode(tokenized(col(textCol))).as(Seq("_pos", "_tok")))
+    // (doc, pos + k) for k = 1..window: the banded join key — each token
+    // meets exactly its next `window` positions, one shuffle, fan-out w
+    val left = toks.select(col("_doc"), col("_tok").as("_ta"),
+      explode(sequence(col("_pos") + 1, col("_pos") + window)).as("_tgt"))
+    val right = toks.select(col("_doc"), col("_tok").as("_tb"),
+      col("_pos").as("_tgt"))
+    val pairs = left.join(right, Seq("_doc", "_tgt"))
+      .select(least(col("_ta"), col("_tb")).as("word_a"),
+        greatest(col("_ta"), col("_tb")).as("word_b"))
+    val counts = pairs.groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    // marginals over the SAME pair population (both endpoints of every
+    // pair), so N = 2 · |pairs| and the PMI identity is exact
+    val occ = pairs.select(col("word_a").as("_w"))
+      .unionByName(pairs.select(col("word_b").as("_w")))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_nw"))
+    val total = pairs.agg((count(lit(1)) * 2L).as("_n"))
+    counts
+      .join(occ.withColumnRenamed("_w", "word_a")
+        .withColumnRenamed("_nw", "n_a"), Seq("word_a"))
+      .join(occ.withColumnRenamed("_w", "word_b")
+        .withColumnRenamed("_nw", "n_b"), Seq("word_b"))
+      .crossJoin(broadcast(total))
+      .select(col("word_a"), col("word_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        // the ratio is formed in DOUBLE (not long × long, which wraps
+        // past 9.2·10¹⁸ once n_ab·N crosses ~10¹⁹ on a web corpus) —
+        // same fixed dag the SQL oracle replays
+        round(greatest(lit(0.0),
+          log((col("n_ab").cast("double") * col("_n").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")))), 6)
+          .as("ppmi"))
+  }
 }
