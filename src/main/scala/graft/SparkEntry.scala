@@ -3436,6 +3436,56 @@ object SparkEntry {
           ev.filter(tsUs >= cutUs), "user_id",
           Seq(tsUs, col("event_id")), col("event_type"))
         .orderBy("user_id")
+    }),
+
+    // Goh–Barabási burstiness over per-user inter-event gaps — the
+    // behavioural-rhythm feature (bots periodic, humans bursty).
+    "q196_burstiness" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.TemporalFeatures.burstiness(ev, col("user_id"),
+          TimeFunctions.eventTimeToMicros(ev, "ts"), Seq(col("event_id")))
+        .orderBy("entity")
+    }),
+
+    // Label purity of q57's duplicate clusters against lang — the
+    // false-merge audit for dedup itself.
+    "q197_cluster_purity" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+        .filter(col("doc_id") < 150)
+      val clusters = graft.ops.Dedup.duplicateClusters(
+        graft.ops.Dedup.tokenJaccard(docs, "doc_id", "text",
+          threshold = 0.7))
+      graft.ops.Dedup.clusterPurity(clusters, docs, "doc_id", "lang")
+        .orderBy("component")
+    }),
+
+    // Unicode-script composition per document — one codegen code-point
+    // pass (ScriptMixCounts), the mislabeled-lang / mojibake screen.
+    "q198_script_mix" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.scriptMix(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-health capstone composing the r12 ops: per language —
+    // doc count, mean char entropy (q191), mean token count, and
+    // type-grain vocabulary jaccard against English (q193).
+    "q199_corpus_health" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val ent = graft.ops.TextAnalysis.charEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("char_entropy"))
+      val base = docs.select(col("doc_id"), col("lang"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).as("_nt"))
+        .join(ent, Seq("doc_id"))
+      val agg = base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("char_entropy")), 4).as("avg_char_entropy"),
+          round(avg(col("_nt")), 4).as("avg_tokens"))
+      val overlap = graft.ops.TextAnalysis.vocabOverlap(docs, "text",
+          col("lang"), "en")
+        .select(col("group_key").as("lang"),
+          col("jaccard").as("vocab_jaccard_vs_en"))
+      agg.join(overlap, Seq("lang"), "left").orderBy("lang")
     })
   )
 
@@ -7751,6 +7801,132 @@ object SparkEntry {
                  CROSS JOIN v)
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
                 round(-avg(ln(prob)), 4) AS avg_nll
-         FROM p GROUP BY user_id ORDER BY user_id"""
+         FROM p GROUP BY user_id ORDER BY user_id""",
+    // whole-second gaps via lead + integer div, then the exact-long
+    // (n, Σg, Σg²) sums and the (σ − μ)/(σ + μ) double dag
+    "q196_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         g AS (SELECT user_id,
+                      (lead(us) OVER (PARTITION BY user_id
+                         ORDER BY us, event_id) - us) // 1000000 AS gs
+               FROM e),
+         a AS (SELECT user_id, count(*) AS n, sum(gs) AS sg,
+                      sum(gs * gs) AS sqq
+               FROM g WHERE gs IS NOT NULL GROUP BY user_id),
+         b AS (SELECT user_id, n,
+                      CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                      sqrt(greatest(0.0,
+                        CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))))
+                        AS sd
+               FROM a)
+         SELECT user_id AS entity, CAST(n AS BIGINT) AS n_gaps,
+                round(m, 6) AS mean_gap_s,
+                CASE WHEN sd + m > 0
+                     THEN round((sd - m) / (sd + m), 6) END AS burstiness
+         FROM b ORDER BY entity""",
+    // q57's recursive component replay, then per-component label counts
+    // and the majority/purity fold
+    "q197_cluster_purity" ->
+      """WITH RECURSIVE toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM documents WHERE doc_id < 150)
+           WHERE len(tok) > 0),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+                   FROM toks a JOIN toks b
+                     ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT idA, idB FROM inter
+                   JOIN sizes sa ON sa.doc_id = idA
+                   JOIN sizes sb ON sb.doc_id = idB
+                   WHERE i / (sa.sz + sb.sz - i) >= 0.7),
+         edges AS (SELECT idA AS u, idB AS v FROM pairs
+                   UNION SELECT idB, idA FROM pairs
+                   UNION SELECT idA, idA FROM pairs
+                   UNION SELECT idB, idB FROM pairs),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         cl AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+         bl AS (SELECT component, lang, count(*) AS nl
+                FROM cl JOIN documents ON cl.id = documents.doc_id
+                GROUP BY 1, 2)
+         SELECT component, CAST(sum(nl) AS BIGINT) AS n_members,
+                CAST(max(nl) AS BIGINT) AS n_majority,
+                CAST(count(*) AS BIGINT) AS n_labels,
+                round(max(nl) / CAST(sum(nl) AS DOUBLE), 6) AS purity
+         FROM bl GROUP BY component ORDER BY component""",
+    // the identical code-point ranges stripped per ratio (Latin letters
+    // minus the D7/F7 signs, Han, digits, \s) — length() counts code
+    // points on both engines
+    "q198_script_mix" ->
+      """SELECT doc_id,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text,
+                    '[^A-Za-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{24F}]',
+                    '', 'g')) / CAST(length(text) AS DOUBLE) END, 4)
+                  AS latin_ratio,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text,
+                    '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE) END, 4) AS han_ratio,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE) END, 4)
+                  AS digit_ratio,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^\s]', '', 'g'))
+                    / CAST(length(text) AS DOUBLE) END, 4) AS ws_ratio
+         FROM documents ORDER BY doc_id""",
+    // q191's per-doc entropy + q27's token count aggregated per lang,
+    // left-joined to q193's jaccard-vs-English
+    "q199_corpus_health" ->
+      """WITH ch AS (SELECT doc_id, text[i] AS c
+                     FROM documents,
+                          unnest(range(1, length(text) + 1)) AS u(i)),
+         cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(n) AS tot FROM cnt GROUP BY 1),
+         ent AS (SELECT cnt.doc_id,
+                        round(-sum((n / CAST(tot AS DOUBLE))
+                          * (ln(n / CAST(tot AS DOUBLE)) / ln(2.0))), 4)
+                          AS ce
+                 FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+                 GROUP BY cnt.doc_id),
+         tk AS (SELECT doc_id, lang,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> len(x) > 0)) AS nt
+                FROM documents),
+         base AS (SELECT tk.lang, tk.nt, ent.ce
+                  FROM tk JOIN ent ON tk.doc_id = ent.doc_id),
+         agg AS (SELECT lang, count(*) AS n_docs,
+                        round(avg(ce), 4) AS ace, round(avg(nt), 4) AS at
+                 FROM base GROUP BY lang),
+         raw AS (SELECT lang AS g, unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> len(x) > 0)) AS tok
+                 FROM documents WHERE lang IS NOT NULL),
+         tkn AS (SELECT DISTINCT g, tok FROM raw),
+         ref AS (SELECT tok FROM tkn WHERE g = 'en'),
+         rs AS (SELECT count(*) AS nr FROM ref),
+         sz AS (SELECT g, count(*) AS nt FROM tkn WHERE g <> 'en'
+                GROUP BY g),
+         cm AS (SELECT g, count(*) AS ncm FROM tkn JOIN ref USING (tok)
+                WHERE g <> 'en' GROUP BY g),
+         ov AS (SELECT sz.g,
+                       round(coalesce(ncm, 0)
+                         / CAST(sz.nt + nr - coalesce(ncm, 0) AS DOUBLE),
+                         6) AS j
+                FROM sz LEFT JOIN cm USING (g) CROSS JOIN rs)
+         SELECT agg.lang, CAST(n_docs AS BIGINT) AS n_docs,
+                ace AS avg_char_entropy, at AS avg_tokens,
+                ov.j AS vocab_jaccard_vs_en
+         FROM agg LEFT JOIN ov ON agg.lang = ov.g
+         ORDER BY agg.lang"""
   )
 }

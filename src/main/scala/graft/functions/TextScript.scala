@@ -64,4 +64,52 @@ object TextScript {
 
   def scriptCounts(c: Column): Column =
     GraftSqlBridge.column(ScriptCounts(GraftSqlBridge.expression(c)))
+
+  /** Script-mix variant of [[counts]] for
+    * [[graft.ops.TextAnalysis.scriptMix]]: `[total, latin, han, digit,
+    * whitespace]` in one code-point pass. Latin is the three
+    * oracle-replayable letter ranges A–Z / a–z / C0–24F with the D7/F7
+    * multiplication and division signs excluded; whitespace is the
+    * Java-`\s` ≡ RE2-`\s` set (tab, LF, VT, FF, CR, space) so the
+    * DuckDB oracle's `[^\s]` strip counts identically.
+    */
+  def mixCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var total = 0L
+    var latin = 0L; var han = 0L; var digit = 0L; var ws = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      total += 1
+      if ((cp >= 0x41 && cp <= 0x5a) || (cp >= 0x61 && cp <= 0x7a) ||
+        (cp >= 0xc0 && cp <= 0xd6) || (cp >= 0xd8 && cp <= 0xf6) ||
+        (cp >= 0xf8 && cp <= 0x24f)) latin += 1
+      else if (cp >= 0x4e00 && cp <= 0x9fff) han += 1
+      else if (cp >= 0x30 && cp <= 0x39) digit += 1
+      else if (cp == 0x20 || (cp >= 0x09 && cp <= 0x0d)) ws += 1
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(total, latin, han, digit, ws))
+  }
+
+  case class ScriptMixCounts(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "script_mix_counts"
+
+    override protected def nullSafeEval(v: Any): Any =
+      mixCounts(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val cls = TextScript.getClass.getName.stripSuffix("$") + "$"
+        s"${ev.value} = $cls.MODULE$$.mixCounts($c);"
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def scriptMixCounts(c: Column): Column =
+    GraftSqlBridge.column(ScriptMixCounts(GraftSqlBridge.expression(c)))
 }

@@ -373,6 +373,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-cluster label purity over a [[duplicateClusters]] frame: join
+    * the (id, component) membership to a label column and report, per
+    * component, the member count, the majority-label count, the number
+    * of distinct labels present, and purity = majority/members. The
+    * cluster-quality audit for dedup itself — near-duplicate clusters
+    * that straddle languages (or sources, or licences) are usually
+    * FALSE merges, and purity surfaces them before keep-one dedup
+    * silently drops the wrong half. Ids absent from `labels` are
+    * dropped (inner join); a NULL label is a real label value
+    * (missingness concentrating in one cluster is signal).
+    *
+    * Scale shape: one join at membership grain, then two map-side
+    * combined aggregations — |members| → |components × labels| →
+    * |components|.
+    */
+  def clusterPurity(clusters: DataFrame, labels: DataFrame, idCol: String,
+                    labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("_id"),
+      col(labelCol).cast("string").as("_lab"))
+    val byLab = clusters.select(col("id").as("_id"), col("component"))
+      .join(lab, Seq("_id"))
+      .groupBy(col("component"), col("_lab"))
+      .agg(count(lit(1)).as("_nl"))
+    byLab.groupBy(col("component"))
+      .agg(sum(col("_nl")).as("n_members"),
+        max(col("_nl")).as("n_majority"),
+        count(lit(1)).as("n_labels"))
+      .withColumn("purity",
+        round(col("n_majority") / col("n_members").cast("double"), 6))
+  }
+
   /** Keep one survivor — the component-minimum id — per duplicate cluster:
     * the standard pairs → clusters → keep-one corpus dedup. Rows whose id
     * is not in `clusters` pass through untouched; losers are removed with

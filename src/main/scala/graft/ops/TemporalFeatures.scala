@@ -271,6 +271,49 @@ object TemporalFeatures {
           .as("survival"))
   }
 
+  /** Inter-event burstiness per entity: B = (σ − μ)/(σ + μ) over the
+    * entity's inter-arrival gaps (Goh–Barabási) — −1 for a perfectly
+    * periodic entity, → 0 for Poisson arrivals, → 1 for extreme bursts.
+    * The behavioural-rhythm feature that mean rate alone cannot see
+    * (bots are periodic, humans are bursty).
+    *
+    * Gaps are truncated to WHOLE SECONDS (integer µs div) so Σg and Σg²
+    * stay exact longs — magnitude bound: n·max(gap_s)² must stay under
+    * 2⁶³ (a 30-day gap is 2.6·10⁶ s, squared 6.8·10¹² — safe to ~10⁶
+    * gaps per entity); σ and B are then a fixed double dag an external
+    * SQL oracle replays. Entities with zero gaps (single event) emit no
+    * row; a single-gap entity has σ = 0 → B = −1 by the formula.
+    *
+    * Scale shape: one keyed lead window (parallel across entities) +
+    * one map-side-combined per-entity aggregation.
+    */
+  def burstiness(df: DataFrame, entityCol: Column, tsMicrosCol: Column,
+                 tieBreakCols: Seq[Column] = Nil): DataFrame = {
+    val ties = tieBreakCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"_tb$i") }
+    val w = Window.partitionBy(col("_e"))
+      .orderBy(col("_ts").asc +: ties.indices.map(i =>
+        col(s"_tb$i").asc): _*)
+    val gaps = df
+      .select(entityCol.as("_e") +: tsMicrosCol.cast("long").as("_ts") +:
+        ties: _*)
+      .filter(col("_e").isNotNull && col("_ts").isNotNull)
+      .withColumn("_next", lead(col("_ts"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .withColumn("_gs", expr("(_next - _ts) div 1000000"))
+    val mean = col("_sg").cast("double") / col("_n").cast("double")
+    val varr = col("_sqq").cast("double") / col("_n").cast("double") -
+      mean * mean
+    val sigma = sqrt(greatest(lit(0.0), varr))
+    gaps.groupBy(col("_e"))
+      .agg(count(lit(1)).as("_n"), sum(col("_gs")).as("_sg"),
+        sum(col("_gs") * col("_gs")).as("_sqq"))
+      .select(col("_e").as("entity"), col("_n").as("n_gaps"),
+        round(mean, 6).as("mean_gap_s"),
+        when(sigma + mean > 0.0,
+          round((sigma - mean) / (sigma + mean), 6)).as("burstiness"))
+  }
+
   /** Rolling z-score anomaly flags per key — "is this reading far from
     * ITS OWN recent baseline", the per-entity complement of the global
     * drift battery. The baseline is the trailing `window` PRIOR rows

@@ -86,6 +86,30 @@ object TextAnalysis {
     when(length(text) === 0, 0.0).otherwise(
       length(regexp_replace(text, "[^0-9]", "")).cast("double") / length(text))
 
+  /** Unicode-script composition ratios — the multilingual-corpus
+    * companion to the char-class quality ratios above: per document,
+    * the fraction of code points that are Latin letters, Han, decimal
+    * digits, and whitespace. A document whose declared `lang` disagrees
+    * with its dominant script (an "en" doc that is 60% Han, a "zh" doc
+    * that is all Latin) is mislabeled or mojibake — the script mix
+    * catches both before language-ID ever runs. One codegen code-point
+    * pass ([[graft.functions.TextScript.scriptMixCounts]], the same
+    * single-pass discipline the round-5 bench forced on langid), zero
+    * shuffles beyond the scan; the DuckDB oracle replays the identical
+    * ranges with `length(regexp_replace(...))`.
+    */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = graft.functions.TextScript.scriptMixCounts(col(textCol))
+    def ratio(i: Int) = graft.functions.Exprs.let(c, counts => {
+      val total = element_at(counts, 1)
+      when(total === 0L, 0.0)
+        .otherwise(round(element_at(counts, i).cast("double") / total, 4))
+    })
+    df.select(col(idCol), ratio(2).as("latin_ratio"),
+      ratio(3).as("han_ratio"), ratio(4).as("digit_ratio"),
+      ratio(5).as("ws_ratio"))
+  }
+
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "that", "for", "on", "with", "as", "at", "this", "by")
 
