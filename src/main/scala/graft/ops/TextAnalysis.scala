@@ -878,11 +878,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
     // marginals over the SAME pair population (both endpoints of every
-    // pair), so N = 2 · |pairs| and the PMI identity is exact
+    // pair), so N = Σ marginals = 2·|pairs| and the PMI identity is
+    // exact; N folds from the tiny marginal frame instead of a third
+    // pass over the pair population
     val occ = pairs.select(col("word_a").as("_w"))
       .unionByName(pairs.select(col("word_b").as("_w")))
       .groupBy(col("_w")).agg(count(lit(1)).as("_nw"))
-    val total = pairs.agg((count(lit(1)) * 2L).as("_n"))
+    val total = occ.agg(sum(col("_nw")).as("_n"))
     counts
       .join(occ.withColumnRenamed("_w", "word_a")
         .withColumnRenamed("_nw", "n_a"), Seq("word_a"))

@@ -46,6 +46,23 @@ class DriftEvalOpsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("jsdFromCounts: zero-scan fold from stored partials matches " +
+    "jsdDrift on the equivalent raw rows") {
+    val raw = (Seq.fill(3)(("k", 0.2, true)) ++ Seq(("k", 1.2, true)) ++
+      Seq(("k", 0.2, false)) ++ Seq.fill(3)(("k", 1.2, false)))
+      .toDF("g", "v", "is_ref")
+    val fromRaw = Monitoring.jsdDrift(raw, Seq("g"), col("v"),
+      col("is_ref"), bins = 2, lo = 0.0, hi = 2.0).collect().head
+    // the mergeable partials a monitoring store would hold
+    val counts = Seq(("k", 0, 3L, 1L), ("k", 1, 1L, 3L))
+      .toDF("g", "bin", "ref_n", "det_n")
+    val fromCounts = Monitoring.jsdFromCounts(counts, Seq("g"), bins = 2)
+      .collect().head
+    assert(fromRaw.getAs[Double]("jsd") == fromCounts.getAs[Double]("jsd"))
+    assert(fromCounts.getAs[Long]("ref_total") == 4L &&
+      fromCounts.getAs[Long]("det_total") == 4L)
+  }
+
   test("rankBiasedOverlap: identical rankings → rbo = 1 − p^k exactly; " +
     "disjoint → 0; partial hand case") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
