@@ -3486,6 +3486,41 @@ object SparkEntry {
         .select(col("group_key").as("lang"),
           col("jaccard").as("vocab_jaccard_vs_en"))
       agg.join(overlap, Seq("lang"), "left").orderBy("lang")
+    }),
+
+    // Token-grain JSD between two corpus slices — what q184 does for a
+    // numeric column, at the level of what the corpus is made of.
+    "q200_token_jsd" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      graft.ops.TextAnalysis.tokenJsd(docs, col("text"),
+        col("doc_id") < 300)
+    }),
+
+    // HHI member concentration per event type (is this event type
+    // three whales in a trenchcoat) — the decomposable companion to
+    // q170's Gini.
+    "q201_hhi" -> ((s, dir) => {
+      val ev = s.read.parquet(TestTables.parquet(dir, "events"))
+      graft.ops.Statistics.hhiConcentration(ev, Seq("event_type"),
+          col("user_id"))
+        .orderBy("event_type")
+    }),
+
+    // Per-language token-length quantile table (P10/P50/P90) via the
+    // exact count-frame quantile algebra (q71's machinery, keyed).
+    "q202_length_quantiles" -> ((s, dir) => {
+      val docs = s.read.parquet(TestTables.parquet(dir, "documents"))
+      val counts = docs.select(col("lang"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("_v"))
+        .groupBy(col("lang"), col("_v")).agg(count(lit(1)).as("_c"))
+      val p10 = graft.ops.Splits.lowerQuantileFromCounts(counts,
+        Seq("lang"), 1, 10).withColumnRenamed("quantile", "p10")
+      val p50 = graft.ops.Splits.lowerQuantileFromCounts(counts,
+        Seq("lang"), 1, 2).withColumnRenamed("quantile", "p50")
+      val p90 = graft.ops.Splits.lowerQuantileFromCounts(counts,
+        Seq("lang"), 9, 10).withColumnRenamed("quantile", "p90")
+      p10.join(p50, Seq("lang")).join(p90, Seq("lang")).orderBy("lang")
     })
   )
 
@@ -7927,6 +7962,59 @@ object SparkEntry {
                 ace AS avg_char_entropy, at AS avg_tokens,
                 ov.j AS vocab_jaccard_vs_en
          FROM agg LEFT JOIN ov ON agg.lang = ov.g
-         ORDER BY agg.lang"""
+         ORDER BY agg.lang""",
+    // union-vocabulary +0.5 smoothing, the JSD fold over |vocab| rows
+    "q200_token_jsd" ->
+      """WITH tk AS (SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> len(x) > 0)) AS tok,
+                     doc_id < 300 AS r
+                     FROM documents),
+         c AS (SELECT tok,
+                      sum(CASE WHEN r THEN 1 ELSE 0 END) AS rn,
+                      sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS dn
+               FROM tk GROUP BY tok),
+         t AS (SELECT count(*) AS v, sum(rn) AS rt, sum(dn) AS dt FROM c),
+         f AS (SELECT (rn + 0.5) / (rt + 0.5 * v) AS p,
+                      (dn + 0.5) / (dt + 0.5 * v) AS q,
+                      v, rt, dt
+               FROM c CROSS JOIN t)
+         SELECT CAST(max(v) AS BIGINT) AS n_vocab,
+                CAST(max(rt) AS BIGINT) AS ref_total,
+                CAST(max(dt) AS BIGINT) AS det_total,
+                round(sum(p * ln(p / ((p + q) / 2.0))
+                          + q * ln(q / ((p + q) / 2.0))) / 2.0, 4)
+                  AS jsd
+         FROM f""",
+    // per-(group, member) counts, then HHI = sum(n^2)/N^2 in int128
+    // before the one double division
+    "q201_hhi" ->
+      """WITH m AS (SELECT event_type, user_id, count(*) AS c
+                    FROM events WHERE user_id IS NOT NULL
+                    GROUP BY 1, 2)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(c) AS BIGINT) AS n_rows,
+                round(CAST(sum(c * c) AS DOUBLE)
+                      / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)),
+                      6) AS hhi
+         FROM m GROUP BY event_type ORDER BY event_type""",
+    // keyed exact lower-quantile algebra at three rational positions
+    // (cum*den >= tot*num), q71/q110's machinery
+    "q202_length_quantiles" ->
+      """WITH d AS (SELECT lang,
+                           CAST(len(list_filter(
+                             string_split_regex(text, '\s+'),
+                             x -> len(x) > 0)) AS BIGINT) AS v
+                    FROM documents),
+         c AS (SELECT lang, v, count(*) AS n FROM d GROUP BY 1, 2),
+         m AS (SELECT lang, v,
+                      sum(n) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                      sum(n) OVER (PARTITION BY lang) AS tot
+               FROM c)
+         SELECT lang,
+                min(CASE WHEN cum * 10 >= tot THEN v END) AS p10,
+                min(CASE WHEN cum * 2 >= tot THEN v END) AS p50,
+                min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS p90
+         FROM m GROUP BY lang ORDER BY lang"""
   )
 }

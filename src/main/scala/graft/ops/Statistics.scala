@@ -939,6 +939,39 @@ object Statistics {
         round(col("_theta"), 6).as("theta"))
   }
 
+  /** Herfindahl–Hirschman concentration per group: HHI = Σᵢ shareᵢ²
+    * over the members' row shares — 1/n_members for a perfectly even
+    * group, → 1 when one member dominates. The concentration screen
+    * next to [[giniConcentration]]: HHI is the one that decomposes
+    * (Σn²/N² folds from mergeable per-member counts with no sort or
+    * rank), so it is the metric a monitoring job can keep incrementally
+    * — "is this event type driven by three whales", "is this language
+    * slice one crawl domain in a trenchcoat".
+    *
+    * Exactness: Σn² is carried in DECIMAL(38,0) (member counts can
+    * reach 10⁹⁺ at corpus scale; long would wrap at Σn² > 9.2·10¹⁸),
+    * then ONE double division — the oracle replays it in int128.
+    *
+    * Scale shape: two map-side-combined groupBys — |groups × members|
+    * then |groups|. Nothing sorts, nothing ranks.
+    */
+  def hhiConcentration(df: DataFrame, groupCols: Seq[String],
+                       memberCol: Column): DataFrame = {
+    val gn = groupCols.map(col)
+    val perMember = df.select((gn :+ memberCol.as("_m")): _*)
+      .filter(col("_m").isNotNull)
+      .groupBy((gn :+ col("_m")): _*)
+      .agg(count(lit(1)).as("_c"))
+    perMember.groupBy(gn: _*)
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("_c")).as("n_rows"),
+        sum(col("_c").cast("decimal(38,0)") * col("_c")).as("_sq"))
+      .select((gn :+ col("n_members") :+ col("n_rows") :+
+        round(col("_sq").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double")),
+          6).as("hhi")): _*)
+  }
+
   /** Inverse-propensity-weighted outcome means over BINNED propensity
     * strata — the observational-data companion to [[cupedAdjust]]
     * (CUPED de-noises a randomized experiment; IPW de-biases a

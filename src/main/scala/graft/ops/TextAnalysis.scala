@@ -842,6 +842,43 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Jensen–Shannon divergence between the unigram token distributions
+    * of two corpus slices (ref vs det, e.g. last month's crawl vs this
+    * month's): the TOKEN-GRAIN member of the drift battery —
+    * [[graft.ops.Monitoring.jsdDrift]] bins a numeric column; this
+    * compares what the corpus is actually made of. Smoothing is the
+    * battery's +0.5 Laplace over the UNION vocabulary (a token absent
+    * from one side gets its half-count, so the score is finite and
+    * symmetric), JSD ∈ [0, ln 2]. One row out: union-vocabulary size,
+    * both totals, jsd.
+    *
+    * Scale shape: ONE conditional-aggregation pass over one exploded
+    * scan (the psiDrift shape at token grain) to |union vocabulary|
+    * count rows — zipf-bounded, grows sublinearly with the corpus —
+    * then tiny-frame algebra.
+    */
+  def tokenJsd(df: DataFrame, textCol: Column, isRef: Column): DataFrame = {
+    val counts = df
+      .select(explode(tokenized(textCol)).as("_tok"), isRef.as("_r"))
+      .filter(col("_r").isNotNull)
+      .groupBy(col("_tok"))
+      .agg(sum(when(col("_r"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!col("_r"), 1L).otherwise(0L)).as("det_n"))
+    val tot = counts.agg(count(lit(1)).as("_vocab"),
+      sum(col("ref_n")).as("_rt"), sum(col("det_n")).as("_dt"))
+    val p = (col("ref_n") + lit(0.5)) /
+      (col("_rt") + lit(0.5) * col("_vocab"))
+    val q = (col("det_n") + lit(0.5)) /
+      (col("_dt") + lit(0.5) * col("_vocab"))
+    val m = (p + q) / lit(2.0)
+    counts.crossJoin(broadcast(tot))
+      .agg(max(col("_vocab")).as("n_vocab"),
+        max(col("_rt")).as("ref_total"),
+        max(col("_dt")).as("det_total"),
+        round(sum(p * log(p / m) + q * log(q / m)) / lit(2.0), 4)
+          .as("jsd"))
+  }
+
   /** Positive pointwise mutual information over within-window word
     * co-occurrence: for ordered token positions i < j with j − i ≤
     * `window`, count pairs under the CANONICAL (least, greatest) word

@@ -91,6 +91,38 @@ class RankCorpusStatsSpec extends SparkSpec {
     assert(out(false) == (5L, 3.2, 3.0))
   }
 
+  test("tokenJsd: identical slices → 0; hand two-token value") {
+    val same = Seq((1L, "a b", true), (2L, "a b", false))
+      .toDF("id", "text", "r")
+    val s0 = TextAnalysis.tokenJsd(same, col("text"), col("r"))
+      .collect().head
+    assert(s0.getAs[Double]("jsd") == 0.0 &&
+      s0.getAs[Long]("n_vocab") == 2L)
+    // ref "a a b" vs det "a b b": p = (.625, .375), q = (.375, .625)
+    // → jsd = .625·ln 1.25 + .375·ln 0.75 = 0.0316
+    val df = Seq((1L, "a a b", true), (2L, "a b b", false))
+      .toDF("id", "text", "r")
+    val out = TextAnalysis.tokenJsd(df, col("text"), col("r"))
+      .collect().head
+    val want = BigDecimal(0.625 * math.log(1.25) + 0.375 * math.log(0.75))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("jsd") == want)
+    assert(out.getAs[Long]("ref_total") == 3L &&
+      out.getAs[Long]("det_total") == 3L)
+  }
+
+  test("hhiConcentration: skewed, single-member, and even groups") {
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "a"), ("g1", "b"),
+      ("g2", "x"), ("g3", "p"), ("g3", "q"), ("g3", "p"), ("g3", "q"))
+      .toDF("g", "m")
+    val out = Statistics.hhiConcentration(df, Seq("g"), col("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("g1") == (2L, 4L, 0.625)) // (9+1)/16
+    assert(out("g2") == (1L, 1L, 1.0))
+    assert(out("g3") == (2L, 4L, 0.5))   // (4+4)/16
+  }
+
   test("transitionNll: add-k smoothed held-out scoring, unseen context " +
     "degrades to uniform") {
     // model: a→b ×2, b→a ×1 (V = 2, rows a:2, b:1)
