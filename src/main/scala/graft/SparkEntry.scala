@@ -8,6 +8,7 @@ import graft.model.FeatureGroup
 import graft.planner.QueryPlanner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.PinOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each `queries` entry exercises one operator of the SURVEY §2 inventory
@@ -1196,7 +1197,7 @@ object SparkEntry {
       // regardless of the parquet writer's ts representation
       val ev = ev0.withColumn("ts_us", TimeFunctions.eventTimeToMicros(ev0, "ts"))
       val sketches = Monitoring.distinctSketches(ev, "ts_us", "user_id", unit)
-        .localCheckpoint(true)
+        .pinned(true)
       val b = sketches.agg(min("window"), max("window")).head
       val (lo, hi) = (b.getLong(0), b.getLong(1))
       val estAll = Monitoring.estimateDistinct(sketches, lo, hi)

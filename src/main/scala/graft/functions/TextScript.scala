@@ -70,8 +70,10 @@ object TextScript {
     * whitespace]` in one code-point pass. Latin is the three
     * oracle-replayable letter ranges A–Z / a–z / C0–24F with the D7/F7
     * multiplication and division signs excluded; whitespace is the
-    * Java-`\s` ≡ RE2-`\s` set (tab, LF, VT, FF, CR, space) so the
-    * DuckDB oracle's `[^\s]` strip counts identically.
+    * RE2-`\s` set — exactly tab, LF, FF, CR, space — so the DuckDB
+    * oracle's `[^\s]` strip counts identically. NOTE: Java's `\s`
+    * additionally matches VT (U+000B); RE2's does not, so VT is
+    * deliberately NOT counted here (r12 ADVICE parity fix).
     */
   def mixCounts(s: UTF8String): ArrayData = {
     val str = s.toString
@@ -86,7 +88,8 @@ object TextScript {
         (cp >= 0xf8 && cp <= 0x24f)) latin += 1
       else if (cp >= 0x4e00 && cp <= 0x9fff) han += 1
       else if (cp >= 0x30 && cp <= 0x39) digit += 1
-      else if (cp == 0x20 || (cp >= 0x09 && cp <= 0x0d)) ws += 1
+      else if (cp == 0x20 || cp == 0x09 || cp == 0x0a || cp == 0x0c ||
+        cp == 0x0d) ws += 1
       i += Character.charCount(cp)
     }
     new GenericArrayData(Array(total, latin, han, digit, ws))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.PinOps
 
 /** Market-basket association rules — item co-occurrence with support /
   * confidence / lift, the classic recommender-bootstrap and
@@ -40,7 +41,7 @@ object Associations {
         itemCol.cast("string").as("_it"))
       .filter(col("_bk").isNotNull && col("_it").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .pinned()
     // ONE driver action serves both the loud skew guard and |baskets|:
     // the per-basket breadth frame's row count IS the basket count
     val stats = memb.groupBy("_bk").agg(count(lit(1)).as("_w"))
@@ -100,7 +101,7 @@ object Associations {
       .filter(col("_e").isNotNull && col("_it").isNotNull &&
         col("_b").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .pinned()
     val nEntities = memb.select(col("_e")).distinct().count()
     val a = memb.select(col("_e"), col("_it").as("antecedent"),
       col("_b").as("_ba"))

@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.PinOps
 
 /** Deduplication operators for large-scale training-data pipelines
   * (BASELINE.json north star; not present in the reference client, which
@@ -348,12 +349,12 @@ object Dedup {
       .filter(col(idACol).isNotNull && col(idBCol).isNotNull &&
         col(idACol) =!= col(idBCol))
       .select(col(idACol).as("u"), col(idBCol).as("v")))
-      .localCheckpoint(false)
+      .pinned(false)
     var fp = fingerprint(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val next = smallStar(largeStar(edges)).pinned(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       edges = next
@@ -872,7 +873,7 @@ object Dedup {
     // pipeline, so materializing it is cheap relative to that risk.
     val withFp = batch.withColumn(fpCol,
       graft.ops.TextAnalysis.fingerprint(col(textCol)))
-      .localCheckpoint(true)
+      .pinned(true)
     val might = graft.functions.BloomFunctions.mightContain(col(fpCol), bloomBytes)
     val definitelyNew = withFp.filter(!might)
     val verifiedNew = withFp.filter(might)
@@ -936,7 +937,7 @@ object Dedup {
         col(strCol).cast("string").as("_s"))
       .filter(col("_s").isNotNull)
       .withColumn("_n", length(col("_s")))
-      .localCheckpoint()
+      .pinned()
     // the pigeonhole guarantee needs len ≥ 2·prefixLen everywhere
     val shortCount = base.filter(col("_n") < 2 * prefixLen).limit(1).count()
     require(shortCount == 0L,

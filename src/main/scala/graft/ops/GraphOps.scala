@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.PinOps
 
 /** Graph-shaped feature operators: Markov transition features over
   * per-entity event sequences, and fixed-iteration PageRank over a
@@ -128,10 +129,10 @@ object GraphOps {
     // accumulating CacheManager entries across invocations
     val share = ew.join(outW, "_s")
       .select(col("_s"), col("_d"), (col("_w") / col("_ow")).as("_share"))
-      .localCheckpoint()
+      .pinned()
     val nodes = share.select(col("_s").as("node"))
       .union(share.select(col("_d")))
-      .distinct().localCheckpoint()
+      .distinct().pinned()
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     var i = 0
     while (i < iterations) {
@@ -146,7 +147,7 @@ object GraphOps {
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("_sc"), lit(0.0))).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(false)
+        ranks = ranks.pinned(false)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -192,7 +193,7 @@ object GraphOps {
           .otherwise(struct(col("_b").as("s"), col("_a").as("d"),
             col("_da").as("dd"))).as("_e"))
       .select(col("_e.s").as("s"), col("_e.d").as("d"), col("_e.dd").as("dd"))
-      .localCheckpoint()
+      .pinned()
     // wedges at the lowest corner: (s; b, c) with ord(b) < ord(c), then
     // close against the oriented edge b → c
     val x = oriented.select(col("s"), col("d").as("b"), col("dd").as("db"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.ops.Materialize.PinOps
 
 /** The steady-state ingest loop at 100 TB: each arriving batch is
   * deduplicated against a BOUNDED fingerprint store (never the raw
@@ -64,11 +65,11 @@ object Ingest {
     val newStore = store.unionByName(
         accepted.select(TextAnalysis.fingerprint(col(textCol)).as("fp")))
       .distinct()
-      .localCheckpoint(true)
+      .pinned(true)
     // partials are the other loop-carried frame — same treatment
     val partials = IncrementalStats.partials(
         accepted, statKeys, statBucket, statScaled)
-      .localCheckpoint(true)
+      .pinned(true)
     BatchResult(accepted, newStore, partials)
   }
 
@@ -102,7 +103,7 @@ object Ingest {
       // rows per batch, constant plan size in the batch index
       partialsAcc =
         if (partialsAcc == null) r.partials
-        else partialsAcc.unionByName(r.partials).localCheckpoint(true)
+        else partialsAcc.unionByName(r.partials).pinned(true)
     }
     (IncrementalStats.merge(partialsAcc, statKeys), store)
   }

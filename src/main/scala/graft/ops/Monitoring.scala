@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
+import graft.ops.Materialize.PinOps
 
 /** Feature-monitoring configuration engine: persisted monitoring configs,
   * schedule bookkeeping, and window-comparison execution — the analog of
@@ -182,7 +183,11 @@ object Monitoring {
     val width = (hi - lo) / bins
     val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
       lit(0L)), lit((bins - 1).toLong)).cast("int")
-    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+    // rows with a NULL window flag belong to NEITHER window (the SQL
+    // oracle's CASE WHEN / CASE WHEN NOT counts them in neither total) —
+    // filter them out so engine and oracle agree (r12 ADVICE, battery-wide)
+    val counts = df.filter(isRef.isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
         sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
     psiFromCounts(counts, keys, bins)
@@ -194,8 +199,16 @@ object Monitoring {
     * counts into the store and scores drift WITHOUT touching raw data.
     * [[psiDrift]] is exactly one scan + this fold.
     */
-  def psiFromCounts(counts: DataFrame, keys: Seq[String],
+  def psiFromCounts(counts0: DataFrame, keys: Seq[String],
                     bins: Int): DataFrame = {
+    // input may carry UNMERGED stored partials (several rows per
+    // (keys, bin) cell — the documented "fold the new window's counts
+    // into the store" usage); merge them first so smoothing / cumsums
+    // apply once per cell, not once per partial row (r12 ADVICE). Same
+    // grouping keys as the producing aggregate, so no extra exchange
+    // when the input is already merged.
+    val counts = counts0.groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(sum("ref_n").as("ref_n"), sum("det_n").as("det_n"))
     // complete the bin grid from the counts frame itself (already tiny —
     // never a data scan): empty cells must smooth identically on both
     // sides of an oracle compare
@@ -234,7 +247,11 @@ object Monitoring {
     val width = (hi - lo) / bins
     val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
       lit(0L)), lit((bins - 1).toLong)).cast("int")
-    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+    // rows with a NULL window flag belong to NEITHER window (the SQL
+    // oracle's CASE WHEN / CASE WHEN NOT counts them in neither total) —
+    // filter them out so engine and oracle agree (r12 ADVICE, battery-wide)
+    val counts = df.filter(isRef.isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
         sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
     ksFromCounts(counts, keys)
@@ -244,7 +261,15 @@ object Monitoring {
     * contract as [[psiFromCounts]]. Empty bins need no grid completion:
     * the ECDF is constant across them, so they can never host the max.
     */
-  def ksFromCounts(counts: DataFrame, keys: Seq[String]): DataFrame = {
+  def ksFromCounts(counts0: DataFrame, keys: Seq[String]): DataFrame = {
+    // input may carry UNMERGED stored partials (several rows per
+    // (keys, bin) cell — the documented "fold the new window's counts
+    // into the store" usage); merge them first so smoothing / cumsums
+    // apply once per cell, not once per partial row (r12 ADVICE). Same
+    // grouping keys as the producing aggregate, so no extra exchange
+    // when the input is already merged.
+    val counts = counts0.groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(sum("ref_n").as("ref_n"), sum("det_n").as("det_n"))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -277,7 +302,11 @@ object Monitoring {
     val width = (hi - lo) / bins
     val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
       lit(0L)), lit((bins - 1).toLong)).cast("int")
-    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+    // rows with a NULL window flag belong to NEITHER window (the SQL
+    // oracle's CASE WHEN / CASE WHEN NOT counts them in neither total) —
+    // filter them out so engine and oracle agree (r12 ADVICE, battery-wide)
+    val counts = df.filter(isRef.isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
         sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
     wassersteinFromCounts(counts, keys, width)
@@ -290,8 +319,16 @@ object Monitoring {
     * last seen bin both CDFs are 1 and the gap is 0, so the last span
     * is irrelevant.
     */
-  def wassersteinFromCounts(counts: DataFrame, keys: Seq[String],
+  def wassersteinFromCounts(counts0: DataFrame, keys: Seq[String],
                             binWidth: Double): DataFrame = {
+    // input may carry UNMERGED stored partials (several rows per
+    // (keys, bin) cell — the documented "fold the new window's counts
+    // into the store" usage); merge them first so smoothing / cumsums
+    // apply once per cell, not once per partial row (r12 ADVICE). Same
+    // grouping keys as the producing aggregate, so no extra exchange
+    // when the input is already merged.
+    val counts = counts0.groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(sum("ref_n").as("ref_n"), sum("det_n").as("det_n"))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -335,7 +372,11 @@ object Monitoring {
     val width = (hi - lo) / bins
     val bin = least(greatest(floor((valueCol - lit(lo)) / lit(width)),
       lit(0L)), lit((bins - 1).toLong)).cast("int")
-    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+    // rows with a NULL window flag belong to NEITHER window (the SQL
+    // oracle's CASE WHEN / CASE WHEN NOT counts them in neither total) —
+    // filter them out so engine and oracle agree (r12 ADVICE, battery-wide)
+    val counts = df.filter(isRef.isNotNull)
+      .groupBy((keys.map(col) :+ bin.as("bin")): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
         sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
     jsdFromCounts(counts, keys, bins)
@@ -346,8 +387,16 @@ object Monitoring {
     * [[psiFromCounts]], so a monitoring job scores PSI + KS + W1 + JSD
     * from one count store without touching raw data.
     */
-  def jsdFromCounts(counts: DataFrame, keys: Seq[String],
+  def jsdFromCounts(counts0: DataFrame, keys: Seq[String],
                     bins: Int): DataFrame = {
+    // input may carry UNMERGED stored partials (several rows per
+    // (keys, bin) cell — the documented "fold the new window's counts
+    // into the store" usage); merge them first so smoothing / cumsums
+    // apply once per cell, not once per partial row (r12 ADVICE). Same
+    // grouping keys as the producing aggregate, so no extra exchange
+    // when the input is already merged.
+    val counts = counts0.groupBy((keys.map(col) :+ col("bin")): _*)
+      .agg(sum("ref_n").as("ref_n"), sum("det_n").as("det_n"))
     val grid = counts.select(keys.map(col): _*).distinct()
       .withColumn("bin", explode(sequence(lit(0), lit(bins - 1))))
     val filled = grid.join(counts, keys :+ "bin", "left")
@@ -384,7 +433,8 @@ object Monitoring {
   def chiSquareDrift(df: DataFrame, keys: Seq[String],
                      categoryCol: org.apache.spark.sql.Column,
                      isRef: org.apache.spark.sql.Column): DataFrame = {
-    val counts = df.groupBy((keys.map(col) :+ categoryCol.as("category")): _*)
+    val counts = df.filter(isRef.isNotNull)
+      .groupBy((keys.map(col) :+ categoryCol.as("category")): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("ref_n"),
         sum(when(isRef, 0L).otherwise(1L)).as("det_n"))
     val wAll = Window.partitionBy(keys.map(col): _*)
@@ -476,7 +526,7 @@ object Monitoring {
       // long-lived monitoring session can't accumulate pinned cache
       // entries (cache() registrations live until an explicit unpersist,
       // which a lazily-returned result can never safely schedule)
-      .localCheckpoint()
+      .pinned()
     val mad = Splits.lowerMedianFromCounts(
         devCounts.select((keys.map(col) :+ col("_v") :+ col("_c")): _*),
         keys)

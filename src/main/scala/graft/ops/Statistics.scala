@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.ops.Materialize.PinOps
 
 /** Descriptive statistics / profiling — the engine's Deequ-equivalent
   * (reference: java SparkEngine.java:686-723 ColumnProfilerRunner config,
@@ -314,7 +315,7 @@ object Statistics {
     require(topK >= 1, "topK must be at least 1")
     val counts = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_c"))
-      .localCheckpoint()
+      .pinned()
     val keyStruct = struct((keys.map(col) :+ col("_c").as("rows")): _*)
     val top = counts.orderBy(col("_c").desc,
         concat_ws("", keys.map(c => col(c).cast("string")): _*).asc)
@@ -406,7 +407,7 @@ object Statistics {
       .groupBy(col(rater1).cast("string").as("_ck_a"),
         col(rater2).cast("string").as("_ck_b"))
       .agg(count(lit(1)).as("_ck_n"))
-      .localCheckpoint()
+      .pinned()
     val ma = cells.groupBy(col("_ck_a").as("_ck_a2"))
       .agg(sum("_ck_n").as("_ck_na"))
     val mb = cells.groupBy(col("_ck_b").as("_ck_b2"))
@@ -461,7 +462,7 @@ object Statistics {
       .select((keys.map(col) :+
         col(xCol).cast("double").as("_sp_x")) :+
         col(yCol).cast("double").as("_sp_y"): _*)
-      .localCheckpoint()
+      .pinned()
     def rankMap(c: String, out: String): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*).orderBy(col(c).asc)
@@ -486,7 +487,7 @@ object Statistics {
     val joint = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("_mi_x"), col(yCol).as("_mi_y"))
       .agg(count(lit(1)).as("_mi_nxy"))
-      .localCheckpoint()
+      .pinned()
     val mx = joint.groupBy(col("_mi_x").as("_mi_x2"))
       .agg(sum("_mi_nxy").as("_mi_nx"))
     val my = joint.groupBy(col("_mi_y").as("_mi_y2"))

@@ -236,16 +236,27 @@ object TemporalFeatures {
     * Scale shape: everything after the one map-side-combined duration
     * histogram is |distinct durations|-sized — at-risk suffix sums and
     * the survival prefix product are both broadcast band-joins on that
-    * tiny frame, never a SinglePartition window over data.
+    * tiny frame, never a SinglePartition window over data. Those band
+    * joins are O(|distinct durations|²) pairs, so the integer-bucket
+    * contract is ENFORCED loudly: `maxDistinct` (same house pattern as
+    * [[graft.ops.Statistics.isotonicFit]]) refuses a continuous
+    * duration column — bucket to days/sessions first or raise the cap.
     */
   def kaplanMeier(df: DataFrame, durationCol: Column,
-                  eventCol: Column): DataFrame = {
+                  eventCol: Column, maxDistinct: Int = 2000): DataFrame = {
     val base = df.select(durationCol.cast("long").as("t"),
         eventCol.cast("boolean").as("_ev"))
       .filter(col("t").isNotNull && col("t") > 0L && col("_ev").isNotNull)
     val hist = base.groupBy(col("t"))
       .agg(sum(when(col("_ev"), 1L).otherwise(0L)).as("n_events"),
         sum(when(!col("_ev"), 1L).otherwise(0L)).as("n_censored"))
+    // bounded-domain guard: one tiny count over the histogram frame
+    val nDistinct = hist.count()
+    require(nDistinct <= maxDistinct,
+      s"kaplanMeier duration has $nDistinct distinct values (max" +
+        s" $maxDistinct) — the at-risk/survival band joins are quadratic" +
+        " in the duration histogram; bucket the duration to integer" +
+        " days/sessions first or raise maxDistinct")
     val tot = hist.select(col("t").as("_t2"),
       (col("n_events") + col("n_censored")).as("_c"))
     val atRisk = hist.join(broadcast(tot), col("_t2") >= col("t"))
@@ -277,11 +288,11 @@ object TemporalFeatures {
     * The behavioural-rhythm feature that mean rate alone cannot see
     * (bots are periodic, humans are bursty).
     *
-    * Gaps are truncated to WHOLE SECONDS (integer µs div) so Σg and Σg²
-    * stay exact longs — magnitude bound: n·max(gap_s)² must stay under
-    * 2⁶³ (a 30-day gap is 2.6·10⁶ s, squared 6.8·10¹² — safe to ~10⁶
-    * gaps per entity); σ and B are then a fixed double dag an external
-    * SQL oracle replays. Entities with zero gaps (single event) emit no
+    * Gaps are truncated to WHOLE SECONDS (integer µs div) so Σg stays
+    * an exact long and Σg² accumulates in DECIMAL(38,0) — no silent
+    * 2⁶³ wrap at corpus scale (same hardening as degreeAssortativity /
+    * cupedAdjust / hhiConcentration; r12 ADVICE); σ and B are then a
+    * fixed double dag an external SQL oracle replays. Entities with zero gaps (single event) emit no
     * row; a single-gap entity has σ = 0 → B = −1 by the formula.
     *
     * Scale shape: one keyed lead window (parallel across entities) +
@@ -307,7 +318,7 @@ object TemporalFeatures {
     val sigma = sqrt(greatest(lit(0.0), varr))
     gaps.groupBy(col("_e"))
       .agg(count(lit(1)).as("_n"), sum(col("_gs")).as("_sg"),
-        sum(col("_gs") * col("_gs")).as("_sqq"))
+        sum(col("_gs").cast("decimal(38,0)") * col("_gs")).as("_sqq"))
       .select(col("_e").as("entity"), col("_n").as("n_gaps"),
         round(mean, 6).as("mean_gap_s"),
         when(sigma + mean > 0.0,

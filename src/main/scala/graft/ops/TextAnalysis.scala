@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.PinOps
 
 /** Text-analysis operators for training-data pipelines (BASELINE.json north
   * star): language ID, quality scoring, token counting, fingerprinting.
@@ -368,7 +369,7 @@ object TextAnalysis {
       .select(explode(adjacentPairs(col(textCol))).as("_pr"))
       .select(col("_pr.w1").as("w1"), col("_pr.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("_cbi"))
-      .localCheckpoint(true)
+      .pinned(true)
     val vocab = pairCnt.agg(countDistinct(col("w1"))).head().getLong(0).toDouble
     val counted = pairCnt.filter(col("w2").isNotNull)
     val biCnt =
@@ -533,9 +534,9 @@ object TextAnalysis {
     // otherwise re-run each input's full lineage per consumer: round 6/7
     // measured the scoring pass re-evaluating the corpus pipeline 3×)
     val tCnt = bucketed(target).groupBy("_bkt").agg(count(lit(1)).as("_ct"))
-      .localCheckpoint(true)
+      .pinned(true)
     val rCnt = bucketed(corpus).groupBy("_bkt").agg(count(lit(1)).as("_cr"))
-      .localCheckpoint(true)
+      .pinned(true)
     val nT = tCnt.agg(coalesce(sum("_ct"), lit(0L))).head().getLong(0)
     val nR = rCnt.agg(coalesce(sum("_cr"), lit(0L))).head().getLong(0)
     require(nT > 0, "target corpus has no tokens")
@@ -892,9 +893,12 @@ object TextAnalysis {
     * Scale shape: tokens explode to |tokens| · window candidate rows
     * via ONE equi-join on (doc, position + offset) — position banding,
     * never a per-document cartesian — then everything collapses to
-    * |vocab²∩seen| count rows with map-side combine. `minPairCount`
-    * prunes the hapax tail early (the count filter runs before the
-    * marginal join).
+    * |vocab²∩seen| count rows with map-side combine. The pair frame is
+    * pinned ([[Materialize]]) because BOTH the pair counts and the
+    * marginals fold from it — one materialized pass instead of
+    * recomputing the explode+join lineage twice (the q171 fix pattern,
+    * r12 verdict #6). `minPairCount` prunes the hapax tail early (the
+    * count filter runs before the marginal join).
     */
   def ppmiPairs(docs: DataFrame, idCol: String, textCol: String,
                 window: Int, minPairCount: Long = 1L): DataFrame = {
@@ -911,6 +915,7 @@ object TextAnalysis {
     val pairs = left.join(right, Seq("_doc", "_tgt"))
       .select(least(col("_ta"), col("_tb")).as("word_a"),
         greatest(col("_ta"), col("_tb")).as("word_b"))
+      .pinned()
     val counts = pairs.groupBy(col("word_a"), col("word_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)

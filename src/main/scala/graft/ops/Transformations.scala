@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Materialize.PinOps
 
 /** Transformation functions: statistics-parameterized feature transforms
   * (reference §2.11, python/hsfs/hopsworks_udf.py + engine/spark.py:1267-1328
@@ -153,7 +154,7 @@ object Transformations {
       // by the context cleaner once the fit is dropped — a cache() here
       // would pin partitions for the life of the session because the
       // lazily-returned result has no safe point to unpersist
-      .localCheckpoint()
+      .pinned()
     val lo = Splits.lowerQuantileFromCounts(counts, keys, lowNum, den)
       .withColumnRenamed("quantile", "_lo")
     val hi = Splits.lowerQuantileFromCounts(counts, keys, highNum, den)
@@ -267,7 +268,7 @@ object Transformations {
       .groupBy(col(categoryCol).as("_te_cat"), col(foldCol).as("_te_fold"))
       .agg(sum(target.cast("long")).as("_te_s"),
         count(lit(1)).as("_te_n"))
-      .localCheckpoint()
+      .pinned()
     // category / fold / global totals are re-aggregations of the tiny
     // per-(cat, fold) frame joined back broadcast — no second scan of
     // the data, no driver collect, no single-partition window; the

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.ops.Ingest
+import graft.ops.Materialize.PinOps
 
 /** Scale evidence for the steady-state ingest loop (VERDICT r9 #4):
   * drive [[Ingest.ingestStream]] for 24 equal-size batches over the
@@ -35,7 +36,7 @@ object IngestSteadyProbe {
       val nBatches = 24
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-        .localCheckpoint(true) // source cost out of the measurement
+        .pinned(true) // source cost out of the measurement
       val batchRows = docs.count()
       // batch i = a fresh half (every doc tagged #i) ∪ a duplicate half
       // (every doc tagged #i−1 — byte-identical to batch i−1's fresh
@@ -57,7 +58,7 @@ object IngestSteadyProbe {
         store = r.store
         partialsAcc =
           if (partialsAcc == null) r.partials
-          else partialsAcc.unionByName(r.partials).localCheckpoint(true)
+          else partialsAcc.unionByName(r.partials).pinned(true)
         (System.nanoTime() - t0) / 1e9
       }
       val first3 = perBatch.slice(1, 4).sum / 3 // skip batch 0 (warmup)
