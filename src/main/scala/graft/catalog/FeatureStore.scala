@@ -444,7 +444,9 @@ final class FeatureStore(
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hfs.exists(p)) emptyFgStats
     else {
-      val all = spark.read.parquet(fgStatsDir(fg))
+      // declared schema: the history's layout is fixed by this class, so
+      // skip the footer-inference pass on every retrieval
+      val all = spark.read.schema(fgStatsSchema).parquet(fgStatsDir(fg))
       before.map(t => all.filter(col("computed_at") <= t)).getOrElse(all)
     }
   }

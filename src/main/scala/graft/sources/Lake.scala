@@ -167,9 +167,18 @@ object Lake {
       .parquet(dataPath(root))
 
     val meta = CommitMeta(t, operation, ins, upd, del)
-    import spark.implicits._
-    Seq(meta).toDF().coalesce(1).write.mode(SaveMode.Append)
-      .json(commitsPath(root))
+    // one-ROW metadata goes through the Hadoop FS directly: a single-row
+    // DataFrame json job (plan + task + _SUCCESS) per commit was pure
+    // lifecycle overhead across every lake query (r12 verdict #4). The
+    // read side (spark.read.json over the directory) is unchanged and
+    // still reads logs written by the old DataFrame path.
+    val line = s"""{"commitTime":$t,"operation":"$operation",""" +
+      s""""rowsInserted":$ins,"rowsUpdated":$upd,"rowsDeleted":$del}"""
+    val (cfs, cdir) = fsOf(spark, commitsPath(root))
+    cfs.mkdirs(cdir)
+    val f = new Path(cdir, s"commit-$t-${System.nanoTime()}.json")
+    val os = cfs.create(f, false)
+    try os.write((line + "\n").getBytes("UTF-8")) finally os.close()
     meta
   }
 
