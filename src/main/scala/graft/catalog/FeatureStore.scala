@@ -351,9 +351,11 @@ final class FeatureStore(
       .select(lit(atMillis).as("computed_at"), col("feature"),
         col("metric"), col("value"))
     noteStamp(s"stats:${fg.id}", atMillis)
-    batch.write.mode("append").parquet(fgStatsDir(fg))
+    // one file per run: the batch is |features × metrics| rows (tiny) and
+    // the history is re-read on every retrieval — don't shard it
+    batch.coalesce(1).write.mode("append").parquet(fgStatsDir(fg))
     if (passes > 1) frame.unpersist()
-    spark.read.parquet(fgStatsDir(fg))
+    spark.read.schema(fgStatsSchema).parquet(fgStatsDir(fg))
       .filter(col("computed_at") === atMillis)
   }
 

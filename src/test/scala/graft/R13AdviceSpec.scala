@@ -92,13 +92,21 @@ class R13AdviceSpec extends SparkSpec {
         r.getAs[Double]("survival") <= 1.0))
   }
 
-  test("Materialize: cache mode preserves results, bad mode is loud") {
+  test("Materialize: cache and reliable modes preserve results, bad mode is loud") {
     val df = Seq(1, 2, 3).toDF("x")
     try {
       spark.conf.set(Materialize.ModeKey, "cache")
       val pinned = Materialize.pin(df)
       assert(pinned.agg(sum("x")).collect().head.getLong(0) == 6L)
       pinned.unpersist()
+      // reliable = Dataset.checkpoint — the cluster setting: blocks
+      // survive executor loss because they live in the checkpoint dir
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft_ck").toString
+      spark.sparkContext.setCheckpointDir(ckDir)
+      spark.conf.set(Materialize.ModeKey, "reliable")
+      val rel = Materialize.pin(df)
+      assert(rel.agg(sum("x")).collect().head.getLong(0) == 6L)
       spark.conf.set(Materialize.ModeKey, "bogus")
       intercept[IllegalArgumentException] { Materialize.pin(df) }
     } finally spark.conf.unset(Materialize.ModeKey)
