@@ -34,7 +34,8 @@ object Associations {
   def pairRules(df: DataFrame, basketCol: Column, itemCol: Column,
                 minPairCount: Long = 1L,
                 maxBasketItems: Int = 10000): DataFrame = {
-    // localCheckpoint (not cache): one eager materialization whose
+    // pinned (Materialize policy; default localCheckpoint, not cache):
+    // one eager materialization whose
     // blocks free on GC, instead of CacheManager entries that pile up
     // across invocations in a long-lived session
     val memb = df.select(basketCol.as("_bk"),

@@ -285,7 +285,7 @@ object Dedup {
     * has to fit its adjacency list in one row) and no driver-side graph.
     * Converges in O(log n) rounds on ANY graph shape — long path graphs
     * collapse logarithmically, where naive min-label propagation needs a
-    * round per hop. Each round is localCheckpoint'ed to keep the plan
+    * round per hop. Each round is pinned ([[Materialize]]) to keep the plan
     * flat (swap for `checkpoint` + a reliable dir on a real cluster where
     * executor loss matters); convergence is detected with an
     * order-independent (count, bit_xor of edge hashes) fingerprint — one
@@ -338,7 +338,7 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // LAZY localCheckpoint + fingerprint: the fingerprint action both
+    // LAZY pin + fingerprint: the fingerprint action both
     // materializes the round's frontier blocks (truncating lineage, so
     // no round ever re-reads the pair history) AND collects the
     // convergence check — ONE sequential driver round-trip per star
@@ -931,7 +931,7 @@ object Dedup {
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         prefixLen: Int = 8): DataFrame = {
     require(prefixLen >= 1, "prefixLen must be at least 1")
-    // localCheckpoint (not cache): blocks free on GC instead of
+    // pinned (Materialize policy): blocks free on GC instead of
     // accumulating CacheManager entries across invocations
     val base = df.select(col(idCol).cast("long").as("_id"),
         col(strCol).cast("string").as("_s"))

@@ -125,7 +125,7 @@ object GraphOps {
         col(dstCol).cast("long").as("_d"))
       .agg(count(lit(1)).cast("double").as("_w"))
     val outW = ew.groupBy(col("_s")).agg(sum(col("_w")).as("_ow"))
-    // localCheckpoint (not cache): blocks free on GC instead of
+    // pinned (Materialize policy): blocks free on GC instead of
     // accumulating CacheManager entries across invocations
     val share = ew.join(outW, "_s")
       .select(col("_s"), col("_d"), (col("_w") / col("_ow")).as("_share"))

@@ -21,7 +21,7 @@ import graft.ops.Materialize.PinOps
   * dedup so the bloom split evaluates it exactly once), one bloom build
   * over the store (tiny), one anti-join of the bloom-positive sliver
   * against the store, one map-side-combined groupBy for the partials.
-  * The store and the partials are localCheckpoint'ed after each step, so
+  * The store and the partials are pinned (Materialize) after each step, so
   * no later batch's plan can reach back past them into raw history.
   */
 object Ingest {
@@ -78,7 +78,7 @@ object Ingest {
     * PRODUCED — the way a real ingest sinks every batch to the lake —
     * instead of accumulating a union. Returns (merged statistics, final
     * store). NOTHING here grows with the number of batches except data
-    * rows: the store is localCheckpoint-severed inside [[processBatch]]
+    * rows: the store is pin-severed inside [[processBatch]]
     * and the running partials union is re-severed every step, so both
     * loop-carried plans stay a constant node count at batch 10³ exactly
     * as at batch 3 (IngestSpec asserts this at 25 batches; the

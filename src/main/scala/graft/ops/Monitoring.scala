@@ -520,7 +520,7 @@ object Monitoring {
       .groupBy((keys.map(col) :+ col("_v")): _*)
       .agg(count(lit(1)).as("_c"), max(col("_med")).as("_med"))
       // consumed twice (MAD fold + summary) — tiny, but its lineage is a
-      // full data pass. localCheckpoint (eager) instead of cache: same
+      // full data pass. Eager pin (Materialize policy) instead of cache: same
       // one-pass guarantee, but the blocks are reclaimed by the context
       // cleaner when the frame is dropped, so repeated calls in a
       // long-lived monitoring session can't accumulate pinned cache

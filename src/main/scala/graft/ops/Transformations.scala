@@ -149,7 +149,7 @@ object Transformations {
     val counts = df.filter(valueCol.isNotNull)
       .groupBy((keys.map(col) :+ valueCol.cast("double").as("_v")): _*)
       .agg(count(lit(1)).as("_c"))
-      // both quantile folds read this frame; localCheckpoint (eager) so
+      // both quantile folds read this frame; eager pin (Materialize) so
       // the data pass runs once AND the tiny count blocks are reclaimable
       // by the context cleaner once the fit is dropped — a cache() here
       // would pin partitions for the life of the session because the
