@@ -567,14 +567,20 @@ object Statistics {
       coalesce(sum(col("_c")), lit(0L)).as("n_ratings"),
       coalesce(sum((col("_c") * (col("_m") - col("_c"))).cast("double") /
         (col("_m") - 1).cast("double")), lit(0.0)).as("_do"))
+    // Σ n_v² accumulates in DECIMAL(38,0): per-value marginal counts
+    // grow with the data, and a 10¹⁰-rating hot value squares past 2⁶³
+    // (the burstiness/hhi hardening class, r12 ADVICE)
     val marg = q.groupBy(col("_v")).agg(sum(col("_c")).as("_nv"))
-      .agg(coalesce(sum(col("_nv") * col("_nv")), lit(0L)).as("_sq"))
+      .agg(coalesce(sum(col("_nv").cast("decimal(38,0)") * col("_nv")),
+        lit(0L).cast("decimal(38,0)")).as("_sq"))
     // degenerate contracts, q141's convention (explicit null, never a
     // float-infinity that rounds differently across engines): no
     // qualifying units → everything null-ish; a single observed value
     // (D_e = 0: agreement is vacuous) → null alpha
-    val deNum = (col("n_ratings") * col("n_ratings") - col("_sq"))
-      .cast("double")
+    // n_ratings² likewise exceeds 2⁶³ past ~3·10⁹ total ratings — form
+    // it in DECIMAL(38,0); the subtraction stays exact, then one cast
+    val deNum = (col("n_ratings").cast("decimal(38,0)") * col("n_ratings")
+      - col("_sq")).cast("double")
     val de = deNum / (col("n_ratings") - 1).cast("double")
     obs.crossJoin(broadcast(marg))
       .select(col("n_units"), col("n_ratings"),
@@ -727,9 +733,11 @@ object Statistics {
     * Scale shape: ONE keyed window (parallel across keys) + one
     * map-side-combined groupBy; nothing driver-side. Keys with
     * Σx = 0 emit NULL (concentration of nothing is undefined).
-    * Long overflow bound: Σ i·x ≤ n·Σx must stay under 2⁶³ — fine for
-    * per-key frames (n·Σx ≥ 2⁶³ needs both a trillion-row key and
-    * billion-scale values).
+    * Σ i·x accumulates in DECIMAL(38,0) and the final G forms in
+    * doubles: n·Σx ≈ n²·mean(x) crosses 2⁶³ already at a billion-row
+    * key with single-digit values — realistic corpus scale, the same
+    * hardening class as burstiness/hhi (r12 ADVICE; the previous
+    * long-form bound was optimistic).
     */
   def giniConcentration(df: DataFrame, keys: Seq[String],
                         valueCol: Column): DataFrame = {
@@ -741,11 +749,13 @@ object Statistics {
       .withColumn("_i", row_number().over(w).cast("long"))
       .groupBy(k: _*)
       .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"),
-        sum(col("_i") * col("_x")).as("_ix"))
+        sum(col("_i").cast("decimal(38,0)") * col("_x")).as("_ix"))
       .select((k :+ col("n") :+ col("total") :+
         when(col("total") =!= 0L,
-          round((lit(2.0) * col("_ix") - (col("n") + 1L) * col("total")) /
-            (col("n") * col("total")).cast("double"), 6)).as("gini")): _*)
+          round((lit(2.0) * col("_ix").cast("double")
+              - (col("n") + 1L).cast("double") * col("total").cast("double"))
+            / (col("n").cast("double") * col("total").cast("double")), 6))
+          .as("gini")): _*)
   }
 
   /** Poisson-bootstrap confidence interval for the per-key mean — THE
