@@ -35,8 +35,11 @@ import scala.jdk.CollectionConverters._
   * remain strictly serialized, the property the round-3 lesson exists
   * to protect. Calibration runs at BOTH sweep ends
   * (`calibration_runs`) so mid-sweep machine drift is a measured
-  * number, not an inference. `SPARK_GRAFT_BENCH_SERIAL=1` restores the
-  * fully serial path.
+  * number, not an inference — and calibration children run SOLO
+  * (launched, measured and collected with zero siblings launched or
+  * starting) so the instrument never reads the pipeline's own startup
+  * as machine drift. `SPARK_GRAFT_BENCH_SERIAL=1` restores the fully
+  * serial path.
   */
 object Bench {
   // Round-6 judge: min-of-FIXED-3 under-converges exactly when the
@@ -553,11 +556,54 @@ object Bench {
     if (!canFork) return names.map { n =>
       val (s, r) = inProcess(n); (n, s, r)
     }
+    // Calibration entries are processed strictly SOLO: no other child
+    // may be launched, starting up, or parked while one exists. The
+    // round-13.1 lesson: granting the calibration slot and THEN calling
+    // launchUpTo() let replacement children run their SparkSession
+    // startup DURING the calibration's measured reps — the opening
+    // placement read 7.8–12.6 s on a box whose standalone calibration
+    // probe read 2.2–3.2 s, a ~4× self-contamination that the drift
+    // re-run clause then misread as mid-sweep machine drift. (The end
+    // placement was always clean because the queue is empty by then —
+    // the asymmetry was the tell.)
     def launchUpTo(): Unit =
-      while (started.size < prefork && queue.nonEmpty)
+      while (started.size < prefork && queue.nonEmpty &&
+             !queue.head.startsWith(CalibName) &&
+             !started.exists(_.name.startsWith(CalibName)))
         started :+= new GatedChild(queue.dequeue())
+    def runCalibrationSolo(): Unit =
+      while (started.isEmpty && queue.nonEmpty &&
+             queue.head.startsWith(CalibName)) {
+        val name = queue.dequeue()
+        val c = new GatedChild(name)
+        while (!c.ready.get() && c.proc.isAlive && !c.startupTimedOut)
+          Thread.sleep(100)
+        if (!c.ready.get()) {
+          System.err.println(s"[bench] $name child failed before ready" +
+            " — queued for in-process fallback")
+          c.kill(); fallback += name
+        } else {
+          System.err.println(s"[bench] $name (solo) ...")
+          c.grantAndCollect() match {
+            case Some((s, reps)) =>
+              System.err.println(s"[bench] $name -> " +
+                s.map(v => f"S:$v%.2f ").getOrElse("") +
+                reps.map(repToken).mkString(" "))
+              out += ((name, s, reps))
+            case None =>
+              System.err.println(s"[bench] $name child lost" +
+                " — queued for in-process fallback")
+              fallback += name
+          }
+        }
+      }
+    runCalibrationSolo()
     launchUpTo()
-    while (started.nonEmpty) {
+    while (started.nonEmpty || queue.nonEmpty) {
+      // pipeline drained down to a calibration entry at the queue head
+      // (the sweep's tail, or any mid-queue placement): run it solo on
+      // the quiesced box, then resume the pipeline
+      if (started.isEmpty) { runCalibrationSolo(); launchUpTo() }
       val (bad, rest) = started.partition(c =>
         c.deadBeforeReady || c.startupTimedOut)
       bad.foreach { c =>
@@ -568,9 +614,11 @@ object Bench {
       started = rest
       // the calibration entries are the MACHINE instrument — they must
       // measure a quiescent box, not the pipeline's own startup noise
-      // (smoke test: calibration read 9.7 s pipelined vs 2.7 s serial).
-      // While a calibration child is in flight, pause new launches and
-      // grant it only once every other child is parked on its stdin gate.
+      // (smoke test: calibration read 9.7 s pipelined vs 2.7 s serial;
+      // round-13.1: even granting it last-with-all-parked was not enough,
+      // because replacement launches overlapped its reps — calibration
+      // children now never enter `started`, they run solo via
+      // runCalibrationSolo; this guard is defensive only)
       val calibInFlight = started.exists(_.name.startsWith(CalibName))
       if (!calibInFlight) launchUpTo()
       val readyNow = started.filter(_.ready.get())
@@ -581,10 +629,11 @@ object Bench {
         case None => if (started.nonEmpty) Thread.sleep(100)
         case Some(c) =>
           started = started.filterNot(_ eq c)
-          // replacement startup overlaps this measurement — that IS the
-          // pipeline; class loading on a 32-core box perturbs the 4-core
-          // measured child marginally, and the quiesced calibration
-          // entries at both sweep ends bound any residual drift
+          // replacement startup overlaps this QUERY measurement — that IS
+          // the pipeline; class loading on a 32-core box perturbs the
+          // measured child marginally, and the solo calibration entries
+          // at both sweep ends bound any residual drift. (Calibration
+          // never measures here — see runCalibrationSolo.)
           if (!started.exists(_.name.startsWith(CalibName))) launchUpTo()
           System.err.println(s"[bench] ${c.name} ...")
           c.grantAndCollect() match {
