@@ -68,6 +68,21 @@ object Bench {
     * prove).
     */
   private[graft] val CalibName = "calibration_fixed"
+  /** The I/O counterpart of [[CalibName]] (round-13.1 lesson: a
+    * parquet-path-degraded machine window is INVISIBLE to the
+    * spark.range-only instrument — a diagnostic sweep measured queries
+    * 1.29× slower under the round's best `calibration` reading). This
+    * workload writes a fixed 2M-row frame to a per-JVM tmp dir and
+    * reads it back through an aggregate — same bytes, same plan, every
+    * round — so its wall time tracks the machine's storage path.
+    * Reported in its own additive JSON fields
+    * (`calibration_io`/`calibration_io_runs`); the pinned
+    * `calibration` field keeps its cross-round meaning untouched.
+    */
+  private[graft] val CalibIoName = "calibration_io"
+
+  private[graft] def isCalib(name: String): Boolean =
+    name.startsWith(CalibName) || name.startsWith(CalibIoName)
 
   def main(args: Array[String]): Unit = args match {
     case Array("one", name) => childMain(name, gated = false)
@@ -84,6 +99,7 @@ object Bench {
   private def queryFn(name: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
     if (name == ForceFailName)
       (_, _) => throw new RuntimeException("forced failure probe")
+    else if (name.startsWith(CalibIoName)) (s, _) => calibrationIoDf(s)
     else if (name.startsWith(CalibName)) (s, _) => calibrationDf(s)
     else SparkEntry.queries(name)
 
@@ -103,6 +119,40 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum("v").as("sv"),
            org.apache.spark.sql.functions.sum("w").as("sw"),
            org.apache.spark.sql.functions.count("*").as("n"))
+  }
+
+  /** Per-JVM scratch dir for the I/O instrument, deleted on JVM exit.
+    * One fixed dir + mode(overwrite): successive reps rewrite the same
+    * ~45 MB, so a sweep leaves nothing behind and every rep pays the
+    * full write+read.
+    */
+  private lazy val calibIoDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_calib_io")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val p = new org.apache.hadoop.fs.Path(d.toString)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .delete(p, true)
+      } catch { case _: Throwable => () }
+    }))
+    d.toString
+  }
+
+  /** Deterministic 2M-row × 4-col frame (long key, modular key, double,
+    * 16-char string — enough string bytes that the parquet size is real)
+    * written and read back per rep: the timed region covers encode +
+    * write + footer/metadata + decode + aggregate, i.e. the storage
+    * path the CPU instrument never touches.
+    */
+  private def calibrationIoDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    spark.range(0L, 2000000L)
+      .selectExpr("id", "id % 9973 AS k", "id * 2.5 AS x",
+        "lpad(cast(id % 100000 AS string), 16, 'x') AS s")
+      .write.mode("overwrite").parquet(calibIoDir)
+    spark.read.parquet(calibIoDir)
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("x").as("sx"),
+           org.apache.spark.sql.functions.count("s").as("n"))
   }
 
   /** One rep result: a wall time or an explicit error. */
@@ -321,11 +371,13 @@ object Bench {
 
   private[graft] def render(results: Seq[(String, Seq[Rep])],
                             startups: Map[String, Double] = Map.empty): String = {
-    // the calibration workload is a machine probe, not a query: it gets
-    // its own top-level fields and never contributes to "queries"/"value"
-    // (matched by prefix: the sweep runs it at BOTH ends — see
-    // orchestrate — so mid-sweep machine drift is measurable)
-    val (calib, queries) = results.partition(_._1.startsWith(CalibName))
+    // the calibration workloads are machine probes, not queries: each
+    // instrument gets its own top-level fields and never contributes to
+    // "queries"/"value" (matched by prefix: the sweep runs both at BOTH
+    // ends — see orchestrate — so mid-sweep machine drift is measurable
+    // on the CPU path AND the storage path independently)
+    val (calibAll, queries) = results.partition(r => isCalib(r._1))
+    val (calibIo, calib) = calibAll.partition(_._1.startsWith(CalibIoName))
     val minima = queries.flatMap { case (k, rs) =>
       val ok = rs.collect { case Right(t) => t }
       if (ok.nonEmpty) Some(k -> ok.min) else None
@@ -364,10 +416,20 @@ object Bench {
       if (calibMins.isEmpty) ""
       else s""","calibration":${calibMins.min},"calibration_runs":""" +
         calibMins.mkString("[", ",", "]")
+    // the I/O instrument is additive and separately keyed: pooling it
+    // into "calibration" would corrupt the pinned cross-round divisor
+    val calibIoMins = calibIo.flatMap { case (_, rs) =>
+      val ok = rs.collect { case Right(t) => t }
+      if (ok.nonEmpty) Some(ok.min) else None
+    }
+    val calibIoJson =
+      if (calibIoMins.isEmpty) ""
+      else s""","calibration_io":${calibIoMins.min},"calibration_io_runs":""" +
+        calibIoMins.mkString("[", ",", "]")
     // "declared" = queries attempted (calibration excluded): lets a
     // cross-round total comparison detect a shrunken denominator even if
     // the errors map is dropped downstream
-    s"""{"metric":"total","value":$total,"unit":"sec","declared":${queries.size},"queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"startup":$startupJson,"startup_total":$startupTotal$calibJson,"isolation":"jvm-per-query","action":"noop-write","reps":"adaptive-$MinReps-$MaxReps-converge${(ConvergeFrac * 100).toInt}pct-faststop${FastStopSec}s"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","declared":${queries.size},"queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"startup":$startupJson,"startup_total":$startupTotal$calibJson$calibIoJson,"isolation":"jvm-per-query","action":"noop-write","reps":"adaptive-$MinReps-$MaxReps-converge${(ConvergeFrac * 100).toInt}pct-faststop${FastStopSec}s"}"""
   }
 
   /** Probe child: calibration-INTERLEAVED single-query measurement in a
@@ -568,12 +630,12 @@ object Bench {
     // the asymmetry was the tell.)
     def launchUpTo(): Unit =
       while (started.size < prefork && queue.nonEmpty &&
-             !queue.head.startsWith(CalibName) &&
-             !started.exists(_.name.startsWith(CalibName)))
+             !isCalib(queue.head) &&
+             !started.exists(c => isCalib(c.name)))
         started :+= new GatedChild(queue.dequeue())
     def runCalibrationSolo(): Unit =
       while (started.isEmpty && queue.nonEmpty &&
-             queue.head.startsWith(CalibName)) {
+             isCalib(queue.head)) {
         val name = queue.dequeue()
         val c = new GatedChild(name)
         while (!c.ready.get() && c.proc.isAlive && !c.startupTimedOut)
@@ -619,11 +681,11 @@ object Bench {
       // because replacement launches overlapped its reps — calibration
       // children now never enter `started`, they run solo via
       // runCalibrationSolo; this guard is defensive only)
-      val calibInFlight = started.exists(_.name.startsWith(CalibName))
+      val calibInFlight = started.exists(c => isCalib(c.name))
       if (!calibInFlight) launchUpTo()
       val readyNow = started.filter(_.ready.get())
       val allReady = started.forall(_.ready.get())
-      val pick = readyNow.find(c => !c.name.startsWith(CalibName))
+      val pick = readyNow.find(c => !isCalib(c.name))
         .orElse(if (allReady) readyNow.headOption else None)
       pick match {
         case None => if (started.nonEmpty) Thread.sleep(100)
@@ -634,7 +696,7 @@ object Bench {
           // measured child marginally, and the solo calibration entries
           // at both sweep ends bound any residual drift. (Calibration
           // never measures here — see runCalibrationSolo.)
-          if (!started.exists(_.name.startsWith(CalibName))) launchUpTo()
+          if (!started.exists(c => isCalib(c.name))) launchUpTo()
           System.err.println(s"[bench] ${c.name} ...")
           c.grantAndCollect() match {
             case Some((s, reps)) =>
@@ -677,7 +739,8 @@ object Bench {
     // (SCALE.md, r12 verdict #3) needs machine speed at both sweep ends
     // to detect mid-sweep drift (r12's calibration moved 1.69→1.97 and
     // the raw 2x gate breached on exactly that drift)
-    val withCalib = CalibName +: qnames :+ s"${CalibName}_end"
+    val withCalib = Seq(CalibName, CalibIoName) ++ qnames ++
+      Seq(s"${CalibName}_end", s"${CalibIoName}_end")
     val names = withCalib
       .filter(n => only.forall(f => f.exists(n.startsWith)))
     val measured =

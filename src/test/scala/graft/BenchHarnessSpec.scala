@@ -70,6 +70,35 @@ class BenchHarnessSpec extends AnyFunSuite {
       "calibration reps stay visible in runs")
   }
 
+  test("the I/O instrument is separately keyed and never pools into calibration") {
+    // round-13.1: calibration_io exists precisely because the CPU
+    // instrument is blind to the parquet path — pooling the two (or
+    // letting either leak into "queries"/"value") would corrupt both
+    val json = Bench.render(Seq(
+      "q1" -> Seq(Right(0.5)),
+      Bench.CalibName -> Seq(Right(2.0), Right(1.8)),
+      s"${Bench.CalibIoName}" -> Seq(Right(4.0), Right(3.5)),
+      s"${Bench.CalibIoName}_end" -> Seq(Right(3.0))))
+    assert(json.contains(""""calibration":1.8"""), "CPU divisor untouched")
+    assert(json.contains(""""calibration_io":3.0"""),
+      "io divisor = min across its own placements only")
+    assert(json.contains(""""calibration_io_runs":[3.5,3.0]"""))
+    assert(json.contains(""""value":0.5"""),
+      "neither instrument counts in the total")
+    assert(!json.contains(""""calibration_io":3.5,"calibration":"""),
+      "fields stay separate")
+    assert(json.contains(""""declared":1"""),
+      "instruments excluded from the attempted-query count")
+  }
+
+  test("isCalib covers both instruments and their _end placements") {
+    assert(Bench.isCalib(Bench.CalibName))
+    assert(Bench.isCalib(s"${Bench.CalibName}_end"))
+    assert(Bench.isCalib(Bench.CalibIoName))
+    assert(Bench.isCalib(s"${Bench.CalibIoName}_end"))
+    assert(!Bench.isCalib("q63_corpus_pipeline_v2"))
+  }
+
   test("render reports per-query session startup separately from minima") {
     val json = Bench.render(
       Seq("q1" -> Seq(Right(0.5)), "q2" -> Seq(Right(0.7))),
