@@ -40,6 +40,17 @@ import scala.jdk.CollectionConverters._
   * starting) so the instrument never reads the pipeline's own startup
   * as machine drift. `SPARK_GRAFT_BENCH_SERIAL=1` restores the fully
   * serial path.
+  *
+  * Round-14 lessons: (a) QUERY slots get the same quiescing calibration
+  * got in round 13 — the sweep runs in batches (start `prefork`
+  * children, wait until all are parked-ready, drain them through the
+  * slot with zero siblings launching or starting, refill); the r13
+  * launch-during-measurement overlap was the proven ~4× calibration
+  * contaminator and showed up as query first-reps 3–4× their min.
+  * (b) After the full contract JSON line (~15 KB: never fit the
+  * driver's ~2 KB stdout tail — `parsed: null` in BENCH_r08–r13), the
+  * orchestrator prints a second SHORT summary line (renderSummary) so
+  * the driver's tail capture always ends with one complete JSON object.
   */
 object Bench {
   // Round-6 judge: min-of-FIXED-3 under-converges exactly when the
@@ -121,20 +132,56 @@ object Bench {
            org.apache.spark.sql.functions.count("*").as("n"))
   }
 
+  /** Base directory for the I/O instrument's scratch. On the SAME
+    * filesystem as the data dir (r13 ADVICE, medium: java.io.tmpdir can
+    * be tmpfs or a different device than SPARK_GRAFT_SF_DIR, in which
+    * case the instrument measures memory/CPU encode-decode instead of
+    * the data dir's storage path — the exact blind spot it exists to
+    * close). Resolution: SPARK_GRAFT_BENCH_IO_SCRATCH env override,
+    * else a writability-probed sibling of the sf dir, else
+    * java.io.tmpdir as a last resort. The resolved base is recorded in
+    * the JSON (`calibration_io_scratch`) so a reader can tell what
+    * device was actually probed.
+    */
+  private[graft] lazy val calibIoBase: String =
+    sys.env.get("SPARK_GRAFT_BENCH_IO_SCRATCH").getOrElse {
+      Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
+        .flatMap { base =>
+          try {
+            val probe = java.nio.file.Files
+              .createTempDirectory(base, "graft_calib_io_probe")
+            java.nio.file.Files.delete(probe)
+            Some(base.toString)
+          } catch { case _: Exception => None }
+        }
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+    }
+
+  /** Recursive delete via java.nio, NOT the Hadoop FS client: Hadoop's
+    * own shutdown hook may close all filesystems before ours runs (hook
+    * ordering is nondeterministic), which made the old FS-client delete
+    * throw and leak ~45 MB per calibration_io JVM (r13 ADVICE, low).
+    */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    } catch { case _: Throwable => () }
+
   /** Per-JVM scratch dir for the I/O instrument, deleted on JVM exit.
     * One fixed dir + mode(overwrite): successive reps rewrite the same
     * ~45 MB, so a sweep leaves nothing behind and every rep pays the
     * full write+read.
     */
   private lazy val calibIoDir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_calib_io")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val p = new org.apache.hadoop.fs.Path(d.toString)
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          .delete(p, true)
-      } catch { case _: Throwable => () }
-    }))
+    val base = java.nio.file.Paths.get(calibIoBase)
+    java.nio.file.Files.createDirectories(base)
+    val d = java.nio.file.Files.createTempDirectory(base, "graft_calib_io")
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(d)))
     d.toString
   }
 
@@ -199,6 +246,24 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
+    if (name.startsWith(CalibIoName)) {
+      // r13 ADVICE (low): without this, the I/O instrument's first
+      // measured rep additionally pays one-time parquet WRITE-path
+      // class loading/codegen (the read path above warms only the
+      // reader) — a tiny untimed write+read makes rep 1 measure
+      // storage, not class loading (the streaming-warmup precedent).
+      try {
+        val warmDir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(calibIoBase), "graft_calib_io_warm")
+        spark.range(1000L).selectExpr("id", "cast(id AS string) AS s")
+          .write.mode("overwrite").parquet(warmDir.toString)
+        spark.read.parquet(warmDir.toString)
+          .agg(org.apache.spark.sql.functions.count("s")).collect()
+        deleteRecursively(warmDir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration_io warmup skipped: $e")
+      }
+    }
     if (StreamingQueries.contains(name)) {
       try {
         val dir = java.nio.file.Files
@@ -370,7 +435,8 @@ object Bench {
   }
 
   private[graft] def render(results: Seq[(String, Seq[Rep])],
-                            startups: Map[String, Double] = Map.empty): String = {
+                            startups: Map[String, Double] = Map.empty,
+                            ioScratch: Option[String] = None): String = {
     // the calibration workloads are machine probes, not queries: each
     // instrument gets its own top-level fields and never contributes to
     // "queries"/"value" (matched by prefix: the sweep runs both at BOTH
@@ -423,13 +489,50 @@ object Bench {
       if (ok.nonEmpty) Some(ok.min) else None
     }
     val calibIoJson =
-      if (calibIoMins.isEmpty) ""
-      else s""","calibration_io":${calibIoMins.min},"calibration_io_runs":""" +
-        calibIoMins.mkString("[", ",", "]")
+      (if (calibIoMins.isEmpty) ""
+       else s""","calibration_io":${calibIoMins.min},"calibration_io_runs":""" +
+         calibIoMins.mkString("[", ",", "]")) +
+      // which device the I/O instrument actually probed (r13 ADVICE)
+      ioScratch.fold("")(p => s""","calibration_io_scratch":${jsonStr(p)}""")
     // "declared" = queries attempted (calibration excluded): lets a
     // cross-round total comparison detect a shrunken denominator even if
     // the errors map is dropped downstream
     s"""{"metric":"total","value":$total,"unit":"sec","declared":${queries.size},"queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":$runs,"startup":$startupJson,"startup_total":$startupTotal$calibJson$calibIoJson,"isolation":"jvm-per-query","action":"noop-write","reps":"adaptive-$MinReps-$MaxReps-converge${(ConvergeFrac * 100).toInt}pct-faststop${FastStopSec}s"}"""
+  }
+
+  /** Round-14 (r13 verdict #1): the driver captures a ~2 KB stdout TAIL,
+    * and the full render() line (~15 KB once `runs` and `startup` are
+    * embedded) has therefore never been parseable driver-side —
+    * `parsed: null` in every BENCH_r*.json from r08 through r13. The
+    * orchestrator now prints THIS short summary line AFTER the full one
+    * (the full line stays verbatim: it is the bench contract and also
+    * persists to bench_out/latest.json): total/n/errors plus both
+    * machine instruments, a few hundred bytes, so the tail capture
+    * always contains one complete JSON object. "metric"/"value"/"unit"
+    * repeat the contract fields so a parser keyed on either shape
+    * succeeds; "total" duplicates "value" under the name the r13 judge
+    * specified.
+    */
+  private[graft] def renderSummary(results: Seq[(String, Seq[Rep])],
+                                   startups: Map[String, Double] = Map.empty): String = {
+    val (calibAll, queries) = results.partition(r => isCalib(r._1))
+    val (calibIo, calib) = calibAll.partition(_._1.startsWith(CalibIoName))
+    val minima = queries.flatMap { case (_, rs) =>
+      val ok = rs.collect { case Right(t) => t }
+      if (ok.nonEmpty) Some(ok.min) else None
+    }
+    val nErrors = queries.count(_._2.forall(_.isLeft))
+    val total = minima.sum
+    val startupTotal = results.flatMap { case (k, _) => startups.get(k) }.sum
+    def instMin(rows: Seq[(String, Seq[Rep])]): Option[Double] = {
+      val ms = rows.flatMap(_._2.collect { case Right(t) => t })
+      if (ms.isEmpty) None else Some(ms.min)
+    }
+    val calibJson = instMin(calib).fold("")(v => s""","calibration":$v""")
+    val calibIoJson = instMin(calibIo).fold("")(v => s""","calibration_io":$v""")
+    val cpusJson = scala.util.Try(cpus.trim.toInt).toOption
+      .map(_.toString).getOrElse(jsonStr(cpus))
+    s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"total":$total,"n":${minima.size},"declared":${queries.size},"errors":$nErrors,"startup_total":$startupTotal$calibJson$calibIoJson,"cpus":$cpusJson,"sf":"$sfDir","detail":"bench_out/latest.json"}"""
   }
 
   /** Probe child: calibration-INTERLEAVED single-query measurement in a
@@ -633,83 +736,101 @@ object Bench {
              !isCalib(queue.head) &&
              !started.exists(c => isCalib(c.name)))
         started :+= new GatedChild(queue.dequeue())
+    // r13 ADVICE (low): a solo calibration child that died before ready
+    // used to be drained through the in-process fallback AFTER the whole
+    // pipeline — appended LAST, so calibration_runs no longer reflected
+    // placement order (the drift clause compares sweep-start vs sweep-end
+    // BY POSITION), and the fallback measured in the long-lived parent
+    // JVM, violating the fresh-JVM solo contract. Now: retry the solo
+    // child once IN PLACE; if that also fails, measure in-process IN
+    // PLACE under a `_inproc`-tagged name, so placement order is always
+    // intact and a solo-JVM-contract violation is visible in the JSON
+    // instead of silent.
     def runCalibrationSolo(): Unit =
       while (started.isEmpty && queue.nonEmpty &&
              isCalib(queue.head)) {
         val name = queue.dequeue()
-        val c = new GatedChild(name)
-        while (!c.ready.get() && c.proc.isAlive && !c.startupTimedOut)
-          Thread.sleep(100)
-        if (!c.ready.get()) {
-          System.err.println(s"[bench] $name child failed before ready" +
-            " — queued for in-process fallback")
-          c.kill(); fallback += name
-        } else {
-          System.err.println(s"[bench] $name (solo) ...")
-          c.grantAndCollect() match {
-            case Some((s, reps)) =>
-              System.err.println(s"[bench] $name -> " +
-                s.map(v => f"S:$v%.2f ").getOrElse("") +
-                reps.map(repToken).mkString(" "))
-              out += ((name, s, reps))
-            case None =>
-              System.err.println(s"[bench] $name child lost" +
-                " — queued for in-process fallback")
-              fallback += name
+        def trySolo(): Option[(Option[Double], Seq[Rep])] = {
+          val c = new GatedChild(name)
+          while (!c.ready.get() && c.proc.isAlive && !c.startupTimedOut)
+            Thread.sleep(100)
+          if (!c.ready.get()) { c.kill(); None }
+          else {
+            System.err.println(s"[bench] $name (solo) ...")
+            c.grantAndCollect()
           }
+        }
+        trySolo().orElse {
+          System.err.println(s"[bench] $name solo child failed" +
+            " — retrying once in place")
+          trySolo()
+        } match {
+          case Some((s, reps)) =>
+            System.err.println(s"[bench] $name -> " +
+              s.map(v => f"S:$v%.2f ").getOrElse("") +
+              reps.map(repToken).mkString(" "))
+            out += ((name, s, reps))
+          case None =>
+            val tagged = s"${name}_inproc"
+            System.err.println(s"[bench] $name solo child failed twice —" +
+              s" measuring in-process IN PLACE as $tagged (parent JVM," +
+              " not a fresh solo JVM: tagged so the contract violation" +
+              " is visible)")
+            val (s, reps) = inProcess(name)
+            out += ((tagged, s, reps))
         }
       }
     runCalibrationSolo()
     launchUpTo()
+    // Round-14 (r13 verdict #2): QUERY measurement slots are now quiesced
+    // too — the runCalibrationSolo rule generalized. The r13 pipeline
+    // granted a slot and immediately launched replacement children, whose
+    // SparkSession startups ran DURING the measured reps; the identical
+    // mechanism provably inflated the solo calibration placement ~4×
+    // (7.8 s granted-while-launching vs 2.2–3.2 s standalone), and r14's
+    // baseline sweep showed query first-reps 3–4× their min (e.g. q28:
+    // 3.04 → 0.83). The sweep now runs in BATCHES: launch `prefork`
+    // children, wait until EVERY one is parked-ready (startup overlaps
+    // startup, never a measurement), then drain the whole batch through
+    // the measurement slot one by one with ZERO children launching or
+    // starting, then refill. Startup still amortizes ~prefork× between
+    // drains; measured reps see a quiescent box.
     while (started.nonEmpty || queue.nonEmpty) {
       // pipeline drained down to a calibration entry at the queue head
       // (the sweep's tail, or any mid-queue placement): run it solo on
-      // the quiesced box, then resume the pipeline
+      // the quiesced box, then launch the next batch
       if (started.isEmpty) { runCalibrationSolo(); launchUpTo() }
-      val (bad, rest) = started.partition(c =>
-        c.deadBeforeReady || c.startupTimedOut)
-      bad.foreach { c =>
-        System.err.println(s"[bench] ${c.name} child failed before ready" +
-          " — queued for in-process fallback")
-        c.kill(); fallback += c.name
+      // wait for the full batch to park on stdin; a child that dies or
+      // stalls before READY is killed and drained via the in-process
+      // fallback after the pipeline
+      var waiting = started.nonEmpty
+      while (waiting) {
+        val (bad, rest) = started.partition(c =>
+          c.deadBeforeReady || c.startupTimedOut)
+        bad.foreach { c =>
+          System.err.println(s"[bench] ${c.name} child failed before ready" +
+            " — queued for in-process fallback")
+          c.kill(); fallback += c.name
+        }
+        started = rest
+        waiting = started.nonEmpty && !started.forall(_.ready.get())
+        if (waiting) Thread.sleep(100)
       }
-      started = rest
-      // the calibration entries are the MACHINE instrument — they must
-      // measure a quiescent box, not the pipeline's own startup noise
-      // (smoke test: calibration read 9.7 s pipelined vs 2.7 s serial;
-      // round-13.1: even granting it last-with-all-parked was not enough,
-      // because replacement launches overlapped its reps — calibration
-      // children now never enter `started`, they run solo via
-      // runCalibrationSolo; this guard is defensive only)
-      val calibInFlight = started.exists(c => isCalib(c.name))
-      if (!calibInFlight) launchUpTo()
-      val readyNow = started.filter(_.ready.get())
-      val allReady = started.forall(_.ready.get())
-      val pick = readyNow.find(c => !isCalib(c.name))
-        .orElse(if (allReady) readyNow.headOption else None)
-      pick match {
-        case None => if (started.nonEmpty) Thread.sleep(100)
-        case Some(c) =>
-          started = started.filterNot(_ eq c)
-          // replacement startup overlaps this QUERY measurement — that IS
-          // the pipeline; class loading on a 32-core box perturbs the
-          // measured child marginally, and the solo calibration entries
-          // at both sweep ends bound any residual drift. (Calibration
-          // never measures here — see runCalibrationSolo.)
-          if (!started.exists(c => isCalib(c.name))) launchUpTo()
-          System.err.println(s"[bench] ${c.name} ...")
-          c.grantAndCollect() match {
-            case Some((s, reps)) =>
-              System.err.println(s"[bench] ${c.name} -> " +
-                s.map(v => f"S:$v%.2f ").getOrElse("") +
-                reps.map(repToken).mkString(" "))
-              out += ((c.name, s, reps))
-            case None =>
-              System.err.println(s"[bench] ${c.name} child lost" +
-                " — queued for in-process fallback")
-              fallback += c.name
-          }
+      started.foreach { c =>
+        System.err.println(s"[bench] ${c.name} ...")
+        c.grantAndCollect() match {
+          case Some((s, reps)) =>
+            System.err.println(s"[bench] ${c.name} -> " +
+              s.map(v => f"S:$v%.2f ").getOrElse("") +
+              reps.map(repToken).mkString(" "))
+            out += ((c.name, s, reps))
+          case None =>
+            System.err.println(s"[bench] ${c.name} child lost" +
+              " — queued for in-process fallback")
+            fallback += c.name
+        }
       }
+      started = Vector.empty
     }
     fallback.foreach { n =>
       System.err.println(s"[bench] $n (in-process fallback) ...")
@@ -755,7 +876,12 @@ object Bench {
       else pipelined(names)
     val results = measured.map { case (n, _, r) => n -> r }
     val startups = measured.collect { case (n, Some(s), _) => n -> s }.toMap
-    val json = render(results, startups)
+    // the parent resolves calibIoBase with the same env/sfDir logic the
+    // children used, so recording it here names the device they probed
+    val ioScratch =
+      if (results.exists(_._1.startsWith(CalibIoName))) Some(calibIoBase)
+      else None
+    val json = render(results, startups, ioScratch)
     // persist the complete sweep independent of the driver's stdout
     // capture window (round-4 BENCH json lost q01-q39 to tail truncation).
     // A sweep with errored queries goes to *_failed.json instead of
@@ -779,6 +905,9 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: $e")
     }
     println(json)
+    // the short driver-parseable line LAST, inside any tail capture
+    // (r13 verdict #1; see renderSummary)
+    println(renderSummary(results, startups))
     sys.exit(if (anyError) 1 else 0)
   }
 }

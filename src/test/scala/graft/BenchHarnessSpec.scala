@@ -99,6 +99,42 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(!Bench.isCalib("q63_corpus_pipeline_v2"))
   }
 
+  test("summary line fits the driver's 2 KB tail at full sweep size") {
+    // r13 verdict #1: the full render() line (~15 KB with runs/startup)
+    // has never fit the driver's ~2 KB stdout tail — parsed: null in
+    // BENCH_r08..r13. The short summary printed after it must stay
+    // well under that window even at 202 queries + both instruments.
+    val results: Seq[(String, Seq[Bench.Rep])] =
+      (1 to 202).map(i => f"q$i%03d_some_descriptive_query_name" ->
+        Seq[Bench.Rep](Right(1.0), Right(0.9), Right(1.1))) ++ Seq(
+        Bench.CalibName -> Seq[Bench.Rep](Right(2.0)),
+        s"${Bench.CalibIoName}" -> Seq[Bench.Rep](Right(1.5)),
+        s"${Bench.CalibName}_end" -> Seq[Bench.Rep](Right(2.1)),
+        s"${Bench.CalibIoName}_end" -> Seq[Bench.Rep](Right(1.6)))
+    val startups = results.map { case (k, _) => k -> 9.5 }.toMap
+    val s = Bench.renderSummary(results, startups)
+    assert(s.length < 600, s"summary must fit a 2 KB tail, got ${s.length}")
+    assert(!s.contains("\n"), "one line")
+    assert(s.contains(""""metric":"total""""), "contract-shaped")
+    val expected = 202 * 0.9
+    assert(s.contains(s""""value":$expected"""),
+      "value = sum of per-query minima")
+    assert(s.contains(""""n":202""") && s.contains(""""declared":202"""))
+    assert(s.contains(""""errors":0"""))
+    assert(s.contains(""""calibration":2.0"""))
+    assert(s.contains(""""calibration_io":1.5"""))
+    assert(s.contains(""""unit":"sec"""") && s.contains(""""sf":"""))
+  }
+
+  test("summary line counts failed queries and excludes them from value") {
+    val s = Bench.renderSummary(Seq(
+      "q_ok" -> Seq[Bench.Rep](Right(2.0), Right(1.0)),
+      "q_dead" -> Seq[Bench.Rep](Left("a"), Left("b"))))
+    assert(s.contains(""""value":1.0"""))
+    assert(s.contains(""""n":1""") && s.contains(""""declared":2"""))
+    assert(s.contains(""""errors":1"""))
+  }
+
   test("render reports per-query session startup separately from minima") {
     val json = Bench.render(
       Seq("q1" -> Seq(Right(0.5)), "q2" -> Seq(Right(0.7))),
