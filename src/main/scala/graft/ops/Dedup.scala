@@ -306,31 +306,55 @@ object Dedup {
     sym.groupBy("u").agg(min("v").as("_mv"))
       .select(col("u"), least(col("_mv"), col("u")).as("m"))
 
-  // large-star: connect every strictly-larger neighbor of u to m(u)
+  // large-star: connect every strictly-larger neighbor of u to m(u).
+  // The output dedup is keyed by the LARGER endpoint (repartition(u) —
+  // hashpartitioning on a subset of the grouping keys satisfies the
+  // dropDuplicates distribution, so no second exchange), which is
+  // exactly the key the small-star half of a round groups and joins on:
+  // the round's mid-point costs ONE exchange where the r13 shape paid a
+  // (u,v)-keyed distinct exchange AND a fresh u-keyed exchange for
+  // small-star (guide §2.4: two operations keyed the same way share one
+  // exchange).
   private[graft] def ccLargeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    dedupEdges(sym.join(minsOf(sym), "u")
+    sym.join(minsOf(sym), "u")
       .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v")))
+      .select(col("v").as("u"), col("m").as("v"))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
   }
 
-  // small-star: orient edges (larger, smaller); connect u and its
-  // smaller neighbors to the minimum of that in-neighborhood
-  private[graft] def ccSmallStar(e: DataFrame): DataFrame = {
-    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
-      least(col("u"), col("v")).as("v"))
-    val mins = oriented.groupBy("u").agg(min("v").as("m"))
-    val nbrs = oriented.join(mins, "u").select(col("v").as("n"), col("m"))
+  // small-star body on a KNOWN-ORIENTED edge set (u > v on every row):
+  // large-star output is always oriented — it emits (v, m(u)) with
+  // m(u) ≤ u < v — so inside a round the greatest/least re-projection
+  // is an identity. Skipping it matters for the plan, not just per-row
+  // cost: projecting through greatest()/least() destroys the incoming
+  // hashpartitioning(u) (Catalyst cannot prove greatest(u,v)=u), which
+  // would force the aggregate and join below to re-exchange.
+  private[graft] def ccSmallStarOriented(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min("v").as("m"))
+    val nbrs = e.join(mins, "u").select(col("v").as("n"), col("m"))
     val self = mins.select(col("u").as("n"), col("m"))
     dedupEdges(nbrs.union(self)
       .filter(col("n") =!= col("m"))
       .select(col("n").as("u"), col("m").as("v")))
   }
 
+  // small-star: orient edges (larger, smaller); connect u and its
+  // smaller neighbors to the minimum of that in-neighborhood
+  private[graft] def ccSmallStar(e: DataFrame): DataFrame =
+    ccSmallStarOriented(e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")))
+
   def duplicateClusters(pairs: DataFrame, idACol: String = "idA",
                         idBCol: String = "idB", maxIter: Int = 25): DataFrame = {
-    def largeStar(e: DataFrame): DataFrame = ccLargeStar(e)
-    def smallStar(e: DataFrame): DataFrame = ccSmallStar(e)
+    // fused round (r13 verdict #4): large-star's u-keyed output dedup
+    // feeds small-star's u-keyed aggregate/join with no re-exchange, and
+    // the oriented small-star skips the partitioning-destroying
+    // greatest/least projection — same edge-set algebra per round
+    // (duplicates never change a min; every round still ends in a
+    // distinct), fewer exchanges per round
+    def round(e: DataFrame): DataFrame = ccSmallStarOriented(ccLargeStar(e))
 
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
@@ -354,7 +378,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).pinned(false)
+      val next = round(edges).pinned(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       edges = next

@@ -119,10 +119,16 @@ class PlanBudgetSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val round = graft.ops.Dedup.ccSmallStar(graft.ops.Dedup.ccLargeStar(edges))
+      // the FUSED round (r14): large-star's u-keyed output dedup is the
+      // same exchange small-star's aggregate+join consume, and the
+      // oriented small-star adds none of its own before its final
+      // distinct — 3 shuffles per round (sym-by-u, mid-dedup-by-u,
+      // round-end distinct), down from the r13 shape's 6-node/4-executed
+      val round = graft.ops.Dedup.ccSmallStarOriented(
+        graft.ops.Dedup.ccLargeStar(edges))
       val p = round.queryExecution.executedPlan
       val n = shuffles(p)
-      assert(n <= 10, s"CC round grew to $n shuffles —\n$p")
+      assert(n <= 4, s"CC round grew to $n shuffles —\n$p")
       assert(!p.toString.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }

@@ -217,6 +217,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: fused CC round ≡ r13 round; large-star output is oriented") {
+    // the r14 fused round (ccSmallStarOriented ∘ ccLargeStar) must emit
+    // the exact edge SET of the r13 round (ccSmallStar ∘ ccLargeStar) on
+    // any graph — the fusion only changes partitioning and where dedup
+    // happens — and its precondition (large-star output strictly u > v,
+    // because m(u) ≤ u < v) must hold row-for-row
+    val edgesGen = Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 20L)
+      b <- Gen.choose(0L, 20L)
+    } yield (a, b))
+    forSamples(edgesGen, n = 4) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      if (real.nonEmpty) {
+        val e = real.toDF("u", "v")
+        val large = graft.ops.Dedup.ccLargeStar(e)
+        assert(large.filter(col("u") <= col("v")).count() === 0L,
+          "large-star output must be strictly oriented u > v")
+        val fused = graft.ops.Dedup.ccSmallStarOriented(large)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val r13 = graft.ops.Dedup.ccSmallStar(large)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(fused === r13)
+      }
+    }
+  }
+
   test("property: tokenBudgetBins is exhaustive, contiguous, capacity-bounded") {
     val g = for {
       n <- Gen.choose(50, 300)
