@@ -710,8 +710,12 @@ object Bench {
     * the pipeline (never concurrently with gated measurements).
     */
   private def pipelined(names: Seq[String]): Seq[(String, Option[Double], Seq[Rep])] = {
+    // default 6 (was 4): under the r14 batch model startups serialize
+    // against measurements instead of overlapping them, so batch size is
+    // the only startup-amortization lever — 6 concurrent session builds
+    // compete only with each other, never with a measured rep
     val prefork = math.max(2,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREFORK", "4").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREFORK", "6").toInt)
     val queue = scala.collection.mutable.Queue(names: _*)
     var started = Vector.empty[GatedChild]
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Option[Double], Seq[Rep])]

@@ -40,7 +40,7 @@ object SparkSessions {
             metastoreDir: Option[String]): SparkSession = {
     val msDir = metastoreDir.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_metastore").toString)
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +56,22 @@ object SparkSessions {
       .config("spark.sql.warehouse.dir", s"$msDir/warehouse")
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$msDir/metastore_db;create=true")
-      .getOrCreate()
+    // Scale-dependent settings stay PARAMETERISED, never baked in for
+    // one box (r13/r14 optimization-round rule): local defaults above
+    // keep the bench cross-round comparable; a deployment (or a scaling
+    // probe — SCALE.md's maxPartitionBytes sweep) overrides via
+    //   SPARK_GRAFT_SPARK_CONF="spark.sql.files.maxPartitionBytes=512m;…"
+    // (semicolon-separated key=value pairs, applied in order).
+    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => b.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SPARK_CONF entry is not key=value: '$kv'")
+        }
+      }
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
