@@ -130,13 +130,25 @@ object Lake {
     // snapshot keys, counting total and matched together. `computeStats =
     // false` skips the snapshot scan entirely (high-frequency streaming
     // commits shouldn't rescan the table per micro-batch).
+    //
+    // First commit (r14, guide §1.2 — don't compute things twice): the
+    // row count rides the WRITE action as an `observe` metric instead of
+    // a dedicated `rows.count()` pass — a bulk insert used to scan its
+    // entire input once to count it and once to write it; at 100 TB
+    // that second scan is a full extra pass over the corpus. The
+    // non-first path must still run BEFORE the write (its semi-join
+    // resolves the table state the commit is mutating), so it keeps its
+    // single pre-write action.
     val keys = recordKey(fg)
-    val (ins, upd, del) =
+    val firstCommit = priorCommits.isEmpty
+    val obs =
+      if (computeStats && firstCommit)
+        Some(org.apache.spark.sql.Observation(s"graft_commit_$t"))
+      else None
+    val (preIns, preUpd, preDel) =
       if (!computeStats) (-1L, -1L, -1L)
-      else if (priorCommits.isEmpty) {
-        val n = rows.count()
-        if (deleted) (0L, 0L, n) else (n, 0L, 0L)
-      } else {
+      else if (firstCommit) (0L, 0L, 0L) // resolved from obs after the write
+      else {
         // incremental stats: resolve current state ONLY for the incoming
         // keys — semi-prune the commit log by the batch's key set before
         // the latest-version window, so an upsert of k keys into a 100 TB
@@ -161,11 +173,25 @@ object Lake {
     // pruning — reference partitionBy(partition_key),
     // engine/spark.py:501-505, hudi partition path hudi_engine.py:131-140)
     val partCols = CommitCol +: fg.partitionKey.filter(stamped.columns.contains)
-    stamped.write
+    val toWrite = obs.fold(stamped)(o =>
+      stamped.observe(o, count(lit(1)).as("n")))
+    toWrite.write
       .mode(SaveMode.Append)
       .partitionBy(partCols: _*)
       .parquet(dataPath(root))
 
+    val (ins, upd, del) = obs match {
+      case None => (preIns, preUpd, preDel)
+      case Some(o) =>
+        // the write action above completed, so the observed metrics are
+        // final — same value the old rows.count() pass produced, zero
+        // extra scans
+        val n = o.get("n") match {
+          case l: java.lang.Long => l.longValue()
+          case other => other.toString.toLong
+        }
+        if (deleted) (0L, 0L, n) else (n, 0L, 0L)
+    }
     val meta = CommitMeta(t, operation, ins, upd, del)
     // one-ROW metadata goes through the Hadoop FS directly: a single-row
     // DataFrame json job (plan + task + _SUCCESS) per commit was pure
